@@ -1,0 +1,36 @@
+"""g2o_tpu — a TPU-native graph-optimization framework.
+
+A from-scratch JAX/XLA/Pallas reimagining of sparse nonlinear least-squares on
+hyper-graphs (SLAM pose graphs, bundle adjustment) with the capabilities of
+the reference C++ framework surveyed in ``SURVEY.md``:
+
+* typed manifold vertices (SE2, SE3, Sim3, points, cameras) and error edges
+  with robust kernels,
+* Gauss-Newton / Levenberg-Marquardt / Dogleg iterations,
+* Schur-complement marginalisation of landmarks,
+* dense / block-Jacobi-PCG / square-root-CGLS linear solvers,
+* ``.g2o`` text-format IO and dataset simulators,
+
+re-designed array-first: the graph compiles to a structure-of-arrays problem
+spec, residuals and Jacobians are vmapped + jacfwd'ed per edge type, H/b
+assembly is segment-sum, and multi-chip scaling shards edges and landmark
+blocks over a ``jax.sharding.Mesh``.
+"""
+
+from g2o_tpu.core.graph import Graph
+from g2o_tpu.core.optimizer import (
+    GaussNewton,
+    LevenbergMarquardt,
+    Dogleg,
+    SparseOptimizer,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Graph",
+    "GaussNewton",
+    "LevenbergMarquardt",
+    "Dogleg",
+    "SparseOptimizer",
+]

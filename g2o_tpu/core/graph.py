@@ -1,0 +1,190 @@
+"""Host-side graph builder — the mutable front-end of the framework.
+
+Plays the role of the reference ``HyperGraph``/``OptimizableGraph``
+(``g2o/core/hyper_graph.h:53``, ``optimizable_graph.h:61``): vertices are
+added/removed by id, edges connect vertices and carry measurement +
+information + robust kernel, vertices can be fixed (gauge) or marginalized
+(Schur-eliminated), edges have a level and an active flag (the fork's
+``Edge::setActive``, ``hyper_graph.h:194-206``).
+
+Unlike the reference there are no virtual objects: the builder stores plain
+numpy records and ``compile()`` freezes them into a structure-of-arrays
+:class:`~g2o_tpu.core.problem.Problem` of jnp arrays, grouped by type — the
+TPU analogue of ``SparseOptimizer::initializeOptimization`` + ``buildIndexMapping``
+(``g2o/core/sparse_optimizer.cpp:201,168``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from g2o_tpu.core.types import EdgeType, VertexType, REGISTRY
+from g2o_tpu.ops import robust as robust_mod
+
+
+@dataclasses.dataclass
+class _VertexRec:
+    vid: int
+    vtype: VertexType
+    estimate: np.ndarray
+    fixed: bool = False
+    marginalized: bool = False
+
+
+@dataclasses.dataclass
+class _EdgeRec:
+    etype: EdgeType
+    vids: tuple
+    measurement: np.ndarray
+    information: np.ndarray
+    kernel: int = robust_mod.NONE
+    delta: float = 1.0
+    level: int = 0
+    active: bool = True
+    param_id: Optional[int] = None
+
+
+class Graph:
+    """Mutable problem description.  Build, then :meth:`compile`."""
+
+    def __init__(self, registry=None):
+        self.registry = registry or REGISTRY
+        self._vertices: dict[int, _VertexRec] = {}
+        self._edges: list[_EdgeRec] = []
+        self._parameters: dict[int, np.ndarray] = {}
+
+    # -- vertices ----------------------------------------------------------
+
+    def add_vertex(self, vid: int, vtype, estimate, *, fixed=False,
+                   marginalized=False):
+        if isinstance(vtype, str):
+            vtype = self.registry.vertex_types[vtype]
+        est = np.asarray(estimate, dtype=np.float64).reshape(-1)
+        if est.shape[0] != vtype.rep_dim:
+            raise ValueError(
+                f"vertex {vid}: expected state of dim {vtype.rep_dim} for "
+                f"{vtype.name}, got {est.shape[0]}"
+            )
+        if vid in self._vertices:
+            raise ValueError(f"duplicate vertex id {vid}")
+        self._vertices[vid] = _VertexRec(vid, vtype, est, bool(fixed),
+                                         bool(marginalized))
+        return vid
+
+    def has_vertex(self, vid: int) -> bool:
+        return vid in self._vertices
+
+    def vertex(self, vid: int) -> _VertexRec:
+        return self._vertices[vid]
+
+    def set_fixed(self, vid: int, fixed: bool = True):
+        self._vertices[vid].fixed = bool(fixed)
+
+    def set_marginalized(self, vid: int, marginalized: bool = True):
+        self._vertices[vid].marginalized = bool(marginalized)
+
+    def set_estimate(self, vid: int, estimate):
+        rec = self._vertices[vid]
+        est = np.asarray(estimate, dtype=np.float64).reshape(-1)
+        assert est.shape[0] == rec.vtype.rep_dim
+        rec.estimate = est
+
+    def remove_vertex(self, vid: int):
+        """Remove a vertex and every edge incident to it (reference
+        ``HyperGraph::removeVertex`` detaches edges)."""
+        if vid not in self._vertices:
+            return False
+        self._edges = [e for e in self._edges if vid not in e.vids]
+        del self._vertices[vid]
+        return True
+
+    @property
+    def num_vertices(self):
+        return len(self._vertices)
+
+    @property
+    def num_edges(self):
+        return len(self._edges)
+
+    def vertices(self):
+        return self._vertices
+
+    def edges(self):
+        return self._edges
+
+    # -- parameters --------------------------------------------------------
+
+    def add_parameter(self, pid: int, value):
+        """Graph-level shared parameter block (sensor offset, camera
+        intrinsics) resolved by id at edge-add time — the analogue of
+        ``g2o::Parameter`` (``g2o/core/parameter.h:36``)."""
+        self._parameters[pid] = np.asarray(value, dtype=np.float64).reshape(-1)
+
+    def parameter(self, pid: int) -> np.ndarray:
+        return self._parameters[pid]
+
+    # -- edges -------------------------------------------------------------
+
+    def add_edge(self, etype, vids: Sequence[int], measurement, information,
+                 *, kernel=None, delta: float = 1.0, level: int = 0,
+                 active: bool = True, param_id: Optional[int] = None):
+        if isinstance(etype, str):
+            etype = self.registry.edge_types[etype]
+        vids = tuple(int(v) for v in vids)
+        if len(vids) != etype.num_slots:
+            raise ValueError(
+                f"{etype.name}: expected {etype.num_slots} vertices, got {len(vids)}"
+            )
+        for slot, (vid, vt) in enumerate(zip(vids, etype.vertex_types)):
+            rec = self._vertices.get(vid)
+            if rec is None:
+                raise ValueError(f"{etype.name}: unknown vertex id {vid}")
+            if rec.vtype is not vt:
+                raise ValueError(
+                    f"{etype.name} slot {slot}: vertex {vid} has type "
+                    f"{rec.vtype.name}, expected {vt.name}"
+                )
+        meas = np.asarray(measurement, dtype=np.float64).reshape(-1)
+        if meas.shape[0] != etype.meas_dim:
+            raise ValueError(
+                f"{etype.name}: measurement dim {meas.shape[0]} != {etype.meas_dim}"
+            )
+        info = np.asarray(information, dtype=np.float64)
+        if info.shape == ():
+            info = info * np.eye(etype.residual_dim)
+        info = info.reshape(etype.residual_dim, etype.residual_dim)
+        if isinstance(kernel, str):
+            kernel = robust_mod.KERNEL_IDS[kernel]
+        elif kernel is None:
+            kernel = robust_mod.NONE
+        if etype.param_dim and param_id is None:
+            raise ValueError(f"{etype.name}: param_id required")
+        self._edges.append(
+            _EdgeRec(etype, vids, meas, info, int(kernel), float(delta),
+                     int(level), bool(active), param_id)
+        )
+        return len(self._edges) - 1
+
+    def set_robust_kernel(self, kernel, delta: float = 1.0, *, etype=None):
+        """Attach a robust kernel to every edge (optionally of one type) —
+        mirrors the CLI ``-robustKernel`` flow (``apps/g2o_cli/g2o.cpp:333-359``)."""
+        if isinstance(kernel, str):
+            kernel = robust_mod.KERNEL_IDS[kernel]
+        if isinstance(etype, EdgeType):
+            etype = etype.name
+        for e in self._edges:
+            if etype is None or e.etype.name == etype:
+                e.kernel = int(kernel)
+                e.delta = float(delta)
+
+    # -- compile -----------------------------------------------------------
+
+    def compile(self, *, level: int = 0, dtype=None):
+        """Freeze into an immutable SoA :class:`Problem` for the given level
+        (reference level filter: ``g2o/core/sparse_optimizer.cpp:232``)."""
+        from g2o_tpu.core.problem import compile_graph
+
+        return compile_graph(self, level=level, dtype=dtype)

@@ -1,0 +1,373 @@
+"""Compiled structure-of-arrays problem + batched linearization/assembly.
+
+This module is the TPU-native replacement for the reference's per-edge
+virtual-dispatch pipeline:
+
+* ``SparseOptimizer::computeActiveErrors`` (``g2o/core/sparse_optimizer.cpp:63``)
+  → one vmapped residual evaluation per *edge type batch*;
+* ``BlockSolver::buildSystem`` (``g2o/core/block_solver.hpp:463``) — per-edge
+  ``linearizeOplus`` + ``constructQuadraticForm`` under per-vertex mutexes —
+  → batched ``jacfwd`` Jacobians and ``segment-sum`` scatter-adds into a flat
+  tangent-space gradient and per-vertex diagonal blocks;
+* the numeric-diff fallback (``g2o/core/base_binary_edge.hpp:199-240``) →
+  exact forward-mode autodiff through each vertex's ``oplus``.
+
+The Hessian is never materialised as a sparse pointer structure: solvers use
+either (a) batched Hessian-vector products Σ Jᵀ(W(Jv)) (for PCG/dogleg), or
+(b) a dense scatter-assembled H (small problems), or (c) the Schur-complement
+path over landmark blocks (``g2o_tpu/core/solvers/schur.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g2o_tpu.core.types import EdgeType, VertexType
+from g2o_tpu.ops import robust as robust_mod
+
+
+class EdgeBatchData(NamedTuple):
+    """Arrays for one edge-type batch (pytree leaf bundle)."""
+
+    vidx: jax.Array      # (E, k) int32 — per-slot index into that slot's vertex-type arrays
+    meas: jax.Array      # (E, m)
+    info: jax.Array      # (E, r, r)
+    kernel: jax.Array    # (E,) int32 robust-kernel id
+    delta: jax.Array     # (E,) robust-kernel width
+    active: jax.Array    # (E,) bool — the fork's per-edge isActive flag
+    param: jax.Array     # (E, p)
+
+
+class ProblemData(NamedTuple):
+    """Non-estimate arrays of a compiled problem (pytree)."""
+
+    edges: dict          # name -> EdgeBatchData
+    fixed: dict          # vertex-type name -> (N_t,) bool
+    offsets: dict        # vertex-type name -> (N_t,) int32 flat tangent offset
+    fixed_flat: jax.Array  # (T,) 1.0 where the tangent slot belongs to a fixed vertex
+
+
+class LinearizedSystem(NamedTuple):
+    """Output of one linearization — everything iterative solvers need."""
+
+    jacs: dict           # name -> tuple of (E, r, d_i) per slot (fixed slots zeroed)
+    weights: dict        # name -> (E, r, r) = rho' * active * Omega
+    errors: dict         # name -> (E, r)
+    b: jax.Array         # (T,) = -J^T W e   (solve H dx = b)
+    diag: dict           # vertex-type name -> (N_t, D, D) Hessian diagonal blocks
+    chi2_robust: jax.Array
+    chi2: jax.Array
+
+
+def _seg_ids(offsets_t, vidx_col, d):
+    """(E,) vertex indices -> (E, d) flat tangent indices."""
+    base = offsets_t[vidx_col]
+    return base[:, None] + jnp.arange(d, dtype=base.dtype)[None, :]
+
+
+class Problem:
+    """Immutable compiled problem. Estimates flow through as pytree args."""
+
+    def __init__(self, vertex_types, counts, edge_types, data: ProblemData,
+                 estimates: dict, marginalized: dict, vid_index: dict,
+                 type_bases: dict, total_dim: int, dtype):
+        self.vertex_types: dict[str, VertexType] = vertex_types
+        self.counts: dict[str, int] = counts
+        self.edge_types: dict[str, EdgeType] = edge_types
+        self.data = data
+        self.estimates = estimates            # dict name -> (N_t, rep)
+        self.marginalized = marginalized      # dict name -> np.bool_ (N_t,)  (static)
+        self.vid_index = vid_index            # vid -> (type name, local idx)
+        self.type_bases = type_bases          # name -> flat tangent base offset
+        self.total_dim = int(total_dim)
+        self.dtype = dtype
+        self._edge_jac_fns = {
+            name: self._make_jac_fn(et) for name, et in edge_types.items()
+        }
+        # jitted entry points (data passed as args — nothing baked as constants)
+        self.chi2_jit = jax.jit(self.chi2_fn)
+        self.linearize_jit = jax.jit(self.linearize_fn)
+        self.apply_jit = jax.jit(self.apply_update_fn)
+        self.hvp_jit = jax.jit(self.hvp_fn)
+        self.dense_h_jit = jax.jit(self.dense_hessian_fn)
+
+    # ------------------------------------------------------------------ #
+    # host-side helpers
+    # ------------------------------------------------------------------ #
+
+    @property
+    def num_edges(self):
+        return sum(int(b.vidx.shape[0]) for b in self.data.edges.values())
+
+    def get_estimate(self, vid):
+        t, i = self.vid_index[vid]
+        return np.asarray(self.estimates[t][i])
+
+    def set_estimates(self, estimates):
+        self.estimates = estimates
+
+    def estimates_by_vid(self):
+        out = {}
+        host = {t: np.asarray(e) for t, e in self.estimates.items()}
+        for vid, (t, i) in self.vid_index.items():
+            out[vid] = host[t][i]
+        return out
+
+    def _make_jac_fn(self, et: EdgeType) -> Callable:
+        if et.jacobian is not None:
+            return et.jacobian
+        vts = tuple(et.vertex_types)
+
+        def jac_one(states, meas, par):
+            def f(*deltas):
+                news = tuple(
+                    vt.oplus(x, d) for vt, x, d in zip(vts, states, deltas)
+                )
+                return et.residual(news, meas, par)
+
+            zeros = tuple(
+                jnp.zeros((vt.tangent_dim,), dtype=states[0].dtype) for vt in vts
+            )
+            return jax.jacfwd(f, argnums=tuple(range(len(vts))))(*zeros)
+
+        return jac_one
+
+    # ------------------------------------------------------------------ #
+    # pure functions (jitted in __init__)
+    # ------------------------------------------------------------------ #
+
+    def _edge_residuals(self, et: EdgeType, batch: EdgeBatchData, estimates):
+        states = tuple(
+            estimates[vt.name][batch.vidx[:, s]]
+            for s, vt in enumerate(et.vertex_types)
+        )
+        res = jax.vmap(lambda *a: et.residual(a[:-2], a[-2], a[-1]))(
+            *states, batch.meas, batch.param
+        )
+        return states, res
+
+    def chi2_fn(self, data: ProblemData, estimates):
+        """(robust chi2, plain chi2) — reference ``activeRobustChi2`` /
+        ``activeChi2`` (``g2o/core/sparse_optimizer.cpp:94-116``)."""
+        total_r = jnp.zeros((), dtype=self.dtype)
+        total_p = jnp.zeros((), dtype=self.dtype)
+        for name, et in self.edge_types.items():
+            batch = data.edges[name]
+            _, e = self._edge_residuals(et, batch, estimates)
+            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
+            rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+            act = batch.active.astype(self.dtype)
+            total_r = total_r + jnp.sum(rho[:, 0] * act)
+            total_p = total_p + jnp.sum(e2 * act)
+        return total_r, total_p
+
+    def linearize_fn(self, data: ProblemData, estimates) -> LinearizedSystem:
+        T = self.total_dim
+        b = jnp.zeros((T,), dtype=self.dtype)
+        diag = {
+            t: jnp.zeros((self.counts[t], vt.tangent_dim, vt.tangent_dim),
+                         dtype=self.dtype)
+            for t, vt in self.vertex_types.items()
+        }
+        jacs, weights, errors = {}, {}, {}
+        chi2_r = jnp.zeros((), dtype=self.dtype)
+        chi2_p = jnp.zeros((), dtype=self.dtype)
+
+        for name, et in self.edge_types.items():
+            batch = data.edges[name]
+            states, e = self._edge_residuals(et, batch, estimates)
+            Js = jax.vmap(self._edge_jac_fns[name])(states, batch.meas,
+                                                    batch.param)
+            if not isinstance(Js, (tuple, list)):
+                Js = (Js,)
+            # zero Jacobian columns of fixed vertices — the masking analogue
+            # of hessianIndex == -1 (``g2o/core/sparse_optimizer.cpp:179-188``)
+            Js = tuple(
+                J * (1.0 - data.fixed[vt.name][batch.vidx[:, s]]
+                     .astype(self.dtype))[:, None, None]
+                for s, (J, vt) in enumerate(zip(Js, et.vertex_types))
+            )
+            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
+            rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+            act = batch.active.astype(self.dtype)
+            chi2_r = chi2_r + jnp.sum(rho[:, 0] * act)
+            chi2_p = chi2_p + jnp.sum(e2 * act)
+            # robust information: rho' * Omega (reference
+            # ``BaseEdge::robustInformation``; the rho'' term is disabled
+            # there as well)
+            W = batch.info * (rho[:, 1] * act)[:, None, None]
+            We = jnp.einsum("ers,es->er", W, e)
+
+            for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
+                d = vt.tangent_dim
+                idx = _seg_ids(data.offsets[vt.name], batch.vidx[:, s], d)
+                b = b.at[idx].add(-jnp.einsum("erd,er->ed", J, We))
+                Hss = jnp.einsum("erd,ers,esf->edf", J, W, J)
+                diag[vt.name] = diag[vt.name].at[batch.vidx[:, s]].add(Hss)
+
+            jacs[name], weights[name], errors[name] = Js, W, e
+
+        return LinearizedSystem(jacs, weights, errors, b, diag, chi2_r, chi2_p)
+
+    def hvp_fn(self, data: ProblemData, lin: LinearizedSystem, v):
+        """Matrix-free H·v = Σ_edges Jᵀ(W(J v)) — replaces the reference's
+        explicit SparseBlockMatrix multiply (``sparse_block_matrix.hpp``)."""
+        out = jnp.zeros_like(v)
+        for name, et in self.edge_types.items():
+            batch = data.edges[name]
+            Js, W = lin.jacs[name], lin.weights[name]
+            y = None
+            idxs = []
+            for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
+                idx = _seg_ids(data.offsets[vt.name], batch.vidx[:, s],
+                               vt.tangent_dim)
+                idxs.append(idx)
+                ys = jnp.einsum("erd,ed->er", J, v[idx])
+                y = ys if y is None else y + ys
+            z = jnp.einsum("ers,es->er", W, y)
+            for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
+                out = out.at[idxs[s]].add(jnp.einsum("erd,er->ed", J, z))
+        return out
+
+    def dense_hessian_fn(self, data: ProblemData, lin: LinearizedSystem):
+        """Scatter-assemble the full dense tangent-space Hessian (small
+        problems / the dense linear solver backend)."""
+        T = self.total_dim
+        H = jnp.zeros((T, T), dtype=self.dtype)
+        for name, et in self.edge_types.items():
+            batch = data.edges[name]
+            Js, W = lin.jacs[name], lin.weights[name]
+            idxs = [
+                _seg_ids(data.offsets[vt.name], batch.vidx[:, s], vt.tangent_dim)
+                for s, vt in enumerate(et.vertex_types)
+            ]
+            k = len(Js)
+            for i in range(k):
+                WJi = jnp.einsum("ers,erd->esd", W, Js[i])
+                for j in range(i, k):
+                    Hij = jnp.einsum("esd,esf->edf", WJi, Js[j])
+                    rows = idxs[i][:, :, None]
+                    cols = idxs[j][:, None, :]
+                    H = H.at[rows, cols].add(Hij)
+                    if j != i:
+                        H = H.at[cols.transpose(0, 2, 1),
+                                 rows.transpose(0, 2, 1)].add(
+                            Hij.transpose(0, 2, 1)
+                        )
+        # unit diagonal on fixed slots keeps the system PD with dx=0 there
+        H = H + jnp.diag(data.fixed_flat)
+        return H
+
+    def apply_update_fn(self, data: ProblemData, estimates, dx):
+        """x ⊞ dx per vertex type; fixed vertices pinned — reference
+        ``SparseOptimizer::update`` (``g2o/core/sparse_optimizer.cpp:441``)."""
+        out = {}
+        for t, vt in self.vertex_types.items():
+            n, d = self.counts[t], vt.tangent_dim
+            idx = data.offsets[t][:, None] + jnp.arange(d)[None, :]
+            delta = dx[idx]
+            delta = delta * (1.0 - data.fixed[t].astype(self.dtype))[:, None]
+            out[t] = jax.vmap(vt.oplus)(estimates[t], delta)
+        return out
+
+    def gauge_freedom(self) -> bool:
+        """True when no vertex is fixed (reference ``gaugeFreedom``,
+        ``g2o/core/sparse_optimizer.cpp:139``)."""
+        return not any(bool(np.asarray(f).any()) for f in
+                       (self.data.fixed.values()))
+
+
+def compile_graph(graph, *, level: int = 0, dtype=None) -> Problem:
+    """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
+    :class:`Problem` — the analogue of ``initializeOptimization`` +
+    ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    # ---- vertices: group by type, preserve insertion order by vid ----
+    vrecs = graph.vertices()
+    by_type: dict[str, list] = {}
+    vertex_types: dict[str, VertexType] = {}
+    for vid in sorted(vrecs):
+        rec = vrecs[vid]
+        by_type.setdefault(rec.vtype.name, []).append(rec)
+        vertex_types[rec.vtype.name] = rec.vtype
+
+    counts, vid_index, estimates, fixed, marginalized = {}, {}, {}, {}, {}
+    offsets_np, type_bases = {}, {}
+    base = 0
+    for t, recs in by_type.items():
+        vt = vertex_types[t]
+        counts[t] = len(recs)
+        est = np.stack([r.estimate for r in recs]).astype(np.float64)
+        estimates[t] = jnp.asarray(est, dtype=dtype)
+        fixed[t] = jnp.asarray(np.array([r.fixed for r in recs], dtype=bool))
+        marginalized[t] = np.array([r.marginalized for r in recs], dtype=bool)
+        for i, r in enumerate(recs):
+            vid_index[r.vid] = (t, i)
+        type_bases[t] = base
+        offsets_np[t] = base + np.arange(len(recs), dtype=np.int32) * vt.tangent_dim
+        base += len(recs) * vt.tangent_dim
+    total_dim = base
+
+    fixed_flat = np.zeros((total_dim,), dtype=np.float64)
+    for t, recs in by_type.items():
+        d = vertex_types[t].tangent_dim
+        for i, r in enumerate(recs):
+            if r.fixed:
+                o = offsets_np[t][i]
+                fixed_flat[o:o + d] = 1.0
+
+    offsets = {t: jnp.asarray(o) for t, o in offsets_np.items()}
+
+    # ---- edges: group by type, filter level (reference level filter at
+    # ``sparse_optimizer.cpp:232``) ----
+    erecs_by_type: dict[str, list] = {}
+    edge_types: dict[str, EdgeType] = {}
+    for e in graph.edges():
+        if e.level != level:
+            continue
+        erecs_by_type.setdefault(e.etype.name, []).append(e)
+        edge_types[e.etype.name] = e.etype
+
+    edges = {}
+    for name, recs in erecs_by_type.items():
+        et = edge_types[name]
+        E = len(recs)
+        vidx = np.zeros((E, et.num_slots), dtype=np.int32)
+        for i, e in enumerate(recs):
+            for s, vid in enumerate(e.vids):
+                t, li = vid_index[vid]
+                vidx[i, s] = li
+        meas = np.stack([e.measurement for e in recs])
+        info = np.stack([e.information for e in recs])
+        kern = np.array([e.kernel for e in recs], dtype=np.int32)
+        delt = np.array([e.delta for e in recs], dtype=np.float64)
+        act = np.array([e.active for e in recs], dtype=bool)
+        if et.param_dim:
+            par = np.stack([graph.parameter(e.param_id) for e in recs])
+        else:
+            par = np.zeros((E, 0), dtype=np.float64)
+        edges[name] = EdgeBatchData(
+            vidx=jnp.asarray(vidx),
+            meas=jnp.asarray(meas, dtype=dtype),
+            info=jnp.asarray(info, dtype=dtype),
+            kernel=jnp.asarray(kern),
+            delta=jnp.asarray(delt, dtype=dtype),
+            active=jnp.asarray(act),
+            param=jnp.asarray(par, dtype=dtype),
+        )
+
+    data = ProblemData(
+        edges=edges,
+        fixed=fixed,
+        offsets=offsets,
+        fixed_flat=jnp.asarray(fixed_flat, dtype=dtype),
+    )
+    return Problem(vertex_types, counts, edge_types, data, estimates,
+                   marginalized, vid_index, type_bases, total_dim, dtype)

@@ -1,0 +1,155 @@
+"""``.g2o`` text-format reader/writer.
+
+Format compatibility with the reference loader/saver
+(``g2o/core/optimizable_graph.cpp:397,681``):
+
+* ``<VERTEX_TAG> id <rep_dim floats>``
+* ``<EDGE_TAG> id... [param_id] <meas floats> <upper-triangular info floats>``
+* ``FIX id`` — pin the vertex (gauge)
+* ``PARAMS_* id <floats>`` — shared parameter blocks
+
+The information matrix is serialised as the row-major upper triangle, as in
+the reference ``BaseEdge::read/write`` implementations.
+"""
+
+from __future__ import annotations
+
+import io as _io
+
+import numpy as np
+
+from g2o_tpu.core.graph import Graph
+from g2o_tpu.core.types import (
+    REGISTRY,
+    full_to_upper_triangular,
+    upper_triangular_to_full,
+)
+
+# parameter tags understood by the loader: tag -> value length
+PARAM_TAGS = {
+    "PARAMS_SE3OFFSET": 7,
+    "PARAMS_SE2OFFSET": 3,
+    "PARAMS_CAMERACALIB": 7 + 2 + 1,   # offset + (fx? legacy camera params)
+    "PARAMS_CAMERAPARAMETERS": 4,      # focal_length cx cy baseline (sba)
+}
+
+
+def load(path_or_file, graph: Graph | None = None, registry=None,
+         default_fixed: set | None = None) -> Graph:
+    registry = registry or REGISTRY
+    g = graph or Graph(registry)
+    fix_ids = []
+
+    if hasattr(path_or_file, "read"):
+        fh = path_or_file
+        close = False
+    else:
+        fh = open(path_or_file, "r")
+        close = True
+    try:
+        for lineno, line in enumerate(fh, 1):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            tag = parts[0]
+            if tag == "FIX":
+                fix_ids.extend(int(p) for p in parts[1:])
+                continue
+            if tag in PARAM_TAGS or tag.startswith("PARAMS_"):
+                pid = int(parts[1])
+                g.add_parameter(pid, [float(x) for x in parts[2:]])
+                continue
+            vt = registry.vertex_for_tag(tag)
+            if vt is not None:
+                vid = int(parts[1])
+                vals = np.array([float(x) for x in parts[2:2 + vt.rep_dim]])
+                if vt.from_vector is not None:
+                    vals = np.asarray(vt.from_vector(vals))
+                g.add_vertex(vid, vt, vals)
+                continue
+            et = registry.edge_for_tag(tag)
+            if et is not None:
+                k = et.num_slots
+                vids = [int(p) for p in parts[1:1 + k]]
+                pos = 1 + k
+                param_id = None
+                if et.param_dim:
+                    param_id = int(parts[pos])
+                    pos += 1
+                m = et.meas_dim
+                meas = np.array([float(x) for x in parts[pos:pos + m]])
+                pos += m
+                if et.meas_from_vector is not None:
+                    meas = np.asarray(et.meas_from_vector(meas))
+                r = et.residual_dim
+                ninfo = r * (r + 1) // 2
+                vals = [float(x) for x in parts[pos:pos + ninfo]]
+                if len(vals) != ninfo:
+                    raise ValueError(
+                        f"line {lineno}: expected {ninfo} information entries"
+                    )
+                info = upper_triangular_to_full(vals, r)
+                g.add_edge(et, vids, meas, info, param_id=param_id)
+                continue
+            raise ValueError(f"line {lineno}: unknown tag {tag!r}")
+    finally:
+        if close:
+            fh.close()
+
+    for vid in fix_ids:
+        g.set_fixed(vid, True)
+    return g
+
+
+def loads(text: str, **kw) -> Graph:
+    return load(_io.StringIO(text), **kw)
+
+
+def _fmt(vals) -> str:
+    return " ".join(f"{float(v):.10g}" for v in np.asarray(vals).reshape(-1))
+
+
+def save(g: Graph, path_or_file, estimates_by_vid=None):
+    """Write the graph (optionally with updated estimates) — order matches
+    the reference saver: params, vertices (+FIX), edges."""
+    if hasattr(path_or_file, "write"):
+        fh = path_or_file
+        close = False
+    else:
+        fh = open(path_or_file, "w")
+        close = True
+    try:
+        for pid in sorted(g._parameters):
+            # best-effort tag recovery: length-based
+            vals = g._parameters[pid]
+            tag = {7: "PARAMS_SE3OFFSET", 3: "PARAMS_SE2OFFSET",
+                   4: "PARAMS_CAMERAPARAMETERS"}.get(len(vals), "PARAMS_UNKNOWN")
+            fh.write(f"{tag} {pid} {_fmt(vals)}\n")
+        for vid in sorted(g.vertices()):
+            rec = g.vertices()[vid]
+            est = rec.estimate if estimates_by_vid is None else estimates_by_vid[vid]
+            if rec.vtype.to_vector is not None:
+                est = rec.vtype.to_vector(est)
+            fh.write(f"{rec.vtype.io_tags[0]} {vid} {_fmt(est)}\n")
+            if rec.fixed:
+                fh.write(f"FIX {vid}\n")
+        for e in g.edges():
+            meas = e.measurement
+            if e.etype.meas_to_vector is not None:
+                meas = e.etype.meas_to_vector(meas)
+            parts = [e.etype.io_tags[0], " ".join(str(v) for v in e.vids)]
+            if e.etype.param_dim:
+                parts.append(str(e.param_id))
+            parts.append(_fmt(meas))
+            parts.append(_fmt(full_to_upper_triangular(np.asarray(e.information))))
+            fh.write(" ".join(parts) + "\n")
+    finally:
+        if close:
+            fh.close()
+
+
+def dumps(g: Graph, **kw) -> str:
+    buf = _io.StringIO()
+    save(g, buf, **kw)
+    return buf.getvalue()

@@ -1,0 +1,138 @@
+"""2D SLAM vertex/edge types — TPU-native analogue of the reference
+``g2o/types/slam2d`` library.
+
+State conventions (matching the reference so errors/chi2 agree):
+
+* ``VERTEX_SE2``: state (x, y, theta); update is additive with angle
+  normalisation (``g2o/types/slam2d/vertex_se2.h:51-58``).
+* ``EDGE_SE2``: error = ``(Z^-1 (Xi^-1 Xj)).toVector()``
+  (``g2o/types/slam2d/edge_se2.h:46-52``).
+* ``EDGE_SE2_XY``: error = ``(Xi^-1 * l) - z``
+  (``g2o/types/slam2d/edge_se2_pointxy.h``).
+* priors: ``EDGE_PRIOR_SE2`` error = ``(Z^-1 X).toVector()``,
+  ``EDGE_PRIOR_XY`` error = ``x - z``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from g2o_tpu.core.types import EdgeType, VertexType, register_edge, register_vertex
+from g2o_tpu.ops import lie
+
+
+def _point_oplus(x, d):
+    return x + d
+
+
+VertexSE2 = register_vertex(VertexType(
+    name="VERTEX_SE2",
+    rep_dim=3,
+    tangent_dim=3,
+    oplus=lie.se2_oplus,
+    tags=("VERTEX_SE2",),
+))
+
+VertexPointXY = register_vertex(VertexType(
+    name="VERTEX_XY",
+    rep_dim=2,
+    tangent_dim=2,
+    oplus=_point_oplus,
+    tags=("VERTEX_XY", "VERTEX_POINT_XY"),
+))
+
+
+def _edge_se2_residual(states, meas, param):
+    xi, xj = states
+    delta = lie.se2_compose(lie.se2_inverse(xi), xj)
+    err = lie.se2_compose(lie.se2_inverse(meas), delta)
+    return err
+
+
+EdgeSE2 = register_edge(EdgeType(
+    name="EDGE_SE2",
+    vertex_types=(VertexSE2, VertexSE2),
+    residual_dim=3,
+    residual=_edge_se2_residual,
+    meas_dim=3,
+    tags=("EDGE_SE2",),
+))
+
+
+def _edge_se2_xy_residual(states, meas, param):
+    xi, l = states
+    return lie.se2_act(lie.se2_inverse(xi), l) - meas
+
+
+EdgeSE2PointXY = register_edge(EdgeType(
+    name="EDGE_SE2_XY",
+    vertex_types=(VertexSE2, VertexPointXY),
+    residual_dim=2,
+    residual=_edge_se2_xy_residual,
+    meas_dim=2,
+    tags=("EDGE_SE2_XY", "EDGE_SE2_POINT_XY"),
+))
+
+
+def _edge_se2_xy_bearing_residual(states, meas, param):
+    """Bearing-only landmark observation
+    (``g2o/types/slam2d/edge_se2_pointxy_bearing.h``)."""
+    xi, l = states
+    p = lie.se2_act(lie.se2_inverse(xi), l)
+    bearing = jnp.arctan2(p[..., 1], p[..., 0])
+    return lie.normalize_angle(bearing - meas)
+
+
+EdgeSE2PointXYBearing = register_edge(EdgeType(
+    name="EDGE_BEARING_SE2_XY",
+    vertex_types=(VertexSE2, VertexPointXY),
+    residual_dim=1,
+    residual=_edge_se2_xy_bearing_residual,
+    meas_dim=1,
+    tags=("EDGE_BEARING_SE2_XY",),
+))
+
+
+def _edge_prior_se2_residual(states, meas, param):
+    (x,) = states
+    return lie.se2_compose(lie.se2_inverse(meas), x)
+
+
+EdgeSE2Prior = register_edge(EdgeType(
+    name="EDGE_PRIOR_SE2",
+    vertex_types=(VertexSE2,),
+    residual_dim=3,
+    residual=_edge_prior_se2_residual,
+    meas_dim=3,
+    tags=("EDGE_PRIOR_SE2",),
+))
+
+
+def _edge_prior_xy_residual(states, meas, param):
+    (x,) = states
+    return x - meas
+
+
+EdgeXYPrior = register_edge(EdgeType(
+    name="EDGE_PRIOR_XY",
+    vertex_types=(VertexPointXY,),
+    residual_dim=2,
+    residual=_edge_prior_xy_residual,
+    meas_dim=2,
+    tags=("EDGE_PRIOR_XY",),
+))
+
+
+def _edge_pointxy_residual(states, meas, param):
+    p1, p2 = states
+    return (p2 - p1) - meas
+
+
+EdgePointXY = register_edge(EdgeType(
+    name="EDGE_POINTXY",
+    vertex_types=(VertexPointXY, VertexPointXY),
+    residual_dim=2,
+    residual=_edge_pointxy_residual,
+    meas_dim=2,
+    tags=("EDGE_POINTXY",),
+))

@@ -1,0 +1,131 @@
+"""3D SLAM vertex/edge types — TPU-native analogue of the reference
+``g2o/types/slam3d`` library.
+
+State conventions (matching the reference so errors/chi2 agree):
+
+* ``VERTEX_SE3:QUAT``: state (tx, ty, tz, qx, qy, qz, qw); update is a right
+  multiplication by ``fromVectorMQT(delta)``
+  (``g2o/types/slam3d/vertex_se3.h:105-114``).
+* ``EDGE_SE3:QUAT``: error = ``toVectorMQT(Z^-1 Xi^-1 Xj)``
+  (``g2o/types/slam3d/edge_se3.cpp:77-82``).
+* ``EDGE_SE3_TRACKXYZ``: landmark observation through an SE3 sensor offset
+  parameter (``g2o/types/slam3d/edge_se3_pointxyz.cpp``): error =
+  ``(X * O)^-1 * l - z`` with offset O resolved from ``PARAMS_SE3OFFSET``.
+* ``EDGE_SE3_PRIOR``: pose prior through an offset
+  (``g2o/types/slam3d/edge_se3_prior.cpp``): error =
+  ``toVectorMQT(Z^-1 * (X * O))``... see the residual below.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from g2o_tpu.core.types import EdgeType, VertexType, register_edge, register_vertex
+from g2o_tpu.ops import lie
+
+
+def _point_oplus(x, d):
+    return x + d
+
+
+VertexSE3 = register_vertex(VertexType(
+    name="VERTEX_SE3:QUAT",
+    rep_dim=7,
+    tangent_dim=6,
+    oplus=lie.se3_oplus,
+    tags=("VERTEX_SE3:QUAT",),
+))
+
+VertexPointXYZ = register_vertex(VertexType(
+    name="VERTEX_TRACKXYZ",
+    rep_dim=3,
+    tangent_dim=3,
+    oplus=_point_oplus,
+    tags=("VERTEX_TRACKXYZ", "VERTEX_POINT_XYZ", "VERTEX_XYZ"),
+))
+
+
+def _edge_se3_residual(states, meas, param):
+    xi, xj = states
+    delta = lie.se3_compose(lie.se3_inverse(xi), xj)
+    err = lie.se3_compose(lie.se3_inverse(meas), delta)
+    return lie.se3_to_mqt(err)
+
+
+EdgeSE3 = register_edge(EdgeType(
+    name="EDGE_SE3:QUAT",
+    vertex_types=(VertexSE3, VertexSE3),
+    residual_dim=6,
+    residual=_edge_se3_residual,
+    meas_dim=7,
+    tags=("EDGE_SE3:QUAT",),
+))
+
+
+def _edge_se3_trackxyz_residual(states, meas, param):
+    x, l = states
+    offset = param  # (7,) SE3 sensor offset
+    sensor = lie.se3_compose(x, offset)
+    return lie.se3_act(lie.se3_inverse(sensor), l) - meas
+
+
+EdgeSE3PointXYZ = register_edge(EdgeType(
+    name="EDGE_SE3_TRACKXYZ",
+    vertex_types=(VertexSE3, VertexPointXYZ),
+    residual_dim=3,
+    residual=_edge_se3_trackxyz_residual,
+    meas_dim=3,
+    param_dim=7,
+    tags=("EDGE_SE3_TRACKXYZ",),
+))
+
+
+def _edge_se3_prior_residual(states, meas, param):
+    """Reference ``EdgeSE3Prior::computeError``: the error of the
+    offset-transformed pose wrt the measured pose, in MQT coords."""
+    (x,) = states
+    offset = param
+    n = lie.se3_compose(x, offset)
+    err = lie.se3_compose(lie.se3_inverse(meas), n)
+    return lie.se3_to_mqt(err)
+
+
+EdgeSE3Prior = register_edge(EdgeType(
+    name="EDGE_SE3_PRIOR",
+    vertex_types=(VertexSE3,),
+    residual_dim=6,
+    residual=_edge_se3_prior_residual,
+    meas_dim=7,
+    param_dim=7,
+    tags=("EDGE_SE3_PRIOR",),
+))
+
+
+def _edge_pointxyz_residual(states, meas, param):
+    p1, p2 = states
+    return (p2 - p1) - meas
+
+
+EdgePointXYZ = register_edge(EdgeType(
+    name="EDGE_POINTXYZ",
+    vertex_types=(VertexPointXYZ, VertexPointXYZ),
+    residual_dim=3,
+    residual=_edge_pointxyz_residual,
+    meas_dim=3,
+    tags=("EDGE_POINTXYZ",),
+))
+
+
+def _edge_xyz_prior_residual(states, meas, param):
+    (p,) = states
+    return p - meas
+
+
+EdgeXYZPrior = register_edge(EdgeType(
+    name="EDGE_POINTXYZ_PRIOR",
+    vertex_types=(VertexPointXYZ,),
+    residual_dim=3,
+    residual=_edge_xyz_prior_residual,
+    meas_dim=3,
+    tags=("EDGE_POINTXYZ_PRIOR",),
+))

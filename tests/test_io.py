@@ -1,0 +1,78 @@
+import numpy as np
+
+from g2o_tpu.io import g2o_format
+import g2o_tpu.types  # noqa: F401
+
+SAMPLE = """\
+VERTEX_SE2 0 0.0 0.0 0.0
+FIX 0
+VERTEX_SE2 1 1.0 0.1 0.2
+VERTEX_XY 2 2.0 3.0
+EDGE_SE2 0 1 1.0 0.0 0.2 100 0 0 100 0 400
+EDGE_SE2_XY 1 2 0.5 0.7 50 0 50
+"""
+
+
+def test_load():
+    g = g2o_format.loads(SAMPLE)
+    assert g.num_vertices == 3
+    assert g.num_edges == 2
+    assert g.vertex(0).fixed
+    assert not g.vertex(1).fixed
+    np.testing.assert_allclose(g.vertex(1).estimate, [1.0, 0.1, 0.2])
+    e = g.edges()[0]
+    np.testing.assert_allclose(e.information,
+                               np.diag([100.0, 100.0, 400.0]))
+    e2 = g.edges()[1]
+    np.testing.assert_allclose(e2.information, np.diag([50.0, 50.0]))
+
+
+def test_roundtrip():
+    g = g2o_format.loads(SAMPLE)
+    text = g2o_format.dumps(g)
+    g2 = g2o_format.loads(text)
+    assert g2.num_vertices == g.num_vertices
+    assert g2.num_edges == g.num_edges
+    for vid in (0, 1, 2):
+        np.testing.assert_allclose(g2.vertex(vid).estimate,
+                                   g.vertex(vid).estimate)
+        assert g2.vertex(vid).fixed == g.vertex(vid).fixed
+    for a, b in zip(g.edges(), g2.edges()):
+        assert a.vids == b.vids
+        np.testing.assert_allclose(a.measurement, b.measurement)
+        np.testing.assert_allclose(a.information, b.information)
+
+
+def test_se3_roundtrip():
+    g = g2o_format.loads(
+        "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\n"
+        "VERTEX_SE3:QUAT 1 1 2 3 0.1 0.2 0.3 0.927361849549\n"
+        "EDGE_SE3:QUAT 0 1 1 2 3 0.1 0.2 0.3 0.927361849549 "
+        + " ".join(["1" if i in (0, 6, 11, 15, 18, 20) else "0"
+                    for i in range(21)])
+        + "\n"
+    )
+    assert g.num_vertices == 2
+    e = g.edges()[0]
+    np.testing.assert_allclose(e.information, np.eye(6))
+    text = g2o_format.dumps(g)
+    g2 = g2o_format.loads(text)
+    np.testing.assert_allclose(g2.edges()[0].measurement, e.measurement)
+    np.testing.assert_allclose(g2.edges()[0].information, np.eye(6))
+
+
+def test_params_and_param_edges():
+    txt = (
+        "PARAMS_SE3OFFSET 0 0 0 0 0 0 0 1\n"
+        "VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\n"
+        "VERTEX_TRACKXYZ 1 1 2 3\n"
+        "EDGE_SE3_TRACKXYZ 0 1 0 1 2 3 1 0 0 1 0 1\n"
+    )
+    g = g2o_format.loads(txt)
+    assert g.num_edges == 1
+    e = g.edges()[0]
+    assert e.param_id == 0
+    np.testing.assert_allclose(g.parameter(0), [0, 0, 0, 0, 0, 0, 1])
+    out = g2o_format.dumps(g)
+    g2 = g2o_format.loads(out)
+    assert g2.edges()[0].param_id == 0

@@ -1,0 +1,94 @@
+"""Jacobian correctness — the workhorse test pattern of the reference suite
+(``unit_test/test_helper/evaluate_jacobian.h:40-88``): compare the
+framework's (autodiff) Jacobian against a central-difference numeric one
+computed through each vertex's oplus, over randomized states/measurements."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g2o_tpu.core.types import REGISTRY
+from g2o_tpu.ops import lie
+import g2o_tpu.types  # noqa: F401  (registers types)
+
+rng = np.random.default_rng(7)
+
+
+def rand_state(vt):
+    if vt.name == "VERTEX_SE2":
+        v = rng.uniform(-1, 1, size=3)
+        v[2] *= np.pi
+        return jnp.asarray(v)
+    if vt.name == "VERTEX_SE3:QUAT":
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        return jnp.asarray(np.concatenate([rng.normal(size=3), q]))
+    return jnp.asarray(rng.normal(size=vt.rep_dim))
+
+
+def rand_meas(et):
+    if et.meas_dim == 7:  # SE3 measurement
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        return jnp.asarray(np.concatenate([rng.normal(size=3), q]))
+    if et.meas_dim == 3 and et.residual_dim == 3 and et.name.startswith("EDGE_SE2"):
+        v = rng.uniform(-1, 1, size=3)
+        v[2] *= np.pi
+        return jnp.asarray(v)
+    return jnp.asarray(rng.normal(size=et.meas_dim))
+
+
+def rand_param(et):
+    if et.param_dim == 7:
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        return jnp.asarray(np.concatenate([rng.normal(size=3) * 0.1, q]))
+    return jnp.asarray(rng.normal(size=et.param_dim))
+
+
+def numeric_jacobians(et, states, meas, par, h=1e-6):
+    out = []
+    for s, vt in enumerate(et.vertex_types):
+        d = vt.tangent_dim
+        J = np.zeros((et.residual_dim, d))
+        for k in range(d):
+            dp = np.zeros(d)
+            dp[k] = h
+            sp = list(states)
+            sp[s] = vt.oplus(states[s], jnp.asarray(dp))
+            ep = np.asarray(et.residual(tuple(sp), meas, par)).reshape(-1)
+            sm = list(states)
+            sm[s] = vt.oplus(states[s], jnp.asarray(-dp))
+            em = np.asarray(et.residual(tuple(sm), meas, par)).reshape(-1)
+            J[:, k] = (ep - em) / (2 * h)
+        out.append(J)
+    return out
+
+
+EDGE_NAMES = sorted(REGISTRY.edge_types)
+
+
+@pytest.mark.parametrize("name", EDGE_NAMES)
+def test_autodiff_vs_numeric(name):
+    et = REGISTRY.edge_types[name]
+    for trial in range(3):
+        states = tuple(rand_state(vt) for vt in et.vertex_types)
+        meas = rand_meas(et)
+        par = rand_param(et)
+
+        def f(*deltas):
+            news = tuple(
+                vt.oplus(x, dd)
+                for vt, x, dd in zip(et.vertex_types, states, deltas)
+            )
+            return et.residual(news, meas, par)
+
+        zeros = tuple(jnp.zeros(vt.tangent_dim) for vt in et.vertex_types)
+        Js = jax.jacfwd(f, argnums=tuple(range(len(zeros))))(*zeros)
+        Jn = numeric_jacobians(et, states, meas, par)
+        for J_ad, J_num in zip(Js, Jn):
+            np.testing.assert_allclose(
+                np.asarray(J_ad).reshape(J_num.shape), J_num,
+                atol=1e-5, rtol=1e-5,
+            )
