@@ -1,0 +1,78 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline config (BASELINE.json): LM iterations/sec on the sphere2500 SE3
+pose graph (50 nodes/lap x 50 laps, the reference ``create_sphere`` dataset)
+with robust Huber kernels.  ``vs_baseline`` compares against the reference
+g2o's measured per-LM-iteration wall time on this machine's CPU when a
+measurement file exists (``baseline_measured.json``, produced by
+``scripts/measure_reference.py``); otherwise it is reported as 0.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.optimizer import LevenbergMarquardt, SparseOptimizer
+    from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.sim.generators import create_sphere
+
+    t0 = time.perf_counter()
+    g = create_sphere(nodes_per_level=50, laps=50, radius=100.0, seed=0)
+    g.set_robust_kernel("Huber", 1.0)
+    build_s = time.perf_counter() - t0
+
+    p = g.compile()
+    opt = SparseOptimizer(
+        p,
+        algorithm=LevenbergMarquardt(),
+        solver=PCGSolver(max_iter=50, tol=1e-6),
+    )
+    chi0 = opt.chi2()
+
+    # warm-up iteration (compiles every jitted piece)
+    opt.optimize(1)
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    opt.optimize(n_iter)
+    wall = time.perf_counter() - t0
+    chi1 = opt.chi2()
+
+    iters_per_sec = n_iter / wall
+    sec_per_iter = wall / n_iter
+
+    vs_baseline = 0.0
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "baseline_measured.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        ref_sec = ref.get("sphere2500", {}).get("sec_per_lm_iter")
+        if ref_sec:
+            vs_baseline = ref_sec / sec_per_iter  # >1 == faster than reference
+
+    result = {
+        "metric": "LM iterations/sec, sphere2500 (SE3+Huber, PCG)",
+        "value": round(iters_per_sec, 4),
+        "unit": "iter/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "extra": {
+            "sec_per_iter": round(sec_per_iter, 6),
+            "chi2_initial": float(chi0),
+            "chi2_final": float(chi1),
+            "build_s": round(build_s, 3),
+            "device": str(jax.devices()[0]),
+            "dtype": str(jnp.asarray(p.estimates[next(iter(p.estimates))]).dtype),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

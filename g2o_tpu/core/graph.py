@@ -182,9 +182,11 @@ class Graph:
 
     # -- compile -----------------------------------------------------------
 
-    def compile(self, *, level: int = 0, dtype=None):
+    def compile(self, *, level: int = 0, dtype=None,
+                pad_edges_to_multiple: int = 1):
         """Freeze into an immutable SoA :class:`Problem` for the given level
         (reference level filter: ``g2o/core/sparse_optimizer.cpp:232``)."""
         from g2o_tpu.core.problem import compile_graph
 
-        return compile_graph(self, level=level, dtype=dtype)
+        return compile_graph(self, level=level, dtype=dtype,
+                             pad_edges_to_multiple=pad_edges_to_multiple)

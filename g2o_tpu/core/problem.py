@@ -282,7 +282,8 @@ class Problem:
                        (self.data.fixed.values()))
 
 
-def compile_graph(graph, *, level: int = 0, dtype=None) -> Problem:
+def compile_graph(graph, *, level: int = 0, dtype=None,
+                  pad_edges_to_multiple: int = 1) -> Problem:
     """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
     :class:`Problem` — the analogue of ``initializeOptimization`` +
     ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
@@ -336,10 +337,15 @@ def compile_graph(graph, *, level: int = 0, dtype=None) -> Problem:
         edge_types[e.etype.name] = e.etype
 
     edges = {}
+    m = max(int(pad_edges_to_multiple), 1)
     for name, recs in erecs_by_type.items():
         et = edge_types[name]
         E = len(recs)
-        vidx = np.zeros((E, et.num_slots), dtype=np.int32)
+        # pad each batch to a multiple (inactive copies of edge 0) so the
+        # edge axis divides evenly over a device mesh
+        n_pad = (-E) % m
+        recs = recs + [recs[0]] * n_pad
+        vidx = np.zeros((E + n_pad, et.num_slots), dtype=np.int32)
         for i, e in enumerate(recs):
             for s, vid in enumerate(e.vids):
                 t, li = vid_index[vid]
@@ -349,10 +355,12 @@ def compile_graph(graph, *, level: int = 0, dtype=None) -> Problem:
         kern = np.array([e.kernel for e in recs], dtype=np.int32)
         delt = np.array([e.delta for e in recs], dtype=np.float64)
         act = np.array([e.active for e in recs], dtype=bool)
+        if n_pad:
+            act[E:] = False
         if et.param_dim:
             par = np.stack([graph.parameter(e.param_id) for e in recs])
         else:
-            par = np.zeros((E, 0), dtype=np.float64)
+            par = np.zeros((len(recs), 0), dtype=np.float64)
         edges[name] = EdgeBatchData(
             vidx=jnp.asarray(vidx),
             meas=jnp.asarray(meas, dtype=dtype),

@@ -30,6 +30,7 @@ class DenseSolver:
             dx = jax.scipy.linalg.cho_solve((L, lower), lin.b)
             return dx
 
+        self._solve_fn = solve          # unjitted, for fusion into one step
         self._solve_jit = jax.jit(solve)
         return self
 

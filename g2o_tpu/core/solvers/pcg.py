@@ -88,6 +88,7 @@ class PCGSolver:
             x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
             return x
 
+        self._solve_fn = solve          # unjitted, for fusion into one step
         self._solve_jit = jax.jit(solve)
         return self
 

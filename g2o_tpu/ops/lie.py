@@ -203,14 +203,19 @@ def quat_from_compact(v):
 
 
 def so3_exp(omega):
-    """Axis-angle (..., 3) -> quaternion (x, y, z, w). Taylor-safe at 0."""
+    """Axis-angle (..., 3) -> quaternion (x, y, z, w).
+
+    Taylor-safe at 0 *including derivatives*: sqrt(theta2) has an infinite
+    tangent at theta2 = 0, so the argument of every transcendental is the
+    where-guarded theta (autodiff of the framework's linearization evaluates
+    exactly at zero perturbation)."""
     theta2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
-    theta = jnp.sqrt(theta2)
-    half = 0.5 * theta
     small = theta2 < 1e-12
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    half = 0.5 * theta
     # sin(t/2)/t with series fallback
-    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / jnp.where(small, 1.0, theta))
-    w = jnp.cos(half)
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
+    w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
     return jnp.concatenate([omega * k, w], axis=-1)
 
 

@@ -1,0 +1,75 @@
+"""Bundle-adjustment end-to-end: synthetic scene (reference ``ba_demo.cpp``
+analogue), Schur-complement solver, marginalized landmarks."""
+
+import numpy as np
+import pytest
+
+from g2o_tpu.core.optimizer import LevenbergMarquardt, SparseOptimizer
+from g2o_tpu.core.solvers import DenseSolver, SchurSolver
+from g2o_tpu.sim.generators import create_ba_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    g, true_points = create_ba_scene(
+        n_cameras=8, n_points=60, pixel_noise=0.0, point_noise=0.3, seed=1
+    )
+    return g, true_points
+
+
+def test_ba_schur_converges(scene):
+    g, true_points = scene
+    p = g.compile()
+    opt = SparseOptimizer(p, algorithm=LevenbergMarquardt(),
+                          solver=SchurSolver())
+    chi0 = opt.chi2()
+    opt.optimize(15)
+    chi1 = opt.chi2()
+    assert chi1 < 1e-8 * max(chi0, 1.0)
+    # landmarks recovered (noise-free observations -> exact)
+    for vid, truth in true_points.items():
+        est = p.get_estimate(vid)
+        np.testing.assert_allclose(est, truth, atol=1e-4)
+
+
+def test_ba_schur_matches_dense(scene):
+    """Schur elimination must produce the same step as solving the full
+    system (it is algebraically exact)."""
+    g, _ = scene
+    p1 = g.compile()
+    p2 = g.compile()
+    lin1 = p1.linearize_jit(p1.data, p1.estimates)
+    s_schur = SchurSolver().setup(p1)
+    s_dense = DenseSolver().setup(p2)
+    lam = 1e-4
+    dx1 = np.asarray(s_schur.solve(p1.data, lin1, lam))
+    dx2 = np.asarray(s_dense.solve(p2.data, lin1, lam))
+    np.testing.assert_allclose(dx1, dx2, atol=1e-8)
+
+
+def test_ba_with_outliers_huber():
+    g, true_points = create_ba_scene(
+        n_cameras=8, n_points=60, pixel_noise=0.5, point_noise=0.3,
+        outlier_ratio=0.1, seed=2
+    )
+    g.set_robust_kernel("Huber", 2.0, etype="EDGE_PROJECT_XYZ2UV:EXPMAP")
+    p = g.compile()
+    opt = SparseOptimizer(p, algorithm=LevenbergMarquardt(),
+                          solver=SchurSolver())
+    opt.optimize(15)
+    # robustified BA should still land near ground truth
+    errs = []
+    for vid, truth in true_points.items():
+        est = p.get_estimate(vid)
+        errs.append(np.linalg.norm(est - truth))
+    # narrow-baseline geometry amplifies depth error; require clear
+    # improvement over the 0.3-sigma initialisation noise
+    assert np.median(errs) < 0.15
+
+
+def test_schur_rejects_partial_marginalization():
+    g, truth = create_ba_scene(n_cameras=3, n_points=5, seed=3)
+    g.set_marginalized(next(iter(truth)), False)  # un-marginalize one point
+    p = g.compile()
+    with pytest.raises(NotImplementedError):
+        SchurSolver().setup(p)
