@@ -40,10 +40,15 @@ class VertexType:
     to_vector: Optional[Callable] = None
     from_vector: Optional[Callable] = None
     tags: Sequence[str] = ()
+    io_dim: Optional[int] = None  # numbers in the .g2o line (default rep_dim)
 
     @property
     def io_tags(self):
         return tuple(self.tags) if self.tags else (self.name,)
+
+    @property
+    def serialized_dim(self) -> int:
+        return self.rep_dim if self.io_dim is None else self.io_dim
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,11 +82,15 @@ class EdgeType:
     meas_to_vector: Optional[Callable] = None
     meas_from_vector: Optional[Callable] = None
     tags: Sequence[str] = ()
-    # dimension of the information matrix serialised in .g2o (== residual_dim)
+    meas_io_dim: Optional[int] = None  # numbers in the .g2o line (default meas_dim)
 
     @property
     def num_slots(self) -> int:
         return len(self.vertex_types)
+
+    @property
+    def serialized_meas_dim(self) -> int:
+        return self.meas_dim if self.meas_io_dim is None else self.meas_io_dim
 
     @property
     def io_tags(self):

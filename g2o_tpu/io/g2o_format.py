@@ -63,7 +63,7 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
             vt = registry.vertex_for_tag(tag)
             if vt is not None:
                 vid = int(parts[1])
-                vals = np.array([float(x) for x in parts[2:2 + vt.rep_dim]])
+                vals = np.array([float(x) for x in parts[2:2 + vt.serialized_dim]])
                 if vt.from_vector is not None:
                     vals = np.asarray(vt.from_vector(vals))
                 g.add_vertex(vid, vt, vals)
@@ -77,7 +77,7 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
                 if et.param_dim:
                     param_id = int(parts[pos])
                     pos += 1
-                m = et.meas_dim
+                m = et.serialized_meas_dim
                 meas = np.array([float(x) for x in parts[pos:pos + m]])
                 pos += m
                 if et.meas_from_vector is not None:

@@ -20,10 +20,21 @@ def rand_state(vt):
         v = rng.uniform(-1, 1, size=3)
         v[2] *= np.pi
         return jnp.asarray(v)
-    if vt.name == "VERTEX_SE3:QUAT":
+    if vt.name in ("VERTEX_SE3:QUAT", "VERTEX_SE3:EXPMAP"):
         q = rng.normal(size=4)
         q /= np.linalg.norm(q)
         return jnp.asarray(np.concatenate([rng.normal(size=3), q]))
+    if vt.name.startswith("VERTEX_SIM3"):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        s = np.exp(rng.normal() * 0.2)
+        intr = np.array([500.0, 500.0, 320.0, 240.0, 450.0, 450.0, 300.0, 220.0])
+        return jnp.asarray(np.concatenate([rng.normal(size=3), q, [s], intr]))
+    if vt.name == "VERTEX_TRACKXYZ":
+        # keep points away from any camera plane (z ~ 0 singularities)
+        p = rng.normal(size=3)
+        p[2] = 4.0 + rng.random()
+        return jnp.asarray(p)
     return jnp.asarray(rng.normal(size=vt.rep_dim))
 
 
@@ -32,6 +43,11 @@ def rand_meas(et):
         q = rng.normal(size=4)
         q /= np.linalg.norm(q)
         return jnp.asarray(np.concatenate([rng.normal(size=3), q]))
+    if et.meas_dim == 8:  # Sim3 measurement
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        s = np.exp(rng.normal() * 0.2)
+        return jnp.asarray(np.concatenate([rng.normal(size=3), q, [s]]))
     if et.meas_dim == 3 and et.residual_dim == 3 and et.name.startswith("EDGE_SE2"):
         v = rng.uniform(-1, 1, size=3)
         v[2] *= np.pi
