@@ -27,25 +27,22 @@ def main():
     g.set_robust_kernel("Huber", 1.0)
     build_s = time.perf_counter() - t0
 
+    from g2o_tpu.core.lm_fused import optimize_fused
+
     p = g.compile()
-    opt = SparseOptimizer(
-        p,
-        algorithm=LevenbergMarquardt(),
-        solver=PCGSolver(max_iter=50, tol=1e-6),
-    )
-    chi0 = opt.chi2()
+    solver = PCGSolver(max_iter=50, tol=1e-6)
 
-    # warm-up iteration (compiles every jitted piece)
-    opt.optimize(1)
+    # warm-up run (compiles the fused device loop)
+    res = optimize_fused(p, solver, 2)
+    chi0 = res["chi2_per_iteration"][0]
 
-    n_iter = 10
-    t0 = time.perf_counter()
-    opt.optimize(n_iter)
-    wall = time.perf_counter() - t0
-    chi1 = opt.chi2()
+    n_iter = 20
+    res = optimize_fused(p, solver, n_iter)
+    wall = res["wall_s"]
+    chi1 = res["chi2_final"]
 
-    iters_per_sec = n_iter / wall
-    sec_per_iter = wall / n_iter
+    iters_per_sec = res["iterations"] / wall
+    sec_per_iter = wall / res["iterations"]
 
     vs_baseline = 0.0
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1,0 +1,219 @@
+"""Command-line optimizer — the analogue of the reference ``g2o`` CLI
+(``g2o/apps/g2o_cli/g2o.cpp:103-460``).
+
+Usage::
+
+    python -m g2o_tpu.apps.cli [options] graph.g2o
+
+Supported flags mirror the reference's core set: iterations, output file,
+verbose, solver selection (``-listSolvers``), robust kernel attachment
+(``-robustKernel/-robustKernelWidth``), spanning-tree initial guess
+(``-guess``), landmark marginalization (``-marginalize``), per-iteration
+statistics dump (``-stats``), run summary (``-summary``), gain-based
+termination (negative ``-i`` enables it as in the reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+SOLVERS = {}
+
+
+def _build_solver_table():
+    from g2o_tpu.core.solvers import DenseSolver, PCGSolver, SchurSolver
+    from g2o_tpu.core.solvers.cgls import CGLSSolver
+
+    def dense():
+        return DenseSolver()
+
+    def pcg():
+        return PCGSolver(max_iter=100, tol=1e-8)
+
+    def cgls():
+        return CGLSSolver(max_iter=200, eta=1e-3)
+
+    def schur():
+        return SchurSolver()
+
+    for algo in ("gn", "lm", "dl"):
+        SOLVERS[f"{algo}_dense"] = (algo, dense)
+        SOLVERS[f"{algo}_pcg"] = (algo, pcg)
+        SOLVERS[f"{algo}_cgls"] = (algo, cgls)
+        SOLVERS[f"{algo}_schur"] = (algo, schur)
+        # reference-style aliases: variable/fixed block sizes all map onto
+        # the same array-typed pipeline
+        for alias in ("var", "fix6_3", "fix7_3", "fix3_2"):
+            SOLVERS[f"{algo}_{alias}"] = (algo, pcg)
+        SOLVERS[f"{algo}_var_cholmod"] = (algo, pcg)
+
+
+def _make_algorithm(name, fused):
+    from g2o_tpu.core.lm_fused import FusedLevenbergMarquardt
+    from g2o_tpu.core.optimizer import Dogleg, GaussNewton, LevenbergMarquardt
+
+    if name == "gn":
+        return GaussNewton()
+    if name == "dl":
+        return Dogleg()
+    return FusedLevenbergMarquardt() if fused else LevenbergMarquardt()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="g2o_tpu",
+        description="TPU-native graph optimizer (g2o-compatible CLI subset)")
+    ap.add_argument("input", nargs="?", help=".g2o input file")
+    ap.add_argument("-i", "--iterations", type=int, default=10,
+                    help="iterations; negative enables gain termination "
+                         "with |i| as cap (reference semantics)")
+    ap.add_argument("-o", "--output", default=None, help="optimized output")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("-solver", default="lm_pcg",
+                    help="solver tag (see -listSolvers)")
+    ap.add_argument("-robustKernel", default=None)
+    ap.add_argument("-robustKernelWidth", type=float, default=1.0)
+    ap.add_argument("-guess", action="store_true",
+                    help="spanning-tree initial guess")
+    ap.add_argument("-marginalize", action="store_true",
+                    help="Schur-marginalize all landmark (non-max-dim) vertices")
+    ap.add_argument("-stats", default=None, help="write per-iteration stats")
+    ap.add_argument("-summary", default=None, help="append run summary json")
+    ap.add_argument("-gainThreshold", type=float, default=1e-6)
+    ap.add_argument("-fused", action="store_true",
+                    help="run the device-fused LM loop")
+    ap.add_argument("-fp64", action="store_true", help="force float64")
+    ap.add_argument("-listSolvers", action="store_true")
+    ap.add_argument("-listKernels", action="store_true")
+    ap.add_argument("-listTypes", action="store_true")
+    args = ap.parse_args(argv)
+
+    _build_solver_table()
+    if args.listSolvers:
+        for k in sorted(SOLVERS):
+            print(k)
+        return 0
+
+    import g2o_tpu.types  # register type libraries
+    from g2o_tpu.core.types import REGISTRY
+    from g2o_tpu.ops import robust as robust_mod
+
+    if args.listKernels:
+        for k in sorted(robust_mod.KERNEL_IDS):
+            if k:
+                print(k)
+        return 0
+    if args.listTypes:
+        for t in REGISTRY.known_tags():
+            print(t)
+        return 0
+    if not args.input:
+        ap.error("missing input file")
+
+    import jax
+
+    if args.fp64:
+        jax.config.update("jax_enable_x64", True)
+
+    from g2o_tpu.core.initial_guess import compute_initial_guess
+    from g2o_tpu.core.optimizer import SparseOptimizer
+    from g2o_tpu.io import g2o_format
+
+    t0 = time.perf_counter()
+    g = g2o_format.load(args.input)
+    print(f"loaded {args.input}: {g.num_vertices} vertices, "
+          f"{g.num_edges} edges ({time.perf_counter() - t0:.2f} s)",
+          file=sys.stderr)
+
+    if args.robustKernel:
+        g.set_robust_kernel(args.robustKernel, args.robustKernelWidth)
+
+    # gauge handling (reference gaugeFreedom/findGauge,
+    # ``sparse_optimizer.cpp:118,139``)
+    if not any(r.fixed for r in g.vertices().values()):
+        first = min(g.vertices())
+        g.set_fixed(first, True)
+        print(f"# graph is fixed by node {first}", file=sys.stderr)
+
+    if args.marginalize:
+        max_dim = max(r.vtype.tangent_dim for r in g.vertices().values())
+        n = 0
+        for vid, r in g.vertices().items():
+            if r.vtype.tangent_dim != max_dim:
+                g.set_marginalized(vid, True)
+                n += 1
+        print(f"# marginalized {n} vertices", file=sys.stderr)
+
+    if args.guess:
+        n = compute_initial_guess(g)
+        print(f"# initial guess for {n} vertices", file=sys.stderr)
+
+    algo_name, solver_factory = SOLVERS.get(args.solver, (None, None))
+    if algo_name is None:
+        print(f"unknown solver {args.solver!r}; see -listSolvers",
+              file=sys.stderr)
+        return 1
+
+    p = g.compile()
+    n_iter = abs(args.iterations)
+    use_gain = args.iterations < 0
+
+    if args.fused and algo_name == "lm":
+        from g2o_tpu.core.lm_fused import optimize_fused
+
+        solver = solver_factory()
+        res = optimize_fused(
+            p, solver, n_iter,
+            gain_threshold=args.gainThreshold if use_gain else 0.0)
+        for it, (chi, tr) in enumerate(zip(res["chi2_per_iteration"],
+                                           res["trials_per_iteration"])):
+            if args.verbose:
+                print(f"iteration= {it}\t chi2= {chi:.6f}\t "
+                      f"levenbergIter= {tr}")
+        print(f"final chi2= {res['chi2_final']:.6f} "
+              f"({res['iterations']} iterations, {res['wall_s']:.3f} s)",
+              file=sys.stderr)
+        stats_rows = [
+            {"iteration": i, "chi2": c, "levenberg_iterations": int(t)}
+            for i, (c, t) in enumerate(zip(res["chi2_per_iteration"],
+                                           res["trials_per_iteration"]))
+        ]
+        summary = {"input": args.input, "final_chi2": res["chi2_final"],
+                   "iterations": res["iterations"],
+                   "wall_s": res["wall_s"], "solver": args.solver}
+    else:
+        opt = SparseOptimizer(p, algorithm=_make_algorithm(algo_name,
+                                                           args.fused),
+                              solver=solver_factory(), verbose=args.verbose)
+        if use_gain:
+            opt.terminate_gain_threshold = args.gainThreshold
+        t0 = time.perf_counter()
+        done = opt.optimize(n_iter)
+        wall = time.perf_counter() - t0
+        print(f"final chi2= {opt.chi2():.6f} ({done} iterations, "
+              f"{wall:.3f} s)", file=sys.stderr)
+        stats_rows = [s.as_dict() for s in opt.batch_statistics]
+        summary = {"input": args.input, "final_chi2": opt.chi2(),
+                   "iterations": done, "wall_s": wall,
+                   "solver": args.solver}
+
+    if args.stats:
+        with open(args.stats, "w") as fh:
+            for row in stats_rows:
+                fh.write(json.dumps(row) + "\n")
+    if args.summary:
+        with open(args.summary, "a") as fh:
+            fh.write(json.dumps(summary) + "\n")
+    if args.output:
+        g2o_format.save(g, args.output,
+                        estimates_by_vid=p.estimates_by_vid())
+        print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""CLI app + spanning-tree initial guess."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from g2o_tpu.apps import cli
+from g2o_tpu.core.initial_guess import compute_initial_guess
+from g2o_tpu.io import g2o_format
+from g2o_tpu.sim.generators import create_manhattan, create_sphere
+import g2o_tpu.types  # noqa: F401
+
+
+def test_initial_guess_se2():
+    g = create_manhattan(n_poses=60, seed=5)
+    # scramble the non-fixed estimates
+    for vid, rec in g.vertices().items():
+        if not rec.fixed:
+            rec.estimate = np.zeros(3)
+    n = compute_initial_guess(g)
+    assert n == 59
+    p = g.compile()
+    from g2o_tpu.core.optimizer import SparseOptimizer
+    from g2o_tpu.core.solvers import DenseSolver
+
+    opt = SparseOptimizer(p, solver=DenseSolver())
+    # odometry-propagated guess must be a sane starting point
+    chi0 = opt.chi2()
+    opt.optimize(10)
+    assert opt.chi2() < chi0
+
+
+def test_initial_guess_se3():
+    g = create_sphere(nodes_per_level=8, laps=3, radius=10.0, seed=6)
+    for vid, rec in g.vertices().items():
+        if not rec.fixed:
+            rec.estimate = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    n = compute_initial_guess(g)
+    assert n == 23
+
+
+def test_cli_end_to_end(tmp_path):
+    g = create_manhattan(n_poses=50, seed=8)
+    inp = str(tmp_path / "in.g2o")
+    out = str(tmp_path / "out.g2o")
+    summary = str(tmp_path / "summary.jsonl")
+    stats = str(tmp_path / "stats.jsonl")
+    g2o_format.save(g, inp)
+    rc = cli.main(["-i", "10", "-solver", "lm_pcg", "-robustKernel", "Huber",
+                   "-o", out, "-stats", stats, "-summary", summary, inp])
+    assert rc == 0
+    assert os.path.exists(out)
+    row = json.loads(open(summary).read().strip().splitlines()[-1])
+    assert row["iterations"] >= 1
+    srow = json.loads(open(stats).read().splitlines()[0])
+    assert "chi2" in srow
+    # output parses back
+    g2 = g2o_format.load(out)
+    assert g2.num_vertices == 50
+
+
+def test_cli_gain_termination(tmp_path):
+    g = create_manhattan(n_poses=50, seed=8)
+    inp = str(tmp_path / "in.g2o")
+    summary = str(tmp_path / "summary.jsonl")
+    g2o_format.save(g, inp)
+    rc = cli.main(["-i", "-50", "-solver", "lm_dense", "-summary", summary,
+                   inp])
+    assert rc == 0
+    row = json.loads(open(summary).read().strip().splitlines()[-1])
+    assert row["iterations"] < 50
+
+
+def test_cli_lists(capsys):
+    assert cli.main(["-listSolvers"]) == 0
+    out = capsys.readouterr().out
+    assert "lm_pcg" in out and "gn_dense" in out and "dl_cgls" in out
+    assert cli.main(["-listKernels"]) == 0
+    out = capsys.readouterr().out
+    assert "Huber" in out and "DCS" in out
+    assert cli.main(["-listTypes"]) == 0
+    out = capsys.readouterr().out
+    assert "VERTEX_SE2" in out and "EDGE_SIM3:EXPMAP" in out
+
+
+def test_cli_unknown_solver(tmp_path):
+    g = create_manhattan(n_poses=10, seed=8)
+    inp = str(tmp_path / "in.g2o")
+    g2o_format.save(g, inp)
+    assert cli.main(["-solver", "bogus", inp]) == 1

@@ -1,0 +1,80 @@
+"""Square-root CGLS solver + fused-LM equivalence tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g2o_tpu.core.lm_fused import FusedLevenbergMarquardt, optimize_fused
+from g2o_tpu.core.optimizer import LevenbergMarquardt, SparseOptimizer
+from g2o_tpu.core.solvers import DenseSolver, PCGSolver
+from g2o_tpu.core.solvers.cgls import CGLSSolver
+from g2o_tpu.sim.generators import create_ba_scene, create_sphere
+
+
+@pytest.fixture(scope="module")
+def sphere_problem():
+    return create_sphere(nodes_per_level=10, laps=4, radius=10.0, seed=7)
+
+
+def test_cgls_matches_dense_step(sphere_problem):
+    p = sphere_problem.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    lam = 1e-3
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, lam))
+    dx_c = np.asarray(
+        CGLSSolver(max_iter=2000, eta=1e-9).setup(p).solve(p.data, lin, lam))
+    rel = np.linalg.norm(dx_c - dx_d) / np.linalg.norm(dx_d)
+    assert rel < 1e-6
+
+
+def test_cgls_ba_step():
+    g, _ = create_ba_scene(n_cameras=6, n_points=40, pixel_noise=0.3,
+                           point_noise=0.2, seed=9)
+    p = g.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, 1e-2))
+    dx_c = np.asarray(
+        CGLSSolver(max_iter=1000, eta=1e-8).setup(p).solve(p.data, lin, 1e-2))
+    rel = np.linalg.norm(dx_c - dx_d) / np.linalg.norm(dx_d)
+    assert rel < 1e-4
+
+
+def test_cgls_full_lm(sphere_problem):
+    p = sphere_problem.compile()
+    opt = SparseOptimizer(p, algorithm=LevenbergMarquardt(),
+                          solver=CGLSSolver(max_iter=200, eta=1e-4))
+    chi0 = opt.chi2()
+    opt.optimize(10)
+    assert opt.chi2() < 0.1 * chi0
+
+
+def test_fused_lm_matches_host_lm(sphere_problem):
+    p1 = sphere_problem.compile()
+    p2 = sphere_problem.compile()
+    s1 = PCGSolver(max_iter=100, tol=1e-10)
+    s2 = PCGSolver(max_iter=100, tol=1e-10)
+    o1 = SparseOptimizer(p1, algorithm=LevenbergMarquardt(), solver=s1)
+    o2 = SparseOptimizer(p2, algorithm=FusedLevenbergMarquardt(), solver=s2)
+    o1.optimize(6)
+    o2.optimize(6)
+    assert o1.current_chi2 == pytest.approx(o2.current_chi2, rel=1e-6)
+    # lambda schedules must also agree (identical formulas)
+    assert o1.algorithm._lambda == pytest.approx(o2.algorithm._lambda,
+                                                 rel=1e-6)
+
+
+def test_optimize_fused_whole_run(sphere_problem):
+    p = sphere_problem.compile()
+    res = optimize_fused(p, PCGSolver(max_iter=100, tol=1e-10), 10)
+    assert res["iterations"] == 10
+    assert res["chi2_final"] < 0.1 * res["chi2_per_iteration"][0]
+    # chi2 history is monotone non-increasing for accepted LM steps
+    chis = res["chi2_per_iteration"]
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(chis, chis[1:]))
+
+
+def test_optimize_fused_gain_termination(sphere_problem):
+    p = sphere_problem.compile()
+    res = optimize_fused(p, PCGSolver(max_iter=100, tol=1e-10), 50,
+                         gain_threshold=1e-6)
+    assert res["iterations"] < 50
