@@ -160,8 +160,17 @@ class Graph:
             kernel = robust_mod.KERNEL_IDS[kernel]
         elif kernel is None:
             kernel = robust_mod.NONE
-        if etype.param_dim and param_id is None:
-            raise ValueError(f"{etype.name}: param_id required")
+        if etype.param_dim:
+            if param_id is None:
+                raise ValueError(f"{etype.name}: param_id required")
+            if isinstance(param_id, (tuple, list)):
+                param_id = tuple(int(x) for x in param_id)
+            else:
+                param_id = (int(param_id),)
+            if len(param_id) != etype.num_params:
+                raise ValueError(
+                    f"{etype.name}: expected {etype.num_params} param ids"
+                )
         self._edges.append(
             _EdgeRec(etype, vids, meas, info, int(kernel), float(delta),
                      int(level), bool(active), param_id)

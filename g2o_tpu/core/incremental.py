@@ -1,0 +1,206 @@
+"""Incremental / online optimization — analogue of the reference's
+``SparseOptimizer::updateInitialization`` online mode
+(``g2o/core/sparse_optimizer.cpp:465-502``) and the ``g2o -inc`` /
+``g2o_incremental`` flow (``apps/g2o_cli/g2o.cpp:373-460``, SURVEY.md §3.5).
+
+XLA-native reformulation of "grow the active structures without
+re-initialising": the compiled problem is *capacity-padded* — vertex slots
+beyond the live count are pinned (fixed mask) and edge slots beyond the live
+count are inactive padding rows.  Adding a vertex/edge is then a handful of
+device ``.at[].set`` updates (estimates row, edge batch rows, flag flips);
+the jitted step functions never retrace.  Only when a capacity overflows do
+we recompile, with doubled slack — the analogue of the reference's
+"buildStructure once, reuse the pattern" contract
+(``g2o/core/block_solver.hpp:103``, SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from g2o_tpu.core.graph import Graph
+from g2o_tpu.core.optimizer import SparseOptimizer
+from g2o_tpu.core.solvers import PCGSolver
+from g2o_tpu.ops import robust as robust_mod
+
+
+class IncrementalOptimizer:
+    """Online wrapper: add vertices/edges, call :meth:`optimize` anytime."""
+
+    def __init__(self, *, algorithm_factory=None, solver_factory=None,
+                 edge_chunk: int = 256, vertex_chunk: int = 128,
+                 verbose: bool = False):
+        from g2o_tpu.core.optimizer import LevenbergMarquardt
+
+        self.graph = Graph()
+        self.edge_chunk = int(edge_chunk)
+        self.vertex_chunk = int(vertex_chunk)
+        self.verbose = verbose
+        self._algorithm_factory = algorithm_factory or LevenbergMarquardt
+        self._solver_factory = solver_factory or (
+            lambda: PCGSolver(max_iter=100, tol=1e-8))
+        self._problem = None
+        self._opt = None
+        self._live_edges: dict[str, int] = {}
+        self._reserved: dict[str, int] = {}
+        self._recompiles = 0
+
+    # ------------------------------------------------------------------ #
+
+    def add_vertex(self, vid, vtype, estimate, *, fixed=False):
+        self.graph.add_vertex(vid, vtype, estimate, fixed=fixed)
+        if self._problem is not None:
+            t = (vtype if isinstance(vtype, str) else vtype.name)
+            slot = self._next_vertex_slot(t)
+            if slot is None:
+                self._invalidate()
+            else:
+                p = self._problem
+                est = jnp.asarray(np.asarray(estimate, dtype=np.float64),
+                                  dtype=p.dtype)
+                p.estimates[t] = p.estimates[t].at[slot].set(est)
+                fixed_arr = p.data.fixed[t].at[slot].set(bool(fixed))
+                self._set_data(fixed={**p.data.fixed, t: fixed_arr})
+                p.vid_index[vid] = (t, slot)
+                self._live_counts[t] += 1
+                self._refresh_fixed_flat(t, slot, bool(fixed))
+        return vid
+
+    def add_edge(self, etype, vids, measurement, information, **kw):
+        self.graph.add_edge(etype, vids, measurement, information, **kw)
+        if self._problem is None:
+            return
+        rec = self.graph.edges()[-1]
+        name = rec.etype.name
+        p = self._problem
+        if name not in p.data.edges or \
+                self._live_edges[name] >= p.data.edges[name].vidx.shape[0]:
+            self._invalidate()
+            return
+        i = self._live_edges[name]
+        b = p.data.edges[name]
+        vidx_row = np.array([p.vid_index[v][1] for v in rec.vids],
+                            dtype=np.int32)
+        par_row = (np.concatenate([self.graph.parameter(pid)
+                                   for pid in rec.param_id])
+                   if rec.etype.param_dim else np.zeros(0))
+        new_batch = b._replace(
+            vidx=b.vidx.at[i].set(jnp.asarray(vidx_row)),
+            meas=b.meas.at[i].set(jnp.asarray(rec.measurement, dtype=p.dtype)),
+            info=b.info.at[i].set(jnp.asarray(rec.information, dtype=p.dtype)),
+            kernel=b.kernel.at[i].set(rec.kernel),
+            delta=b.delta.at[i].set(jnp.asarray(rec.delta, dtype=p.dtype)),
+            active=b.active.at[i].set(True),
+            param=(b.param.at[i].set(jnp.asarray(par_row, dtype=p.dtype))
+                   if rec.etype.param_dim else b.param),
+        )
+        self._set_data(edges={**p.data.edges, name: new_batch})
+        self._live_edges[name] = i + 1
+
+    # ------------------------------------------------------------------ #
+
+    def _set_data(self, **fields):
+        p = self._problem
+        p.data = p.data._replace(**fields)
+
+    def _refresh_fixed_flat(self, t, slot, fixed):
+        p = self._problem
+        d = p.vertex_types[t].tangent_dim
+        off = int(np.asarray(p.data.offsets[t])[slot])
+        val = 1.0 if fixed else 0.0
+        ff = p.data.fixed_flat.at[off:off + d].set(val)
+        self._set_data(fixed_flat=ff)
+
+    def _next_vertex_slot(self, t):
+        p = self._problem
+        if t not in p.counts:
+            return None
+        n = self._live_counts[t]
+        return n if n < p.counts[t] else None
+
+    def _invalidate(self):
+        self._problem = None
+        self._opt = None
+
+    def _compile(self):
+        # build a capacity-padded copy: reserve extra pinned vertices and
+        # inactive edge rows so future adds are in-place updates
+        g = Graph(self.graph.registry)
+        by_type_counts: dict[str, int] = {}
+        for vid in sorted(self.graph.vertices()):
+            rec = self.graph.vertices()[vid]
+            g.add_vertex(vid, rec.vtype, rec.estimate, fixed=rec.fixed,
+                         marginalized=rec.marginalized)
+            by_type_counts[rec.vtype.name] = \
+                by_type_counts.get(rec.vtype.name, 0) + 1
+        for pid, val in self.graph._parameters.items():
+            g.add_parameter(pid, val)
+        # reserve pinned placeholder vertices with ids ABOVE any real id so
+        # they occupy the trailing slots of each per-type array
+        placeholder_id = max(self.graph.vertices(), default=0) + 1
+        proto = {r.vtype.name: r.estimate
+                 for r in self.graph.vertices().values()}
+        for t, n in by_type_counts.items():
+            vt = self.graph.registry.vertex_types[t]
+            for _ in range(self.vertex_chunk):
+                g.add_vertex(placeholder_id, vt, proto[t], fixed=True)
+                placeholder_id += 1
+        edge_counts: dict[str, int] = {}
+        for e in self.graph.edges():
+            g.add_edge(e.etype, e.vids, e.measurement, e.information,
+                       kernel=e.kernel, delta=e.delta, level=e.level,
+                       active=e.active, param_id=e.param_id)
+            edge_counts[e.etype.name] = edge_counts.get(e.etype.name, 0) + 1
+        # guarantee at least one inactive slack row per edge type
+        for e in list(self.graph.edges()):
+            if edge_counts.get(e.etype.name, 0) % self.edge_chunk == 0:
+                g.add_edge(e.etype, e.vids, e.measurement, e.information,
+                           kernel=e.kernel, delta=e.delta, level=e.level,
+                           active=False, param_id=e.param_id)
+                edge_counts[e.etype.name] += 1
+
+        p = g.compile(pad_edges_to_multiple=self.edge_chunk)
+        # force at least one chunk of slack per present edge type
+        self._problem = p
+        # live counters: real (sorted) vertices come first per type only if
+        # their ids sort before the placeholders — placeholder ids are
+        # *smaller*, so they sort first.  Re-map: we instead count live
+        # vertices by scanning vid_index for real ids.
+        self._live_counts = {t: 0 for t in p.counts}
+        for vid, (t, i) in p.vid_index.items():
+            if vid in self.graph.vertices():
+                self._live_counts[t] += 1
+        self._live_edges = {name: sum(1 for e in self.graph.edges()
+                                      if e.etype.name == name)
+                            for name in p.edge_types}
+        self._recompiles += 1
+        solver = self._solver_factory()
+        self._opt = SparseOptimizer(p, algorithm=self._algorithm_factory(),
+                                    solver=solver, verbose=self.verbose)
+
+    # ------------------------------------------------------------------ #
+
+    @property
+    def problem(self):
+        if self._problem is None:
+            self._compile()
+        return self._problem
+
+    @property
+    def recompiles(self):
+        return self._recompiles
+
+    def chi2(self):
+        if self._problem is None:
+            self._compile()
+        return self._opt.chi2()
+
+    def optimize(self, iterations: int = 5):
+        if self._problem is None:
+            self._compile()
+        self._opt.problem = self._problem
+        return self._opt.optimize(iterations)
+
+    def get_estimate(self, vid):
+        return self.problem.get_estimate(vid)

@@ -119,7 +119,8 @@ def compute_initial_guess(graph, *, roots=None) -> int:
                 if verts[to_vid].fixed:
                     continue
                 states = [verts[v].estimate for v in e.vids]
-                param = (graph.parameter(e.param_id)
+                param = (np.concatenate([graph.parameter(p)
+                                         for p in e.param_id])
                          if e.param_id is not None else None)
                 new = rule(states, e.measurement, param, to_slot)
                 if new is None:

@@ -358,7 +358,15 @@ def compile_graph(graph, *, level: int = 0, dtype=None,
         if n_pad:
             act[E:] = False
         if et.param_dim:
-            par = np.stack([graph.parameter(e.param_id) for e in recs])
+            par = np.stack([
+                np.concatenate([graph.parameter(pid) for pid in e.param_id])
+                for e in recs
+            ])
+            if par.shape[1] != et.param_dim:
+                raise ValueError(
+                    f"{name}: parameter values have total dim "
+                    f"{par.shape[1]}, expected {et.param_dim}"
+                )
         else:
             par = np.zeros((len(recs), 0), dtype=np.float64)
         edges[name] = EdgeBatchData(

@@ -83,6 +83,9 @@ class EdgeType:
     meas_from_vector: Optional[Callable] = None
     tags: Sequence[str] = ()
     meas_io_dim: Optional[int] = None  # numbers in the .g2o line (default meas_dim)
+    num_params: int = 1  # how many parameter ids this edge references
+    # (their value vectors are concatenated into the param argument;
+    # analogue of Edge::numParameters, ``g2o/core/optimizable_graph.h``)
 
     @property
     def num_slots(self) -> int:

@@ -75,8 +75,9 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
                 pos = 1 + k
                 param_id = None
                 if et.param_dim:
-                    param_id = int(parts[pos])
-                    pos += 1
+                    param_id = tuple(
+                        int(parts[pos + i]) for i in range(et.num_params))
+                    pos += et.num_params
                 m = et.serialized_meas_dim
                 meas = np.array([float(x) for x in parts[pos:pos + m]])
                 pos += m
@@ -140,7 +141,7 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
                 meas = e.etype.meas_to_vector(meas)
             parts = [e.etype.io_tags[0], " ".join(str(v) for v in e.vids)]
             if e.etype.param_dim:
-                parts.append(str(e.param_id))
+                parts.append(" ".join(str(p) for p in e.param_id))
             parts.append(_fmt(meas))
             parts.append(_fmt(full_to_upper_triangular(np.asarray(e.information))))
             fh.write(" ".join(parts) + "\n")

@@ -93,6 +93,122 @@ EdgeProjectXYZ2UVU = register_edge(EdgeType(
 ))
 
 
+# --- ORB-SLAM-style projection edges (per-edge intrinsics as params) ----- #
+# Reference classes store fx/fy/cx/cy (and bf for stereo) as public edge
+# members set programmatically (``types_six_dof_expmap.h:200-290``,
+# ``types_six_dof_expmap.cpp:278-695``); here they are a parameter block.
+
+
+def _cam_project2(pc, k):
+    fx, fy, cx, cy = k[..., 0], k[..., 1], k[..., 2], k[..., 3]
+    invz = 1.0 / pc[..., 2]
+    return jnp.stack([fx * pc[..., 0] * invz + cx,
+                      fy * pc[..., 1] * invz + cy], axis=-1)
+
+
+def _edge_se3_project_xyz_residual(states, meas, param):
+    point, camera = states
+    pc = lie.se3_act(camera, point)
+    return meas - _cam_project2(pc, param)
+
+
+EdgeSE3ProjectXYZ = register_edge(EdgeType(
+    name="EDGE_SE3_PROJECT_XYZ:EXPMAP",
+    vertex_types=(VertexPointXYZ, VertexSE3Expmap),
+    residual_dim=2,
+    residual=_edge_se3_project_xyz_residual,
+    meas_dim=2,
+    param_dim=4,
+    tags=("EDGE_SE3_PROJECT_XYZ:EXPMAP",),
+))
+
+
+def _edge_stereo_se3_project_xyz_residual(states, meas, param):
+    point, camera = states
+    pc = lie.se3_act(camera, point)
+    uv = _cam_project2(pc, param[..., :4])
+    bf = param[..., 4]
+    ur = uv[..., 0] - bf / pc[..., 2]
+    return meas - jnp.concatenate([uv, ur[..., None]], axis=-1)
+
+
+EdgeStereoSE3ProjectXYZ = register_edge(EdgeType(
+    name="EDGE_STEREO_SE3_PROJECT_XYZ:EXPMAP",
+    vertex_types=(VertexPointXYZ, VertexSE3Expmap),
+    residual_dim=3,
+    residual=_edge_stereo_se3_project_xyz_residual,
+    meas_dim=3,
+    param_dim=5,
+    tags=("EDGE_STEREO_SE3_PROJECT_XYZ:EXPMAP",),
+))
+
+
+def _edge_se3_project_xyz_onlypose_residual(states, meas, param):
+    """Unary pose-only variant: the world point rides in the measurement
+    tail (reference stores it as the ``Xw`` member)."""
+    (camera,) = states
+    obs, Xw = meas[..., :2], meas[..., 2:5]
+    pc = lie.se3_act(camera, Xw)
+    return obs - _cam_project2(pc, param)
+
+
+EdgeSE3ProjectXYZOnlyPose = register_edge(EdgeType(
+    name="EDGE_SE3_PROJECT_XYZONLYPOSE:EXPMAP",
+    vertex_types=(VertexSE3Expmap,),
+    residual_dim=2,
+    residual=_edge_se3_project_xyz_onlypose_residual,
+    meas_dim=5,
+    param_dim=4,
+    tags=("EDGE_SE3_PROJECT_XYZONLYPOSE:EXPMAP",),
+))
+
+
+def _edge_stereo_se3_project_xyz_onlypose_residual(states, meas, param):
+    (camera,) = states
+    obs, Xw = meas[..., :3], meas[..., 3:6]
+    pc = lie.se3_act(camera, Xw)
+    uv = _cam_project2(pc, param[..., :4])
+    bf = param[..., 4]
+    ur = uv[..., 0] - bf / pc[..., 2]
+    return obs - jnp.concatenate([uv, ur[..., None]], axis=-1)
+
+
+EdgeStereoSE3ProjectXYZOnlyPose = register_edge(EdgeType(
+    name="EDGE_STEREO_SE3_PROJECT_XYZONLYPOSE:EXPMAP",
+    vertex_types=(VertexSE3Expmap,),
+    residual_dim=3,
+    residual=_edge_stereo_se3_project_xyz_onlypose_residual,
+    meas_dim=6,
+    param_dim=5,
+    tags=("EDGE_STEREO_SE3_PROJECT_XYZONLYPOSE:EXPMAP",),
+))
+
+
+def _edge_project_psi2uv_residual(states, meas, param):
+    """Inverse-depth 3-ary edge (reference ``EdgeProjectPSI2UV``,
+    ``types_six_dof_expmap.h:155-170``, impl ``types_six_dof_expmap.cpp``):
+    point parameterised as psi = (u, v, rho) in the anchor frame T_anchor;
+    error = obs - cam_map(T_cur * T_anchor^-1 * invert_depth(psi))."""
+    psi, T_cur, T_anchor = states
+    # invert_depth: (x, y, 1)/rho
+    pw = jnp.stack([psi[..., 0], psi[..., 1], jnp.ones_like(psi[..., 0])],
+                   axis=-1) / psi[..., 2:3]
+    rel = lie.se3_compose(T_cur, lie.se3_inverse(T_anchor))
+    pc = lie.se3_act(rel, pw)
+    return meas - cam_map(pc, param)
+
+
+EdgeProjectPSI2UV = register_edge(EdgeType(
+    name="EDGE_PROJECT_PSI2UV:EXPMAP",
+    vertex_types=(VertexPointXYZ, VertexSE3Expmap, VertexSE3Expmap),
+    residual_dim=2,
+    residual=_edge_project_psi2uv_residual,
+    meas_dim=2,
+    param_dim=4,
+    tags=("EDGE_PROJECT_PSI2UV:EXPMAP",),
+))
+
+
 def _edge_se3_expmap_residual(states, meas, param):
     x1, x2 = states
     err = lie.se3_compose(lie.se3_inverse(x2),

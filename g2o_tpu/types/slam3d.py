@@ -129,3 +129,91 @@ EdgeXYZPrior = register_edge(EdgeType(
     meas_dim=3,
     tags=("EDGE_POINTXYZ_PRIOR",),
 ))
+
+
+def _edge_se3_offset_residual(states, meas, param):
+    """Reference ``EdgeSE3Offset::computeError``
+    (``g2o/types/slam3d/edge_se3_offset.cpp:102-105``): two poses observed
+    through per-end sensor offsets; params = [offset_from(7), offset_to(7)].
+    error = toVectorMQT(Z^-1 * (Xi Oi)^-1 * (Xj Oj))."""
+    xi, xj = states
+    oi, oj = param[..., :7], param[..., 7:14]
+    ni = lie.se3_compose(xi, oi)
+    nj = lie.se3_compose(xj, oj)
+    delta = lie.se3_compose(lie.se3_inverse(ni), nj)
+    return lie.se3_to_mqt(lie.se3_compose(lie.se3_inverse(meas), delta))
+
+
+EdgeSE3Offset = register_edge(EdgeType(
+    name="EDGE_SE3_OFFSET",
+    vertex_types=(VertexSE3, VertexSE3),
+    residual_dim=6,
+    residual=_edge_se3_offset_residual,
+    meas_dim=7,
+    param_dim=14,
+    num_params=2,
+    tags=("EDGE_SE3_OFFSET",),
+))
+
+
+def _w2i(x, param):
+    """World-to-image map from a ParameterCamera value
+    [offset(7), fx, fy, cx, cy] (``g2o/types/slam3d/parameter_camera.cpp:63-84``,
+    cache ``:96``): p_img = K * (X * O)^-1 * p_world."""
+    offset, k = param[..., :7], param[..., 7:11]
+    sensor = lie.se3_compose(x, offset)
+    pc = lambda pw: lie.se3_act(lie.se3_inverse(sensor), pw)  # noqa: E731
+    fx, fy, cx, cy = k[..., 0], k[..., 1], k[..., 2], k[..., 3]
+
+    def apply(pw):
+        p = pc(pw)
+        return jnp.stack(
+            [fx * p[..., 0] + cx * p[..., 2],
+             fy * p[..., 1] + cy * p[..., 2],
+             p[..., 2]],
+            axis=-1,
+        )
+
+    return apply
+
+
+def _edge_project_depth_residual(states, meas, param):
+    """Reference ``EdgeSE3PointXYZDepth::computeError``
+    (``edge_se3_pointxyz_depth.cpp:91-104``): error = [u/w, v/w, w] - z."""
+    x, l = states
+    p = _w2i(x, param)(l)
+    perr = jnp.stack([p[..., 0] / p[..., 2], p[..., 1] / p[..., 2],
+                      p[..., 2]], axis=-1)
+    return perr - meas
+
+
+EdgeSE3PointXYZDepth = register_edge(EdgeType(
+    name="EDGE_PROJECT_DEPTH",
+    vertex_types=(VertexSE3, VertexPointXYZ),
+    residual_dim=3,
+    residual=_edge_project_depth_residual,
+    meas_dim=3,
+    param_dim=11,
+    tags=("EDGE_PROJECT_DEPTH",),
+))
+
+
+def _edge_project_disparity_residual(states, meas, param):
+    """Reference ``EdgeSE3PointXYZDisparity::computeError``
+    (``edge_se3_pointxyz_disparity.cpp:97-122``): error = [u/w, v/w, 1/w] - z."""
+    x, l = states
+    p = _w2i(x, param)(l)
+    perr = jnp.stack([p[..., 0] / p[..., 2], p[..., 1] / p[..., 2],
+                      1.0 / p[..., 2]], axis=-1)
+    return perr - meas
+
+
+EdgeSE3PointXYZDisparity = register_edge(EdgeType(
+    name="EDGE_PROJECT_DISPARITY",
+    vertex_types=(VertexSE3, VertexPointXYZ),
+    residual_dim=3,
+    residual=_edge_project_disparity_residual,
+    meas_dim=3,
+    param_dim=11,
+    tags=("EDGE_PROJECT_DISPARITY",),
+))

@@ -1,0 +1,70 @@
+"""BA benchmark harness — the analogue of the fork's ``ba_benchmark``
+(``g2o/examples/ba/ba_benchmark.cpp:36-236``): run LM with the Schur path
+and with the square-root CGLS path on the same BA problem and report
+per-iteration chi2/time for both.
+
+Usage: python scripts/bench_ba.py [BAL_FILE] [N_ITERS]
+Without a file, generates a Ladybug-scale synthetic BAL problem.
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import numpy as np
+
+    from g2o_tpu.core.lm_fused import optimize_fused
+    from g2o_tpu.core.solvers import SchurSolver
+    from g2o_tpu.core.solvers.cgls import CGLSSolver
+    from g2o_tpu.io.bal import load_bal, make_synthetic_bal
+
+    path = sys.argv[1] if len(sys.argv) > 1 else None
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    t0 = time.perf_counter()
+    if path:
+        g = load_bal(path, huber=0.0)
+        name = path
+    else:
+        text = make_synthetic_bal(n_cameras=49, n_points=7000,
+                                  n_obs_per_point=5, pixel_noise=1.0, seed=0)
+        g = load_bal(io.StringIO(text), huber=0.0)
+        name = "synthetic-ladybug49"
+    # perturb points so there is something to optimize
+    rng = np.random.default_rng(1)
+    for vid, rec in g.vertices().items():
+        if rec.marginalized:
+            rec.estimate = rec.estimate + rng.normal(scale=0.03, size=3)
+    build_s = time.perf_counter() - t0
+
+    results = {}
+    for tag, solver in (("schur", SchurSolver()),
+                        ("cgls", CGLSSolver(max_iter=100, eta=1e-3))):
+        p = g.compile()
+        res = optimize_fused(p, solver, 2)          # warm-up/compile
+        res = optimize_fused(p, solver, n_iters)
+        results[tag] = {
+            "sec_per_iter": res["wall_s"] / max(res["iterations"], 1),
+            "chi2_initial": res["chi2_per_iteration"][0],
+            "chi2_final": res["chi2_final"],
+            "iterations": res["iterations"],
+        }
+
+    out = {
+        "metric": f"BA LM iterations/sec ({name}, Schur)",
+        "value": round(1.0 / results["schur"]["sec_per_iter"], 4),
+        "unit": "iter/s",
+        "vs_baseline": 0.0,
+        "extra": {"dataset": name, "build_s": round(build_s, 2), **results},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,8 +71,8 @@ def test_params_and_param_edges():
     g = g2o_format.loads(txt)
     assert g.num_edges == 1
     e = g.edges()[0]
-    assert e.param_id == 0
+    assert e.param_id == (0,)
     np.testing.assert_allclose(g.parameter(0), [0, 0, 0, 0, 0, 0, 1])
     out = g2o_format.dumps(g)
     g2 = g2o_format.loads(out)
-    assert g2.edges()[0].param_id == 0
+    assert g2.edges()[0].param_id == (0,)

@@ -52,14 +52,34 @@ def rand_meas(et):
         v = rng.uniform(-1, 1, size=3)
         v[2] *= np.pi
         return jnp.asarray(v)
+    if "ONLYPOSE" in et.name:
+        # measurement tail carries the world point; keep it in front
+        obs = rng.normal(size=et.meas_dim - 3) * 30.0 + 300.0
+        Xw = np.array([rng.normal(), rng.normal(), 5.0 + rng.random()])
+        return jnp.asarray(np.concatenate([obs, Xw]))
     return jnp.asarray(rng.normal(size=et.meas_dim))
+
+
+def _rand_offset7():
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    return np.concatenate([rng.normal(size=3) * 0.1, q])
 
 
 def rand_param(et):
     if et.param_dim == 7:
-        q = rng.normal(size=4)
-        q /= np.linalg.norm(q)
-        return jnp.asarray(np.concatenate([rng.normal(size=3) * 0.1, q]))
+        return jnp.asarray(_rand_offset7())
+    if et.param_dim == 14:  # two SE3 offsets
+        return jnp.asarray(np.concatenate([_rand_offset7(),
+                                           _rand_offset7()]))
+    if et.param_dim == 11:  # ParameterCamera: offset + fx fy cx cy
+        return jnp.asarray(np.concatenate(
+            [_rand_offset7(), [500.0, 510.0, 320.0, 240.0]]))
+    if et.param_dim in (4, 5):  # pinhole (+ stereo bf)
+        base = [520.0, 530.0, 320.0, 240.0]
+        if et.param_dim == 5:
+            base.append(40.0)
+        return jnp.asarray(base)
     return jnp.asarray(rng.normal(size=et.param_dim))
 
 
