@@ -1,0 +1,188 @@
+"""Hierarchical (multilevel) pose-graph optimization — TPU-native analogue
+of the reference ``g2o_hierarchical`` app (``apps/g2o_hierarchical/``,
+SURVEY.md §2.4):
+
+1. decompose the graph into *stars*: BFS balls of radius ``star_radius``
+   around evenly spaced central poses (the reference grows stars over a
+   Dijkstra backbone, ``star.h:52``);
+2. optimize each star locally with its centre fixed (gauge);
+3. *edge labeling* (``edge_labeler.h:45``): for each star, create condensed
+   level-1 edges centre→boundary whose measurement is the locally optimized
+   relative transform and whose information is the inverse of the boundary
+   vertex's marginal covariance in the star subproblem;
+4. optimize the level-1 skeleton over the centres;
+5. re-anchor every star rigidly to its optimized centre and run a final
+   low-level refinement.
+
+Works for any single vertex type with a group structure registered in
+``_GROUP_OPS`` (SE2 and SE3 here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from g2o_tpu.core.graph import Graph
+from g2o_tpu.core.marginals import compute_marginals
+from g2o_tpu.core.optimizer import LevenbergMarquardt, SparseOptimizer
+from g2o_tpu.core.solvers import DenseSolver, PCGSolver
+from g2o_tpu.ops import lie
+
+_GROUP_OPS = {
+    "VERTEX_SE2": dict(
+        compose=lambda a, b: np.asarray(
+            lie.se2_compose(jnp.asarray(a), jnp.asarray(b))),
+        inverse=lambda a: np.asarray(lie.se2_inverse(jnp.asarray(a))),
+        edge="EDGE_SE2",
+    ),
+    "VERTEX_SE3:QUAT": dict(
+        compose=lambda a, b: np.asarray(
+            lie.se3_compose(jnp.asarray(a), jnp.asarray(b))),
+        inverse=lambda a: np.asarray(lie.se3_inverse(jnp.asarray(a))),
+        edge="EDGE_SE3:QUAT",
+    ),
+}
+
+
+def _bfs_stars(graph: Graph, star_radius: int):
+    """Partition vertices into stars; returns (centers, star_of_vid)."""
+    adj: dict[int, set] = {}
+    for e in graph.edges():
+        for a in e.vids:
+            for b in e.vids:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    unassigned = set(graph.vertices())
+    star_of = {}
+    centers = []
+    order = sorted(unassigned)
+    from collections import deque
+
+    for seed in order:
+        if seed not in unassigned:
+            continue
+        centers.append(seed)
+        sid = len(centers) - 1
+        q = deque([(seed, 0)])
+        while q:
+            v, d = q.popleft()
+            if v not in unassigned:
+                continue
+            unassigned.discard(v)
+            star_of[v] = sid
+            if d < star_radius:
+                for w in adj.get(v, ()):
+                    if w in unassigned:
+                        q.append((w, d + 1))
+    return centers, star_of
+
+
+def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
+                          star_iterations: int = 10,
+                          skeleton_iterations: int = 30,
+                          refine_iterations: int = 10,
+                          verbose: bool = False):
+    """Run the full multilevel pipeline in place on ``graph``.
+    Returns a summary dict."""
+    vtypes = {r.vtype.name for r in graph.vertices().values()}
+    if len(vtypes) != 1 or next(iter(vtypes)) not in _GROUP_OPS:
+        raise NotImplementedError(
+            f"hierarchical: single SE2/SE3 vertex type required, got {vtypes}")
+    tname = next(iter(vtypes))
+    ops = _GROUP_OPS[tname]
+    vt = graph.registry.vertex_types[tname]
+    et_skel = graph.registry.edge_types[ops["edge"]]
+
+    centers, star_of = _bfs_stars(graph, star_radius)
+    n_stars = len(centers)
+
+    # --- per-star local optimization + condensed edge creation ---
+    star_members: list[list[int]] = [[] for _ in range(n_stars)]
+    for vid, sid in star_of.items():
+        star_members[sid].append(vid)
+
+    skeleton = Graph(graph.registry)
+    est_after_star = {}
+    for sid, center in enumerate(centers):
+        members = set(star_members[sid])
+        sub = Graph(graph.registry)
+        for vid in sorted(members):
+            rec = graph.vertex(vid)
+            sub.add_vertex(vid, rec.vtype, rec.estimate,
+                           fixed=(vid == center))
+        n_edges = 0
+        boundary = set()
+        for e in graph.edges():
+            if all(v in members for v in e.vids):
+                sub.add_edge(e.etype, e.vids, e.measurement, e.information,
+                             kernel=e.kernel, delta=e.delta)
+                n_edges += 1
+            elif any(v in members for v in e.vids):
+                boundary.update(v for v in e.vids if v in members)
+        if n_edges:
+            p = sub.compile()
+            opt = SparseOptimizer(p, algorithm=LevenbergMarquardt(),
+                                  solver=DenseSolver())
+            opt.optimize(star_iterations)
+            local = p.estimates_by_vid()
+        else:
+            local = {vid: graph.vertex(vid).estimate for vid in members}
+        for vid in members:
+            est_after_star[vid] = np.asarray(local[vid])
+        # condensed edges: center -> each boundary member (and star frontier)
+        targets = sorted(boundary - {center}) or \
+            sorted(members - {center})[:1]
+        if not skeleton.has_vertex(center):
+            skeleton.add_vertex(center, vt, local[center],
+                                fixed=(sid == 0))
+        if n_edges and targets:
+            margs = compute_marginals(p, targets, lam=1e-9)
+        for vid in targets:
+            if not skeleton.has_vertex(vid):
+                skeleton.add_vertex(vid, vt, local[vid])
+            meas = ops["compose"](ops["inverse"](local[center]), local[vid])
+            if n_edges:
+                cov = margs[vid]
+                info = np.linalg.inv(cov + 1e-9 * np.eye(cov.shape[0]))
+            else:
+                info = np.eye(vt.tangent_dim)
+            skeleton.add_edge(et_skel, [center, vid], meas, info)
+
+    # connect the skeleton: original edges crossing star boundaries
+    for e in graph.edges():
+        sids = {star_of[v] for v in e.vids}
+        if len(sids) > 1 and all(skeleton.has_vertex(v) for v in e.vids) \
+                and e.etype.name == ops["edge"]:
+            skeleton.add_edge(e.etype, e.vids, e.measurement, e.information,
+                              kernel=e.kernel, delta=e.delta)
+
+    ps = skeleton.compile()
+    opt_s = SparseOptimizer(ps, algorithm=LevenbergMarquardt(),
+                            solver=PCGSolver(max_iter=100, tol=1e-8),
+                            verbose=verbose)
+    opt_s.optimize(skeleton_iterations)
+    skel_est = ps.estimates_by_vid()
+
+    # --- re-anchor stars rigidly to the optimized centres ---
+    for sid, center in enumerate(centers):
+        old_c = est_after_star[center]
+        new_c = np.asarray(skel_est[center])
+        delta = ops["compose"](new_c, ops["inverse"](old_c))
+        for vid in star_members[sid]:
+            graph.set_estimate(vid, ops["compose"](delta, est_after_star[vid]))
+
+    # --- final low-level refinement ---
+    p_final = graph.compile()
+    opt_f = SparseOptimizer(p_final, algorithm=LevenbergMarquardt(),
+                            solver=PCGSolver(max_iter=100, tol=1e-8),
+                            verbose=verbose)
+    opt_f.optimize(refine_iterations)
+    for vid, est in p_final.estimates_by_vid().items():
+        graph.set_estimate(vid, est)
+    return {
+        "n_stars": n_stars,
+        "skeleton_vertices": skeleton.num_vertices,
+        "skeleton_edges": skeleton.num_edges,
+        "final_chi2": opt_f.chi2(),
+    }

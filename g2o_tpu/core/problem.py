@@ -282,101 +282,103 @@ class Problem:
                        (self.data.fixed.values()))
 
 
-def compile_graph(graph, *, level: int = 0, dtype=None,
+def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                   pad_edges_to_multiple: int = 1) -> Problem:
-    """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
-    :class:`Problem` — the analogue of ``initializeOptimization`` +
-    ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
+    """Build a :class:`Problem` from raw numpy blocks.
+
+    ``vertex_blocks``: ``{VertexType: (vids (N,), estimates (N, rep),
+    fixed (N,), marginalized (N,))}``;
+    ``edge_blocks``: ``{EdgeType: (vids (E, k) raw ids, meas (E, m),
+    info (E, r, r), kernel (E,), delta (E,), active (E,), param (E, p))}``.
+
+    This is the array-direct compilation path (used by the fast native
+    loader); :func:`compile_graph` reduces a host ``Graph`` to these blocks.
+    Vertices are sorted by id within each type — the deterministic index
+    mapping of the reference (``sparse_optimizer.cpp:168,504``)."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    # ---- vertices: group by type, preserve insertion order by vid ----
-    vrecs = graph.vertices()
-    by_type: dict[str, list] = {}
-    vertex_types: dict[str, VertexType] = {}
-    for vid in sorted(vrecs):
-        rec = vrecs[vid]
-        by_type.setdefault(rec.vtype.name, []).append(rec)
-        vertex_types[rec.vtype.name] = rec.vtype
-
     counts, vid_index, estimates, fixed, marginalized = {}, {}, {}, {}, {}
-    offsets_np, type_bases = {}, {}
+    offsets_np, type_bases, vertex_types = {}, {}, {}
+    sorted_vids = {}
     base = 0
-    for t, recs in by_type.items():
-        vt = vertex_types[t]
-        counts[t] = len(recs)
-        est = np.stack([r.estimate for r in recs]).astype(np.float64)
+    for vt, (vids, est, fx, mg) in vertex_blocks.items():
+        t = vt.name
+        vertex_types[t] = vt
+        order = np.argsort(vids, kind="stable")
+        vids = np.asarray(vids)[order]
+        est = np.asarray(est, dtype=np.float64)[order]
+        fx = np.asarray(fx, dtype=bool)[order]
+        mg = np.asarray(mg, dtype=bool)[order]
+        n = len(vids)
+        counts[t] = n
         estimates[t] = jnp.asarray(est, dtype=dtype)
-        fixed[t] = jnp.asarray(np.array([r.fixed for r in recs], dtype=bool))
-        marginalized[t] = np.array([r.marginalized for r in recs], dtype=bool)
-        for i, r in enumerate(recs):
-            vid_index[r.vid] = (t, i)
+        fixed[t] = jnp.asarray(fx)
+        marginalized[t] = mg
+        sorted_vids[t] = vids
+        for i, vid in enumerate(vids):
+            vid_index[int(vid)] = (t, i)
         type_bases[t] = base
-        offsets_np[t] = base + np.arange(len(recs), dtype=np.int32) * vt.tangent_dim
-        base += len(recs) * vt.tangent_dim
+        offsets_np[t] = base + np.arange(n, dtype=np.int32) * vt.tangent_dim
+        base += n * vt.tangent_dim
     total_dim = base
 
     fixed_flat = np.zeros((total_dim,), dtype=np.float64)
-    for t, recs in by_type.items():
+    for t in vertex_types:
         d = vertex_types[t].tangent_dim
-        for i, r in enumerate(recs):
-            if r.fixed:
-                o = offsets_np[t][i]
-                fixed_flat[o:o + d] = 1.0
+        fx = np.asarray(fixed[t])
+        offs = offsets_np[t][fx]
+        for o in offs:
+            fixed_flat[o:o + d] = 1.0
 
     offsets = {t: jnp.asarray(o) for t, o in offsets_np.items()}
 
-    # ---- edges: group by type, filter level (reference level filter at
-    # ``sparse_optimizer.cpp:232``) ----
-    erecs_by_type: dict[str, list] = {}
-    edge_types: dict[str, EdgeType] = {}
-    for e in graph.edges():
-        if e.level != level:
-            continue
-        erecs_by_type.setdefault(e.etype.name, []).append(e)
-        edge_types[e.etype.name] = e.etype
-
     edges = {}
+    edge_types = {}
     m = max(int(pad_edges_to_multiple), 1)
-    for name, recs in erecs_by_type.items():
-        et = edge_types[name]
-        E = len(recs)
-        # pad each batch to a multiple (inactive copies of edge 0) so the
-        # edge axis divides evenly over a device mesh
+    for et, (vids, meas, info, kern, delt, act, par) in edge_blocks.items():
+        name = et.name
+        edge_types[name] = et
+        E = len(vids)
         n_pad = (-E) % m
-        recs = recs + [recs[0]] * n_pad
-        vidx = np.zeros((E + n_pad, et.num_slots), dtype=np.int32)
-        for i, e in enumerate(recs):
-            for s, vid in enumerate(e.vids):
-                t, li = vid_index[vid]
-                vidx[i, s] = li
-        meas = np.stack([e.measurement for e in recs])
-        info = np.stack([e.information for e in recs])
-        kern = np.array([e.kernel for e in recs], dtype=np.int32)
-        delt = np.array([e.delta for e in recs], dtype=np.float64)
-        act = np.array([e.active for e in recs], dtype=bool)
+
+        def pad(a, n_pad=n_pad):
+            if n_pad == 0:
+                return np.asarray(a)
+            a = np.asarray(a)
+            return np.concatenate([a, np.repeat(a[:1], n_pad, axis=0)], axis=0)
+
+        vidx_raw = pad(np.asarray(vids, dtype=np.int64))
+        vidx = np.empty_like(vidx_raw, dtype=np.int32)
+        for s, svt in enumerate(et.vertex_types):
+            sv = sorted_vids.get(svt.name)
+            if sv is None:
+                raise ValueError(
+                    f"{name}: no vertices of type {svt.name} present")
+            loc = np.searchsorted(sv, vidx_raw[:, s])
+            bad = (loc >= len(sv)) | (sv[np.minimum(loc, len(sv) - 1)]
+                                      != vidx_raw[:, s])
+            if bad.any():
+                vid = int(vidx_raw[:, s][bad][0])
+                raise ValueError(f"{name}: unknown vertex id {vid}")
+            vidx[:, s] = loc
+        act = pad(np.asarray(act, dtype=bool)).copy()
         if n_pad:
             act[E:] = False
-        if et.param_dim:
-            par = np.stack([
-                np.concatenate([graph.parameter(pid) for pid in e.param_id])
-                for e in recs
-            ])
-            if par.shape[1] != et.param_dim:
-                raise ValueError(
-                    f"{name}: parameter values have total dim "
-                    f"{par.shape[1]}, expected {et.param_dim}"
-                )
-        else:
-            par = np.zeros((len(recs), 0), dtype=np.float64)
+        par = np.asarray(par, dtype=np.float64)
+        if par.ndim != 2 or par.shape[1] != et.param_dim:
+            raise ValueError(
+                f"{name}: parameter values have dim "
+                f"{par.shape[1] if par.ndim == 2 else '?'}, "
+                f"expected {et.param_dim}")
         edges[name] = EdgeBatchData(
             vidx=jnp.asarray(vidx),
-            meas=jnp.asarray(meas, dtype=dtype),
-            info=jnp.asarray(info, dtype=dtype),
-            kernel=jnp.asarray(kern),
-            delta=jnp.asarray(delt, dtype=dtype),
+            meas=jnp.asarray(pad(meas), dtype=dtype),
+            info=jnp.asarray(pad(info), dtype=dtype),
+            kernel=jnp.asarray(pad(np.asarray(kern, dtype=np.int32))),
+            delta=jnp.asarray(pad(np.asarray(delt)), dtype=dtype),
             active=jnp.asarray(act),
-            param=jnp.asarray(par, dtype=dtype),
+            param=jnp.asarray(pad(par), dtype=dtype),
         )
 
     data = ProblemData(
@@ -387,3 +389,60 @@ def compile_graph(graph, *, level: int = 0, dtype=None,
     )
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype)
+
+
+def compile_graph(graph, *, level: int = 0, dtype=None,
+                  pad_edges_to_multiple: int = 1) -> Problem:
+    """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
+    :class:`Problem` — the analogue of ``initializeOptimization`` +
+    ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
+    # ---- vertices: group by type ----
+    vrecs = graph.vertices()
+    by_type: dict[str, list] = {}
+    vt_by_name = {}
+    for vid in vrecs:
+        rec = vrecs[vid]
+        by_type.setdefault(rec.vtype.name, []).append(rec)
+        vt_by_name[rec.vtype.name] = rec.vtype
+
+    vertex_blocks = {}
+    for t, recs in by_type.items():
+        vertex_blocks[vt_by_name[t]] = (
+            np.array([r.vid for r in recs], dtype=np.int64),
+            np.stack([r.estimate for r in recs]).astype(np.float64),
+            np.array([r.fixed for r in recs], dtype=bool),
+            np.array([r.marginalized for r in recs], dtype=bool),
+        )
+
+    # ---- edges: group by type, filter level (reference level filter at
+    # ``sparse_optimizer.cpp:232``) ----
+    erecs_by_type: dict[str, list] = {}
+    et_by_name = {}
+    for e in graph.edges():
+        if e.level != level:
+            continue
+        erecs_by_type.setdefault(e.etype.name, []).append(e)
+        et_by_name[e.etype.name] = e.etype
+
+    edge_blocks = {}
+    for name, recs in erecs_by_type.items():
+        et = et_by_name[name]
+        if et.param_dim:
+            par = np.stack([
+                np.concatenate([graph.parameter(pid) for pid in e.param_id])
+                for e in recs
+            ])
+        else:
+            par = np.zeros((len(recs), 0), dtype=np.float64)
+        edge_blocks[et] = (
+            np.array([e.vids for e in recs], dtype=np.int64),
+            np.stack([e.measurement for e in recs]),
+            np.stack([e.information for e in recs]),
+            np.array([e.kernel for e in recs], dtype=np.int32),
+            np.array([e.delta for e in recs], dtype=np.float64),
+            np.array([e.active for e in recs], dtype=bool),
+            par,
+        )
+
+    return build_problem(vertex_blocks, edge_blocks, dtype=dtype,
+                         pad_edges_to_multiple=pad_edges_to_multiple)

@@ -133,12 +133,29 @@ class SchurSolver:
             pairs_a.append(ga.reshape(-1))
             pairs_b.append(gb.reshape(-1))
             start = end
-        pairs_a = jnp.asarray(
-            np.concatenate(pairs_a).astype(np.int32) if pairs_a else
-            np.zeros(0, np.int32))
-        pairs_b = jnp.asarray(
-            np.concatenate(pairs_b).astype(np.int32) if pairs_b else
-            np.zeros(0, np.int32))
+        pairs_a_np = (np.concatenate(pairs_a).astype(np.int32)
+                      if pairs_a else np.zeros(0, np.int32))
+        pairs_b_np = (np.concatenate(pairs_b).astype(np.int32)
+                      if pairs_b else np.zeros(0, np.int32))
+        pairs_a = jnp.asarray(pairs_a_np)
+        pairs_b = jnp.asarray(pairs_b_np)
+
+        # group pairs by (camera-block-row, camera-block-col): many landmark
+        # pairs share a camera pair, so Schur contributions are segment-summed
+        # into <= (#cam blocks)^2 unique blocks before touching the dense
+        # reduced matrix — this keeps the scatter tiny (the analogue of the
+        # reference writing into the Hschur block pattern,
+        # ``block_solver.hpp:381-391``)
+        obs_cam_np_c = np.concatenate(obs_cam_np).astype(np.int64) \
+            if obs_cam_np else np.zeros(0, np.int64)
+        key = (obs_cam_np_c[pairs_a_np] << 32) | obs_cam_np_c[pairs_b_np]
+        uniq, pair_seg_np = np.unique(key, return_inverse=True)
+        n_uniq = len(uniq)
+        uniq_row = (uniq >> 32).astype(np.int32)
+        uniq_col = (uniq & 0xFFFFFFFF).astype(np.int32)
+        pair_seg = jnp.asarray(pair_seg_np.astype(np.int32))
+        uniq_row_j = jnp.asarray(uniq_row)
+        uniq_col_j = jnp.asarray(uniq_col)
 
         # landmark global tangent offsets (into the full b / dx vectors)
         lm_goff_np = np.zeros(NL, dtype=np.int32)
@@ -233,13 +250,16 @@ class SchurSolver:
             cam_idx2 = obs_cam[:, None] + jnp.arange(dp)[None, :]
             bschur = bp.at[cam_idx2].add(-contrib)
 
-            # Hschur = Hpp - sum over pairs B_a Dinv B_b^T
+            # Hschur = Hpp - sum over pairs B_a Dinv B_b^T, aggregated per
+            # unique camera-block pair first (segment-sum), then one small
+            # block scatter into the dense reduced matrix
             Hpp = build_Hpp(data, lin, lam)
             BD = jnp.einsum("edl,elm->edm", B, Dinv[obs_lm])   # (Eo, dp, dl)
             M = jnp.einsum("pdm,pfm->pdf", BD[pairs_a], B[pairs_b])
-            rows = cam_idx2[pairs_a][:, :, None]
-            cols = cam_idx2[pairs_b][:, None, :]
-            Hschur = Hpp.at[rows, cols].add(-M)
+            Mu = jax.ops.segment_sum(M, pair_seg, num_segments=n_uniq)
+            rows = (uniq_row_j[:, None] + jnp.arange(dp)[None, :])[:, :, None]
+            cols = (uniq_col_j[:, None] + jnp.arange(dp)[None, :])[:, None, :]
+            Hschur = Hpp.at[rows, cols].add(-Mu)
 
             if self.use_cholesky:
                 L, lower = jax.scipy.linalg.cho_factor(Hschur, lower=True)

@@ -1,0 +1,106 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Built on demand with g++ into a per-user cache directory; all callers must
+degrade gracefully (pure-Python fallback) when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+
+_SRC_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB = None
+_TRIED = False
+
+
+def _build_lib() -> str | None:
+    src = os.path.join(_SRC_DIR, "fastparse.cpp")
+    with open(src, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"g2o_tpu_native_{os.getuid()}")
+    os.makedirs(cache, exist_ok=True)
+    out = os.path.join(cache, f"libfastparse_{digest}.so")
+    if os.path.exists(out):
+        return out
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o",
+           out + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(out + ".tmp", out)
+        return out
+    except Exception as e:  # no compiler / failed build -> fallback
+        print(f"g2o_tpu.native: build failed ({e}); using pure-Python IO",
+              file=sys.stderr)
+        return None
+
+
+def get_lib():
+    """The fastparse shared library, or None when unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.g2o_parse_file.restype = ctypes.c_void_p
+    lib.g2o_parse_file.argtypes = [ctypes.c_char_p]
+    lib.g2o_parse_buffer.restype = ctypes.c_void_p
+    lib.g2o_parse_buffer.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.g2o_num_blocks.restype = ctypes.c_int
+    lib.g2o_num_blocks.argtypes = [ctypes.c_void_p]
+    lib.g2o_block_tag.restype = ctypes.c_char_p
+    lib.g2o_block_tag.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.g2o_block_rows.restype = ctypes.c_long
+    lib.g2o_block_rows.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.g2o_block_cols.restype = ctypes.c_int
+    lib.g2o_block_cols.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.g2o_block_copy.restype = None
+    lib.g2o_block_copy.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_double),
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.g2o_free.restype = None
+    lib.g2o_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def parse_blocks(path_or_text, *, is_text: bool = False):
+    """Parse a .g2o-style file into ``{tag: (values (R, C) float64 NaN-padded,
+    ncols (R,) int32)}`` using the native tokenizer.  Returns None when the
+    native library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    if is_text:
+        data = path_or_text.encode()
+        h = lib.g2o_parse_buffer(data, len(data))
+    else:
+        h = lib.g2o_parse_file(os.fsencode(path_or_text))
+    if not h:
+        raise IOError(f"fastparse: cannot read {path_or_text!r}")
+    try:
+        out = {}
+        for i in range(lib.g2o_num_blocks(h)):
+            tag = lib.g2o_block_tag(h, i).decode()
+            rows = lib.g2o_block_rows(h, i)
+            cols = lib.g2o_block_cols(h, i)
+            vals = np.empty((rows, cols), dtype=np.float64)
+            ncols = np.empty((rows,), dtype=np.int32)
+            lib.g2o_block_copy(
+                h, i,
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ncols.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+            out[tag] = (vals, ncols)
+        return out
+    finally:
+        lib.g2o_free(h)
