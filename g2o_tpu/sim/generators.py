@@ -229,6 +229,156 @@ def create_manhattan(n_poses: int = 3500, step: float = 1.0,
     return g
 
 
+def create_simulator2d(n_poses: int = 200, n_landmarks: int = 60,
+                       world_size: float = 20.0,
+                       sensors=("odometry", "pointxy", "bearing"),
+                       sensor_range: float = 5.0,
+                       trans_noise=(0.03, 0.03), rot_noise=0.01,
+                       landmark_noise=(0.05, 0.05),
+                       bearing_noise: float = 0.01,
+                       seed: int = 0) -> Graph:
+    """2D simulator with pluggable sensors — analogue of the reference
+    ``g2o_simulator`` 2D app (``apps/g2o_simulator/test_simulator2d.cpp:40``):
+    a random-walk trajectory observing scattered XY landmarks with
+    range-limited point and bearing sensors, all measurements noisy."""
+    from g2o_tpu.types.slam2d import (
+        EdgeSE2, EdgeSE2PointXY, EdgeSE2PointXYBearing, VertexSE2,
+        VertexPointXY,
+    )
+
+    rng = np.random.default_rng(seed)
+
+    def se2_mul(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        th = (a[2] + b[2] + np.pi) % (2 * np.pi) - np.pi
+        return np.array([a[0] + c * b[0] - s * b[1],
+                         a[1] + s * b[0] + c * b[1], th])
+
+    def se2_inv(a):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        return np.array([-(c * a[0] + s * a[1]), s * a[0] - c * a[1], -a[2]])
+
+    landmarks = rng.uniform(-world_size / 2, world_size / 2,
+                            size=(n_landmarks, 2))
+    gt = [np.zeros(3)]
+    for _ in range(1, n_poses):
+        step = np.array([0.5 + 0.3 * rng.random(), 0.0,
+                         rng.normal(scale=0.3)])
+        nxt = se2_mul(gt[-1], step)
+        if np.abs(nxt[:2]).max() > world_size / 2:
+            step[2] = np.pi / 2
+            nxt = se2_mul(gt[-1], step)
+        gt.append(nxt)
+
+    g = Graph()
+    info_odo = np.diag([1.0 / trans_noise[0] ** 2, 1.0 / trans_noise[1] ** 2,
+                        1.0 / rot_noise ** 2])
+    info_lm = np.diag([1.0 / landmark_noise[0] ** 2,
+                       1.0 / landmark_noise[1] ** 2])
+    info_bearing = np.array([[1.0 / bearing_noise ** 2]])
+
+    for i, p in enumerate(gt):
+        g.add_vertex(i, VertexSE2, p, fixed=(i == 0))
+    seen = set()
+    lm_vid0 = n_poses
+    if "odometry" in sensors:
+        for i in range(1, n_poses):
+            t = se2_mul(se2_inv(gt[i - 1]), gt[i])
+            noise = np.array([rng.normal(scale=trans_noise[0]),
+                              rng.normal(scale=trans_noise[1]),
+                              rng.normal(scale=rot_noise)])
+            g.add_edge(EdgeSE2, [i - 1, i], se2_mul(t, noise), info_odo)
+    for i, p in enumerate(gt):
+        rel_all = landmarks - p[:2]
+        dists = np.linalg.norm(rel_all, axis=1)
+        c, s = np.cos(p[2]), np.sin(p[2])
+        for k in np.nonzero(dists < sensor_range)[0]:
+            vid = lm_vid0 + int(k)
+            local = np.array([c * rel_all[k][0] + s * rel_all[k][1],
+                              -s * rel_all[k][0] + c * rel_all[k][1]])
+            if vid not in seen:
+                obs = local + rng.normal(scale=landmark_noise)
+                world = p[:2] + np.array([c * obs[0] - s * obs[1],
+                                          s * obs[0] + c * obs[1]])
+                g.add_vertex(vid, VertexPointXY, world)
+                seen.add(vid)
+            if "pointxy" in sensors:
+                obs = local + rng.normal(scale=landmark_noise)
+                g.add_edge(EdgeSE2PointXY, [i, vid], obs, info_lm)
+            if "bearing" in sensors:
+                b = np.arctan2(local[1], local[0]) + \
+                    rng.normal(scale=bearing_noise)
+                g.add_edge(EdgeSE2PointXYBearing, [i, vid], [b], info_bearing)
+    return g
+
+
+def create_simulator3d(n_poses: int = 100, n_landmarks: int = 80,
+                       world_size: float = 15.0, sensor_range: float = 6.0,
+                       trans_noise=(0.02, 0.02, 0.02),
+                       rot_noise=(0.005, 0.005, 0.005),
+                       landmark_noise=(0.03, 0.03, 0.03),
+                       seed: int = 0) -> Graph:
+    """3D simulator: SE3 trajectory + XYZ landmark observations through an
+    identity sensor offset (``EDGE_SE3_TRACKXYZ``) — analogue of the 3D
+    simulator app (``apps/g2o_simulator/test_simulator3d.cpp``)."""
+    from g2o_tpu.types.slam3d import (
+        EdgeSE3, EdgeSE3PointXYZ, VertexSE3, VertexPointXYZ,
+    )
+
+    rng = np.random.default_rng(seed)
+    landmarks = rng.uniform(-world_size / 2, world_size / 2,
+                            size=(n_landmarks, 3))
+
+    gt = [np.array([0, 0, 0, 0, 0, 0, 1.0])]
+    for i in range(1, n_poses):
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        ang = rng.normal(scale=0.15)
+        q = np.concatenate([np.sin(ang / 2) * ax, [np.cos(ang / 2)]])
+        step = np.concatenate([[0.6, 0, 0], q])
+        nxt = _se3_mul(gt[-1], step)
+        if np.abs(nxt[:3]).max() > world_size / 2:
+            turn = _se3(_rotz(np.pi / 2), np.zeros(3))
+            nxt = _se3_mul(gt[-1], turn)
+        gt.append(nxt)
+
+    g = Graph()
+    g.add_parameter(0, np.array([0, 0, 0, 0, 0, 0, 1.0]))  # identity offset
+    info_odo = np.zeros((6, 6))
+    info_odo[:3, :3] = np.diag(1.0 / np.square(trans_noise))
+    info_odo[3:, 3:] = np.diag(1.0 / np.square(rot_noise))
+    info_lm = np.diag(1.0 / np.square(landmark_noise))
+
+    for i, p in enumerate(gt):
+        g.add_vertex(i, VertexSE3, p, fixed=(i == 0))
+    for i in range(1, n_poses):
+        t = _se3_mul(_se3_inv(gt[i - 1]), gt[i])
+        qn = rng.normal(scale=rot_noise)
+        qw = max(1.0 - np.linalg.norm(qn), 0.0)
+        dq = np.concatenate([qn, [qw]])
+        dq /= np.linalg.norm(dq)
+        noisy = _se3_mul(t, np.concatenate([rng.normal(scale=trans_noise), dq]))
+        g.add_edge(EdgeSE3, [i - 1, i], noisy, info_odo)
+
+    seen = set()
+    lm_vid0 = n_poses
+    for i, p in enumerate(gt):
+        R = _quat_to_matrix(p[3:])
+        for k in range(n_landmarks):
+            rel = landmarks[k] - p[:3]
+            if np.linalg.norm(rel) >= sensor_range:
+                continue
+            local = R.T @ rel
+            vid = lm_vid0 + k
+            if vid not in seen:
+                obs = local + rng.normal(scale=landmark_noise)
+                g.add_vertex(vid, VertexPointXYZ, p[:3] + R @ obs)
+                seen.add(vid)
+            obs = local + rng.normal(scale=landmark_noise)
+            g.add_edge(EdgeSE3PointXYZ, [i, vid], obs, info_lm, param_id=0)
+    return g
+
+
 def create_ba_scene(n_cameras: int = 15, n_points: int = 300,
                     focal: float = 1000.0, cx: float = 320.0, cy: float = 240.0,
                     pixel_noise: float = 1.0, outlier_ratio: float = 0.0,

@@ -93,6 +93,126 @@ EdgeProjectXYZ2UVU = register_edge(EdgeType(
 ))
 
 
+# --- classic SBA types (reference ``types_sba.h``, ``sbacam.h``) --------- #
+# VertexCam state = [t(3), q(4 xyzw), fx, fy, cx, cy, baseline] (rep 12).
+# SBACam::update (``sbacam.h:95-111``): global-additive translation, small
+# compact-quaternion POST-multiplication on the rotation; intrinsics fixed.
+
+
+def _vertex_cam_oplus(x, delta):
+    t = x[..., :3] + delta[..., :3]
+    dq = lie.quat_from_compact(delta[..., 3:6])
+    q = lie.quat_normalize(lie.quat_mul(x[..., 3:7], dq))
+    return jnp.concatenate([t, q, x[..., 7:]], axis=-1)
+
+
+VertexCam = register_vertex(VertexType(
+    name="VERTEX_CAM",
+    rep_dim=12,
+    tangent_dim=6,
+    oplus=_vertex_cam_oplus,
+    tags=("VERTEX_CAM",),
+))
+
+VertexIntrinsics = register_vertex(VertexType(
+    name="VERTEX_INTRINSICS",
+    rep_dim=5,
+    tangent_dim=5,
+    oplus=lambda x, d: x + d,
+    tags=("VERTEX_INTRINSICS",),
+))
+
+
+def _cam_w2n_apply(cam, pw):
+    """world -> node frame: R^T (p - t) (``sbacam.h`` transformW2F)."""
+    t, q = cam[..., :3], cam[..., 3:7]
+    return lie.quat_rotate(lie.quat_conj(q), pw - t)
+
+
+def _edge_p2mc_residual(states, meas, param):
+    """Mono projection (``types_sba.h:168-189``): p = K w2n pt;
+    error = p.xy/p.z - z."""
+    point, cam = states
+    pn = _cam_w2n_apply(cam, point)
+    fx, fy, cx, cy = cam[..., 7], cam[..., 8], cam[..., 9], cam[..., 10]
+    u = fx * pn[..., 0] + cx * pn[..., 2]
+    v = fy * pn[..., 1] + cy * pn[..., 2]
+    perr = jnp.stack([u / pn[..., 2], v / pn[..., 2]], axis=-1)
+    return perr - meas
+
+
+EdgeProjectP2MC = register_edge(EdgeType(
+    name="EDGE_PROJECT_P2MC",
+    vertex_types=(VertexPointXYZ, VertexCam),
+    residual_dim=2,
+    residual=_edge_p2mc_residual,
+    meas_dim=2,
+    tags=("EDGE_PROJECT_P2MC",),
+))
+
+
+def _edge_p2sc_residual(states, meas, param):
+    """Stereo projection (``types_sba.h:207-236``): [u, v, u_right]."""
+    point, cam = states
+    pn = _cam_w2n_apply(cam, point)
+    fx, fy, cx, cy = cam[..., 7], cam[..., 8], cam[..., 9], cam[..., 10]
+    baseline = cam[..., 11]
+    u = (fx * pn[..., 0] + cx * pn[..., 2]) / pn[..., 2]
+    v = (fy * pn[..., 1] + cy * pn[..., 2]) / pn[..., 2]
+    # right camera: shift node frame by baseline along x
+    xr = pn[..., 0] - baseline
+    ur = (fx * xr + cx * pn[..., 2]) / pn[..., 2]
+    return jnp.stack([u, v, ur], axis=-1) - meas
+
+
+EdgeProjectP2SC = register_edge(EdgeType(
+    name="EDGE_PROJECT_P2SC",
+    vertex_types=(VertexPointXYZ, VertexCam),
+    residual_dim=3,
+    residual=_edge_p2sc_residual,
+    meas_dim=3,
+    tags=("EDGE_PROJECT_P2SC",),
+))
+
+
+def _edge_sba_cam_residual(states, meas, param):
+    """Camera-camera constraint (``types_sba.h:292-303``): error =
+    [t, q.vec] of Z^-1 (X1^-1 X2) on the pose part."""
+    c1, c2 = states
+    x1, x2 = c1[..., :7], c2[..., :7]
+    delta = lie.se3_compose(lie.se3_inverse(x1), x2)
+    err = lie.se3_compose(lie.se3_inverse(meas), delta)
+    # reference takes raw quaternion vec (no w>0 normalisation here)
+    return jnp.concatenate([err[..., :3], err[..., 3:6]], axis=-1)
+
+
+EdgeSBACam = register_edge(EdgeType(
+    name="EDGE_CAM",
+    vertex_types=(VertexCam, VertexCam),
+    residual_dim=6,
+    residual=_edge_sba_cam_residual,
+    meas_dim=7,
+    tags=("EDGE_CAM",),
+))
+
+
+def _edge_sba_scale_residual(states, meas, param):
+    """Distance constraint between camera centres (``types_sba.h:345-351``)."""
+    c1, c2 = states
+    dt = c2[..., :3] - c1[..., :3]
+    return meas - jnp.linalg.norm(dt, axis=-1, keepdims=True)
+
+
+EdgeSBAScale = register_edge(EdgeType(
+    name="EDGE_SCALE",
+    vertex_types=(VertexCam, VertexCam),
+    residual_dim=1,
+    residual=_edge_sba_scale_residual,
+    meas_dim=1,
+    tags=("EDGE_SCALE",),
+))
+
+
 # --- ORB-SLAM-style projection edges (per-edge intrinsics as params) ----- #
 # Reference classes store fx/fy/cx/cy (and bf for stereo) as public edge
 # members set programmatically (``types_six_dof_expmap.h:200-290``,

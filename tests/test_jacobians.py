@@ -30,6 +30,14 @@ def rand_state(vt):
         s = np.exp(rng.normal() * 0.2)
         intr = np.array([500.0, 500.0, 320.0, 240.0, 450.0, 450.0, 300.0, 220.0])
         return jnp.asarray(np.concatenate([rng.normal(size=3), q, [s], intr]))
+    if vt.name == "VERTEX_CAM":
+        # near-identity orientation + small offset keeps test points in
+        # front of the camera (z ~ 4..6)
+        q = np.array([0.05, -0.04, 0.03, 1.0]) + rng.normal(size=4) * 0.02
+        q /= np.linalg.norm(q)
+        t = rng.normal(size=3) * 0.3
+        intr = np.array([500.0, 510.0, 320.0, 240.0, 0.2])
+        return jnp.asarray(np.concatenate([t, q, intr]))
     if vt.name == "VERTEX_TRACKXYZ":
         # keep points away from any camera plane (z ~ 0 singularities)
         p = rng.normal(size=3)
