@@ -260,6 +260,10 @@ class SparseOptimizer:
         self.batch_statistics: list[BatchStatistics] = []
         self.force_stop = False
         self.terminate_gain_threshold: Optional[float] = None
+        # pre/post iteration hooks — analogue of HyperGraphAction
+        # (``g2o/core/hyper_graph_action.h:49``); called as fn(optimizer, it)
+        self.pre_iteration_actions: list = []
+        self.post_iteration_actions: list = []
 
     def chi2(self):
         c, _ = self.problem.chi2_jit(self.problem.data, self.problem.estimates)
@@ -279,9 +283,13 @@ class SparseOptimizer:
                 num_vertices=sum(self.problem.counts.values()),
                 num_edges=self.problem.num_edges,
             )
+            for action in self.pre_iteration_actions:
+                action(self, it)
             t0 = time.perf_counter()
             ok = self.algorithm.step(self, it, stats)
             stats.time_iteration = time.perf_counter() - t0
+            for action in self.post_iteration_actions:
+                action(self, it)
             cum_time += stats.time_iteration
             self.batch_statistics.append(stats)
             if self.verbose:

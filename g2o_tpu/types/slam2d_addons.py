@@ -1,0 +1,97 @@
+"""Segment/line 2D SLAM types — analogue of ``g2o/types/slam2d_addons``.
+
+* ``VERTEX_SEGMENT2D``: two endpoints (p1x p1y p2x p2y), additive update
+  (``vertex_segment2d.h:82-86``).
+* ``VERTEX_LINE2D``: (theta, rho), additive with angle normalisation
+  (``vertex_line2d.h:86-90``).
+* ``EDGE_SE2_SEGMENT2D``: both endpoints in the observing pose frame
+  (``edge_se2_segment2d.h:49-59``).
+* ``EDGE_SE2_LINE2D``: line observed from a pose
+  (``edge_se2_line2d.h:45-57``).
+* ``EDGE_LINE2D``: line-line difference (``edge_line2d.h:43-48``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from g2o_tpu.core.types import EdgeType, VertexType, register_edge, register_vertex
+from g2o_tpu.ops import lie
+from g2o_tpu.types.slam2d import VertexSE2
+
+
+VertexSegment2D = register_vertex(VertexType(
+    name="VERTEX_SEGMENT2D",
+    rep_dim=4,
+    tangent_dim=4,
+    oplus=lambda x, d: x + d,
+    tags=("VERTEX_SEGMENT2D",),
+))
+
+
+def _line2d_oplus(x, d):
+    out = x + d
+    return jnp.stack([lie.normalize_angle(out[..., 0]), out[..., 1]], axis=-1)
+
+
+VertexLine2D = register_vertex(VertexType(
+    name="VERTEX_LINE2D",
+    rep_dim=2,
+    tangent_dim=2,
+    oplus=_line2d_oplus,
+    tags=("VERTEX_LINE2D",),
+))
+
+
+def _edge_se2_segment2d_residual(states, meas, param):
+    x, seg = states
+    inv = lie.se2_inverse(x)
+    e1 = lie.se2_act(inv, seg[..., 0:2])
+    e2 = lie.se2_act(inv, seg[..., 2:4])
+    return jnp.concatenate([e1, e2], axis=-1) - meas
+
+
+EdgeSE2Segment2D = register_edge(EdgeType(
+    name="EDGE_SE2_SEGMENT2D",
+    vertex_types=(VertexSE2, VertexSegment2D),
+    residual_dim=4,
+    residual=_edge_se2_segment2d_residual,
+    meas_dim=4,
+    tags=("EDGE_SE2_SEGMENT2D",),
+))
+
+
+def _edge_se2_line2d_residual(states, meas, param):
+    x, line = states
+    inv = lie.se2_inverse(x)
+    theta = lie.normalize_angle(line[..., 0] + inv[..., 2])
+    n = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+    rho = line[..., 1] + jnp.sum(n * inv[..., :2], axis=-1)
+    err_theta = lie.normalize_angle(theta - meas[..., 0])
+    err_rho = rho - meas[..., 1]
+    return jnp.stack([err_theta, err_rho], axis=-1)
+
+
+EdgeSE2Line2D = register_edge(EdgeType(
+    name="EDGE_SE2_LINE2D",
+    vertex_types=(VertexSE2, VertexLine2D),
+    residual_dim=2,
+    residual=_edge_se2_line2d_residual,
+    meas_dim=2,
+    tags=("EDGE_SE2_LINE2D",),
+))
+
+
+def _edge_line2d_residual(states, meas, param):
+    l1, l2 = states
+    return (l2 - l1) - meas
+
+
+EdgeLine2D = register_edge(EdgeType(
+    name="EDGE_LINE2D",
+    vertex_types=(VertexLine2D, VertexLine2D),
+    residual_dim=2,
+    residual=_edge_line2d_residual,
+    meas_dim=2,
+    tags=("EDGE_LINE2D",),
+))

@@ -1,0 +1,120 @@
+"""Properties, tictoc, export, iteration hooks, addons types."""
+
+import os
+
+import numpy as np
+import pytest
+
+from g2o_tpu.core.optimizer import SparseOptimizer
+from g2o_tpu.core.solvers import DenseSolver
+from g2o_tpu.io.export import write_dot, write_gnuplot
+from g2o_tpu.sim.generators import create_manhattan
+from g2o_tpu.utils import PropertyMap, tictoc
+
+
+def test_property_map():
+    pm = PropertyMap()
+    pm.make_property("maxIterations", 10)
+    pm.make_property("lambdaInit", 1e-5)
+    assert pm.update_from_string("maxIterations=25,lambdaInit=0.5") == 2
+    assert pm.get_value("maxIterations") == 25
+    assert pm.get_value("lambdaInit") == 0.5
+    with pytest.raises(KeyError):
+        pm.update_from_string("bogus=1")
+    with pytest.raises(ValueError):
+        pm.update_from_string("noequals")
+
+
+def test_tictoc(monkeypatch):
+    monkeypatch.setenv("G2O_ENABLE_TICTOC", "1")
+    tictoc.reset()
+    with tictoc.tictoc("foo"):
+        pass
+    with tictoc.tictoc("foo"):
+        pass
+    s = tictoc.stats()
+    assert s["foo"]["count"] == 2
+    assert s["foo"]["total"] >= 0
+
+
+def test_tictoc_disabled(monkeypatch):
+    monkeypatch.delenv("G2O_ENABLE_TICTOC", raising=False)
+    tictoc.reset()
+    tictoc.tic("x")
+    tictoc.toc("x")
+    assert tictoc.stats() == {}
+
+
+def test_export(tmp_path):
+    g = create_manhattan(n_poses=20, seed=1)
+    gp = str(tmp_path / "g.dat")
+    dp = str(tmp_path / "g.dot")
+    write_gnuplot(g, gp)
+    write_dot(g, dp, max_edges=10)
+    dat = open(gp).read()
+    assert "# edges" in dat and "# vertices" in dat
+    dot = open(dp).read()
+    assert dot.startswith("graph g2o") and "v0 --" in dot
+
+
+def test_iteration_hooks():
+    g = create_manhattan(n_poses=15, seed=2)
+    p = g.compile()
+    opt = SparseOptimizer(p, solver=DenseSolver())
+    seen = []
+    opt.pre_iteration_actions.append(lambda o, i: seen.append(("pre", i)))
+    opt.post_iteration_actions.append(lambda o, i: seen.append(("post", i)))
+    opt.optimize(3)
+    assert ("pre", 0) in seen and ("post", 2) in seen
+    assert len(seen) == 6
+
+
+def test_plane_types():
+    import jax.numpy as jnp
+
+    from g2o_tpu.types.slam3d_addons import (
+        plane_ominus, plane_oplus, plane_transform,
+    )
+
+    c = jnp.asarray([0.0, 0.0, 1.0, -2.0])  # z=2 plane
+    # oplus zero is identity
+    np.testing.assert_allclose(np.asarray(plane_oplus(c, jnp.zeros(3))), c,
+                               atol=1e-12)
+    # ominus of itself is zero
+    np.testing.assert_allclose(np.asarray(plane_ominus(c, c)), 0, atol=1e-12)
+    # transform by +1z translation: coeff3' = coeff3 - t.n (reference
+    # ``plane3d.h:121-128``) -> plane moves to z=3
+    x = jnp.asarray([0.0, 0, 1.0, 0, 0, 0, 1])
+    c2 = np.asarray(plane_transform(x, c))
+    np.testing.assert_allclose(c2, [0, 0, 1, -3.0], atol=1e-12)
+
+
+def test_segment_line_optimize():
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.ops import lie
+    from g2o_tpu.types.slam2d import VertexSE2
+    from g2o_tpu.types.slam2d_addons import (
+        EdgeSE2Segment2D, VertexSegment2D,
+    )
+
+    rng = np.random.default_rng(5)
+    seg_gt = np.array([1.0, 2.0, 3.0, 2.5])
+    poses = [np.array([0.0, 0, 0]), np.array([0.5, -0.3, 0.4])]
+    g = Graph()
+    for i, x in enumerate(poses):
+        g.add_vertex(i, VertexSE2, x, fixed=True)
+    g.add_vertex(10, VertexSegment2D, seg_gt + rng.normal(scale=0.3, size=4))
+    for i, x in enumerate(poses):
+        inv = lie.se2_inverse(jnp.asarray(x))
+        m = np.concatenate([
+            np.asarray(lie.se2_act(inv, jnp.asarray(seg_gt[:2]))),
+            np.asarray(lie.se2_act(inv, jnp.asarray(seg_gt[2:]))),
+        ])
+        g.add_edge(EdgeSE2Segment2D, [i, 10], m, np.eye(4) * 10)
+    p = g.compile()
+    opt = SparseOptimizer(p, solver=DenseSolver())
+    opt.optimize(20)
+    assert opt.chi2() < 1e-12
+    np.testing.assert_allclose(p.get_estimate(10), seg_gt, atol=1e-6)
