@@ -189,6 +189,46 @@ class Graph:
                 e.kernel = int(kernel)
                 e.delta = float(delta)
 
+    # -- sanity checks -----------------------------------------------------
+
+    def verify_information_matrices(self, verbose: bool = False) -> bool:
+        """Check every edge's information matrix is symmetric positive
+        (semi)definite — reference ``verifyInformationMatrices``
+        (``g2o/core/optimizable_graph.h:630``)."""
+        ok = True
+        for i, e in enumerate(self._edges):
+            info = e.information
+            if not np.allclose(info, info.T, atol=1e-9):
+                ok = False
+                if verbose:
+                    print(f"edge {i} ({e.etype.name} {e.vids}): information "
+                          f"matrix not symmetric")
+                continue
+            ev = np.linalg.eigvalsh(info)
+            if ev.min() < -1e-9:
+                ok = False
+                if verbose:
+                    print(f"edge {i} ({e.etype.name} {e.vids}): information "
+                          f"matrix not PSD (min eig {ev.min():.3g})")
+        return ok
+
+    def check_finite(self, verbose: bool = False) -> bool:
+        """NaN/Inf sanitizer over estimates and measurements — the debug
+        checks of the reference (``sparse_optimizer.cpp:80-88,252-263``)."""
+        ok = True
+        for vid, rec in self._vertices.items():
+            if not np.isfinite(rec.estimate).all():
+                ok = False
+                if verbose:
+                    print(f"vertex {vid}: non-finite estimate")
+        for i, e in enumerate(self._edges):
+            if not (np.isfinite(e.measurement).all()
+                    and np.isfinite(e.information).all()):
+                ok = False
+                if verbose:
+                    print(f"edge {i} ({e.etype.name}): non-finite data")
+        return ok
+
     # -- compile -----------------------------------------------------------
 
     def compile(self, *, level: int = 0, dtype=None,

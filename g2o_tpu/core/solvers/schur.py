@@ -33,8 +33,17 @@ import numpy as np
 class SchurSolver:
     name = "schur"
 
-    def __init__(self, use_cholesky: bool = True):
+    def __init__(self, use_cholesky: bool = True, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with an ``'edges'`` axis.
+        When given, the observation and Schur-pair batches are sharded over
+        it, so the per-landmark inversions, B-block products and pair
+        outer-products run data-parallel; GSPMD inserts the
+        psum/reduce-scatter collectives when the partial results accumulate
+        into the replicated reduced camera system — the distributed
+        formulation of the reference's shared-memory Schur loop
+        (``block_solver.hpp:339-393``, SURVEY.md §2.7/§7)."""
         self.use_cholesky = use_cholesky
+        self.mesh = mesh
         self._solve_jit = None
 
     # ------------------------------------------------------------------ #
@@ -137,9 +146,6 @@ class SchurSolver:
                       if pairs_a else np.zeros(0, np.int32))
         pairs_b_np = (np.concatenate(pairs_b).astype(np.int32)
                       if pairs_b else np.zeros(0, np.int32))
-        pairs_a = jnp.asarray(pairs_a_np)
-        pairs_b = jnp.asarray(pairs_b_np)
-
         # group pairs by (camera-block-row, camera-block-col): many landmark
         # pairs share a camera pair, so Schur contributions are segment-summed
         # into <= (#cam blocks)^2 unique blocks before touching the dense
@@ -153,7 +159,33 @@ class SchurSolver:
         n_uniq = len(uniq)
         uniq_row = (uniq >> 32).astype(np.int32)
         uniq_col = (uniq & 0xFFFFFFFF).astype(np.int32)
-        pair_seg = jnp.asarray(pair_seg_np.astype(np.int32))
+        pair_seg_np = pair_seg_np.astype(np.int32)
+        pair_valid_np = np.ones(len(pairs_a_np), dtype=bool)
+
+        # shard the pair batch over the mesh edge axis (pad to divisibility;
+        # padded pairs masked out)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.devices.size
+            n_pad = (-len(pairs_a_np)) % n_dev
+            if n_pad:
+                pairs_a_np = np.concatenate(
+                    [pairs_a_np, np.zeros(n_pad, np.int32)])
+                pairs_b_np = np.concatenate(
+                    [pairs_b_np, np.zeros(n_pad, np.int32)])
+                pair_seg_np = np.concatenate(
+                    [pair_seg_np, np.zeros(n_pad, np.int32)])
+                pair_valid_np = np.concatenate(
+                    [pair_valid_np, np.zeros(n_pad, bool)])
+            shard = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            put = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
+        else:
+            put = jnp.asarray
+        pairs_a = put(pairs_a_np)
+        pairs_b = put(pairs_b_np)
+        pair_seg = put(pair_seg_np)
+        pair_valid = put(pair_valid_np)
         uniq_row_j = jnp.asarray(uniq_row)
         uniq_col_j = jnp.asarray(uniq_col)
 
@@ -256,6 +288,7 @@ class SchurSolver:
             Hpp = build_Hpp(data, lin, lam)
             BD = jnp.einsum("edl,elm->edm", B, Dinv[obs_lm])   # (Eo, dp, dl)
             M = jnp.einsum("pdm,pfm->pdf", BD[pairs_a], B[pairs_b])
+            M = M * pair_valid[:, None, None].astype(M.dtype)
             Mu = jax.ops.segment_sum(M, pair_seg, num_segments=n_uniq)
             rows = (uniq_row_j[:, None] + jnp.arange(dp)[None, :])[:, :, None]
             cols = (uniq_col_j[:, None] + jnp.arange(dp)[None, :])[:, None, :]

@@ -136,3 +136,101 @@ EdgePointXY = register_edge(EdgeType(
     meas_dim=2,
     tags=("EDGE_POINTXY",),
 ))
+
+
+def _edge_se2_xy_prior_residual(states, meas, param):
+    """Position-only prior on an SE2 pose
+    (``g2o/types/slam2d/edge_se2_xyprior.h:66-70``)."""
+    (x,) = states
+    return x[..., :2] - meas
+
+
+EdgeSE2XYPrior = register_edge(EdgeType(
+    name="EDGE_PRIOR_SE2_XY",
+    vertex_types=(VertexSE2,),
+    residual_dim=2,
+    residual=_edge_se2_xy_prior_residual,
+    meas_dim=2,
+    tags=("EDGE_PRIOR_SE2_XY",),
+))
+
+
+def _edge_se2_xy_calib_residual(states, meas, param):
+    """Landmark observation through an estimated sensor offset
+    (``g2o/types/slam2d/edge_se2_pointxy_calib.h:46-52``)."""
+    x, l, calib = states
+    sensor = lie.se2_compose(x, calib)
+    return lie.se2_act(lie.se2_inverse(sensor), l) - meas
+
+
+EdgeSE2PointXYCalib = register_edge(EdgeType(
+    name="EDGE_SE2_XY_CALIB",
+    vertex_types=(VertexSE2, VertexPointXY, VertexSE2),
+    residual_dim=2,
+    residual=_edge_se2_xy_calib_residual,
+    meas_dim=2,
+    tags=("EDGE_SE2_XY_CALIB",),
+))
+
+
+def _edge_se2_offset_residual(states, meas, param):
+    """Pose-pose constraint through per-end sensor offsets
+    (``g2o/types/slam2d/edge_se2_offset.cpp:96-100``);
+    params = [offset_from(3), offset_to(3)]."""
+    xi, xj = states
+    oi, oj = param[..., :3], param[..., 3:6]
+    ni = lie.se2_compose(xi, oi)
+    nj = lie.se2_compose(xj, oj)
+    delta = lie.se2_compose(lie.se2_inverse(ni), nj)
+    return lie.se2_compose(lie.se2_inverse(meas), delta)
+
+
+EdgeSE2Offset = register_edge(EdgeType(
+    name="EDGE_SE2_OFFSET",
+    vertex_types=(VertexSE2, VertexSE2),
+    residual_dim=3,
+    residual=_edge_se2_offset_residual,
+    meas_dim=3,
+    param_dim=6,
+    num_params=2,
+    tags=("EDGE_SE2_OFFSET",),
+))
+
+
+def _edge_se2_xy_offset_residual(states, meas, param):
+    """Landmark observation through a fixed sensor offset parameter
+    (``g2o/types/slam2d/edge_se2_pointxy_offset.cpp:89-98``)."""
+    x, l = states
+    sensor = lie.se2_compose(x, param[..., :3])
+    return lie.se2_act(lie.se2_inverse(sensor), l) - meas
+
+
+EdgeSE2PointXYOffset = register_edge(EdgeType(
+    name="EDGE_SE2_POINTXY_OFFSET",
+    vertex_types=(VertexSE2, VertexPointXY),
+    residual_dim=2,
+    residual=_edge_se2_xy_offset_residual,
+    meas_dim=2,
+    param_dim=3,
+    tags=("EDGE_SE2_POINTXY_OFFSET",),
+))
+
+
+def _edge_se2_two_points_residual(states, meas, param):
+    """Two landmarks observed from one pose (reference
+    ``EdgeSE2TwoPointsXY``, ``edge_se2_twopointsxy.cpp``): both points in
+    the observing frame stacked into a 4-vector."""
+    x, p1, p2 = states
+    inv = lie.se2_inverse(x)
+    return jnp.concatenate(
+        [lie.se2_act(inv, p1), lie.se2_act(inv, p2)], axis=-1) - meas
+
+
+EdgeSE2TwoPointsXY = register_edge(EdgeType(
+    name="EDGE_SE2_TWOPOINTSXY",
+    vertex_types=(VertexSE2, VertexPointXY, VertexPointXY),
+    residual_dim=4,
+    residual=_edge_se2_two_points_residual,
+    meas_dim=4,
+    tags=("EDGE_SE2_TWOPOINTSXY",),
+))
