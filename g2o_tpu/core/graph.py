@@ -55,6 +55,10 @@ class Graph:
         self._vertices: dict[int, _VertexRec] = {}
         self._edges: list[_EdgeRec] = []
         self._parameters: dict[int, np.ndarray] = {}
+        # raw sensor-data payloads attached to vertices (reference
+        # ``Data``/``DataContainer``, ``hyper_graph.h:95,119`` — e.g.
+        # ROBOTLASER1 lines); kept verbatim for round-trip fidelity
+        self._vertex_data: dict[int, list] = {}
 
     # -- vertices ----------------------------------------------------------
 
@@ -91,6 +95,15 @@ class Graph:
         est = np.asarray(estimate, dtype=np.float64).reshape(-1)
         assert est.shape[0] == rec.vtype.rep_dim
         rec.estimate = est
+
+    def add_vertex_data(self, vid: int, raw_line: str):
+        """Attach a raw data payload line (e.g. a laser scan) to a vertex."""
+        if vid not in self._vertices:
+            raise ValueError(f"unknown vertex id {vid}")
+        self._vertex_data.setdefault(vid, []).append(raw_line)
+
+    def vertex_data(self, vid: int):
+        return self._vertex_data.get(vid, [])
 
     def remove_vertex(self, vid: int):
         """Remove a vertex and every edge incident to it (reference

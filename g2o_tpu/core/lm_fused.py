@@ -34,11 +34,12 @@ from g2o_tpu.core.optimizer import (
 
 
 def make_lm_iteration(problem, solve_fn, max_trials: int):
-    """Build the single fused LM iteration function (unjitted)."""
+    """Build the single fused LM iteration function (unjitted).  Solver-owned
+    index arrays travel via ``aux`` (a pytree argument, not baked constants)."""
     p = problem
     dtype = p.dtype
 
-    def one_iteration(data, estimates, lam, ni):
+    def one_iteration(data, estimates, lam, ni, aux):
         lin = p.linearize_fn(data, estimates)
         chi0 = lin.chi2_robust
 
@@ -48,7 +49,7 @@ def make_lm_iteration(problem, solve_fn, max_trials: int):
 
         def body(carry):
             good, trials, lam, ni, est_out, chi_out = carry
-            dx = solve_fn(data, lin, lam)
+            dx = solve_fn(data, lin, lam, aux)
             cand = p.apply_update_fn(data, estimates, dx)
             chi_new, _ = p.chi2_fn(data, cand)
             scale = jnp.dot(dx, lam * dx + lin.b) + jnp.asarray(1e-3, dtype)
@@ -87,7 +88,7 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
     dtype = problem.dtype
     gt = float(gain_threshold)
 
-    def run(data, estimates, lam, ni, n_iters):
+    def run(data, estimates, lam, ni, n_iters, aux):
         chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
         trial_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
 
@@ -99,7 +100,7 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
         def body(carry):
             it, stop, est, lam, ni, chi_prev, chi_hist, trial_hist = carry
             est2, chi0, chi_f, lam2, ni2, good, trials = one_iteration(
-                data, est, lam, ni)
+                data, est, lam, ni, aux)
             chi_hist = chi_hist.at[it].set(chi0)
             trial_hist = trial_hist.at[it].set(trials)
             # stop on failed iteration or sub-threshold relative gain
@@ -152,6 +153,7 @@ def optimize_fused(problem, solver, max_iterations: int, *,
         jnp.asarray(lam0, problem.dtype),
         jnp.asarray(2.0, problem.dtype),
         jnp.asarray(max_iterations, jnp.int32),
+        solver.aux,
     )
     jax.block_until_ready(est)
     wall = time.perf_counter() - t0
@@ -186,6 +188,7 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
         one_iteration = make_lm_iteration(
             optimizer.problem, optimizer.solver._solve_fn, self.max_trials)
         self._iter_jit = jax.jit(one_iteration)
+        self._solver = optimizer.solver
 
     def step(self, optimizer, iteration, stats):
         p = optimizer.problem
@@ -201,6 +204,7 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
             p.data, p.estimates,
             jnp.asarray(self._lambda, p.dtype),
             jnp.asarray(self._ni, p.dtype),
+            self._solver.aux,
         )
         jax.block_until_ready(est)
         stats.time_linearize = time.perf_counter() - t0

@@ -37,6 +37,7 @@ class CGLSSolver:
         self.eta = float(eta)
         self._solve_fn = None
         self._solve_jit = None
+        self.aux = ()  # no solver-owned arrays
 
     def setup(self, problem):
         max_iter, eta = self.max_iter, self.eta
@@ -111,7 +112,7 @@ class CGLSSolver:
         def dot_edges(a, b):
             return sum(jnp.vdot(a[k], b[k]) for k in a)
 
-        def solve(data, lin, lam):
+        def solve(data, lin, lam, aux=()):
             Ls = whiten(lin)
             minv = build_precond(data, lin, lam)
 
@@ -158,4 +159,4 @@ class CGLSSolver:
         return self
 
     def solve(self, data, lin, lam=0.0):
-        return self._solve_jit(data, lin, lam)
+        return self._solve_jit(data, lin, lam, self.aux)

@@ -18,9 +18,10 @@ class DenseSolver:
 
     def __init__(self):
         self._solve_jit = None
+        self.aux = ()  # no solver-owned arrays
 
     def setup(self, problem):
-        def solve(data, lin, lam):
+        def solve(data, lin, lam, aux=()):
             H = problem.dense_hessian_fn(data, lin)
             T = H.shape[0]
             # LM damping: H + lambda I on the diagonal (reference
@@ -35,4 +36,4 @@ class DenseSolver:
         return self
 
     def solve(self, data, lin, lam=0.0):
-        return self._solve_jit(data, lin, lam)
+        return self._solve_jit(data, lin, lam, self.aux)

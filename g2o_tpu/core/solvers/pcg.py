@@ -26,6 +26,7 @@ class PCGSolver:
         self.tol = float(tol)
         self.abs_tol = float(abs_tol)
         self._solve_jit = None
+        self.aux = ()  # no solver-owned arrays
 
     def setup(self, problem):
         max_iter, tol = self.max_iter, self.tol
@@ -58,7 +59,7 @@ class PCGSolver:
             return (problem.hvp_fn(data, lin, v) + lam * v
                     + data.fixed_flat * (v - lam * v))
 
-        def solve(data, lin, lam):
+        def solve(data, lin, lam, aux=()):
             b = lin.b
             minv = build_precond(data, lin, lam)
             x0 = jnp.zeros_like(b)
@@ -93,4 +94,4 @@ class PCGSolver:
         return self
 
     def solve(self, data, lin, lam=0.0):
-        return self._solve_jit(data, lin, lam)
+        return self._solve_jit(data, lin, lam, self.aux)

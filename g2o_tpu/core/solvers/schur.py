@@ -218,6 +218,20 @@ class SchurSolver:
         dtype = problem.dtype
         eye_l = jnp.eye(dl, dtype=dtype)
 
+        # all solver-owned index/mask arrays travel as a runtime argument
+        # (self.aux) instead of jit-closure constants — embedding ~100k-element
+        # index tensors as HLO constants makes compilation (especially remote
+        # compilation) pathologically slow
+        self.aux = dict(
+            obs_cam=obs_cam, obs_lm=obs_lm,
+            pairs_a=pairs_a, pairs_b=pairs_b, pair_seg=pair_seg,
+            pair_valid=pair_valid,
+            uniq_row=uniq_row_j, uniq_col=uniq_col_j,
+            pose_off=pose_off, pose_to_global=pose_to_global,
+            lm_goff=lm_goff, pose_fixed_flat=pose_fixed_flat,
+            lm_fixed=lm_fixed,
+        )
+
         def build_B(data, lin):
             """Per-observation Hessian off-diagonal blocks B = Jp^T W Jl."""
             Bs = []
@@ -228,30 +242,30 @@ class SchurSolver:
             return jnp.concatenate(Bs, axis=0) if Bs else \
                 jnp.zeros((0, dp, dl), dtype=dtype)
 
-        def landmark_diag(lin, lam):
+        def landmark_diag(lin, lam, aux):
             Ds = []
             for t in lm_types:
                 Ds.append(lin.diag[t])
             D = jnp.concatenate(Ds, axis=0) + lam * eye_l
-            fx = lm_fixed.astype(dtype)[:, None, None]
+            fx = aux["lm_fixed"].astype(dtype)[:, None, None]
             D = D * (1.0 - fx) + eye_l * fx
             return D
 
-        def build_Hpp(data, lin, lam):
+        def build_Hpp(data, lin, lam, aux):
             H = jnp.zeros((Tp, Tp), dtype=dtype)
             for t in pose_types:
                 d = problem.vertex_types[t].tangent_dim
-                idx = pose_off[t][:, None] + jnp.arange(d)[None, :]
+                idx = aux["pose_off"][t][:, None] + jnp.arange(d)[None, :]
                 H = H.at[idx[:, :, None], idx[:, None, :]].add(lin.diag[t])
             for name in pose_edge_types:
                 et = problem.edge_types[name]
-                batch = problem.data.edges[name]
+                batch = data.edges[name]
                 Js, W = lin.jacs[name], lin.weights[name]
                 idxs = []
                 for s, vt in enumerate(et.vertex_types):
                     d = vt.tangent_dim
-                    idx = pose_off[vt.name][batch.vidx[:, s]][:, None] + \
-                        jnp.arange(d)[None, :]
+                    idx = aux["pose_off"][vt.name][batch.vidx[:, s]][:, None] \
+                        + jnp.arange(d)[None, :]
                     idxs.append(idx)
                 k = len(Js)
                 for i in range(k):
@@ -264,34 +278,38 @@ class SchurSolver:
                         H = H.at[cols.transpose(0, 2, 1),
                                  rows.transpose(0, 2, 1)].add(
                             Hij.transpose(0, 2, 1))
-            H = H + lam * jnp.eye(Tp, dtype=dtype) + jnp.diag(pose_fixed_flat)
+            H = H + lam * jnp.eye(Tp, dtype=dtype) \
+                + jnp.diag(aux["pose_fixed_flat"])
             return H
 
-        def solve(data, lin, lam):
+        def solve(data, lin, lam, aux):
             B = build_B(data, lin)                        # (Eo, dp, dl)
-            Dinv = jnp.linalg.inv(landmark_diag(lin, lam))  # (NL, dl, dl)
+            Dinv = jnp.linalg.inv(landmark_diag(lin, lam, aux))
 
             # split gradient
-            bp = lin.b[pose_to_global]                    # (Tp,)
-            lm_idx2 = lm_goff[:, None] + jnp.arange(dl)[None, :]
+            bp = lin.b[aux["pose_to_global"]]             # (Tp,)
+            lm_idx2 = aux["lm_goff"][:, None] + jnp.arange(dl)[None, :]
             bl = lin.b[lm_idx2]                           # (NL, dl)
             y = jnp.einsum("nij,nj->ni", Dinv, bl)        # Dinv * bl
 
             # bschur = bp - B * y  (scatter over observations)
-            contrib = jnp.einsum("edl,el->ed", B, y[obs_lm])
-            cam_idx2 = obs_cam[:, None] + jnp.arange(dp)[None, :]
+            contrib = jnp.einsum("edl,el->ed", B, y[aux["obs_lm"]])
+            cam_idx2 = aux["obs_cam"][:, None] + jnp.arange(dp)[None, :]
             bschur = bp.at[cam_idx2].add(-contrib)
 
             # Hschur = Hpp - sum over pairs B_a Dinv B_b^T, aggregated per
             # unique camera-block pair first (segment-sum), then one small
             # block scatter into the dense reduced matrix
-            Hpp = build_Hpp(data, lin, lam)
-            BD = jnp.einsum("edl,elm->edm", B, Dinv[obs_lm])   # (Eo, dp, dl)
-            M = jnp.einsum("pdm,pfm->pdf", BD[pairs_a], B[pairs_b])
-            M = M * pair_valid[:, None, None].astype(M.dtype)
-            Mu = jax.ops.segment_sum(M, pair_seg, num_segments=n_uniq)
-            rows = (uniq_row_j[:, None] + jnp.arange(dp)[None, :])[:, :, None]
-            cols = (uniq_col_j[:, None] + jnp.arange(dp)[None, :])[:, None, :]
+            Hpp = build_Hpp(data, lin, lam, aux)
+            BD = jnp.einsum("edl,elm->edm", B, Dinv[aux["obs_lm"]])
+            M = jnp.einsum("pdm,pfm->pdf", BD[aux["pairs_a"]],
+                           B[aux["pairs_b"]])
+            M = M * aux["pair_valid"][:, None, None].astype(M.dtype)
+            Mu = jax.ops.segment_sum(M, aux["pair_seg"], num_segments=n_uniq)
+            rows = (aux["uniq_row"][:, None]
+                    + jnp.arange(dp)[None, :])[:, :, None]
+            cols = (aux["uniq_col"][:, None]
+                    + jnp.arange(dp)[None, :])[:, None, :]
             Hschur = Hpp.at[rows, cols].add(-Mu)
 
             if self.use_cholesky:
@@ -302,12 +320,12 @@ class SchurSolver:
 
             # back-substitute landmarks: dxl = Dinv (bl - B^T dxp)
             w = jnp.einsum("edl,ed->el", B, dxp[cam_idx2])
-            wl = jnp.zeros_like(bl).at[obs_lm].add(w)
+            wl = jnp.zeros_like(bl).at[aux["obs_lm"]].add(w)
             dxl = jnp.einsum("nij,nj->ni", Dinv, bl - wl)
 
             # assemble full update
             dx = jnp.zeros_like(lin.b)
-            dx = dx.at[pose_to_global].set(dxp)
+            dx = dx.at[aux["pose_to_global"]].set(dxp)
             dx = dx.at[lm_idx2].set(dxl)
             return dx
 
@@ -316,4 +334,4 @@ class SchurSolver:
         return self
 
     def solve(self, data, lin, lam=0.0):
-        return self._solve_jit(data, lin, lam)
+        return self._solve_jit(data, lin, lam, self.aux)

@@ -10,7 +10,7 @@ import numpy as np
 
 from g2o_tpu.core.problem import build_problem
 from g2o_tpu.core.types import REGISTRY
-from g2o_tpu.io.g2o_format import PARAM_TAGS
+from g2o_tpu.io.g2o_format import DATA_TAGS, PARAM_TAGS
 from g2o_tpu.ops import robust as robust_mod
 
 
@@ -60,6 +60,8 @@ def load_problem(path, *, registry=None, dtype=None, kernel=None,
         if tag == "FIX":
             fixed_ids = vals[np.isfinite(vals)].astype(np.int64).ravel()
             continue
+        if tag in DATA_TAGS:
+            continue  # sensor payloads are dropped on the array-direct path
         if tag in PARAM_TAGS or tag.startswith("PARAMS_"):
             for row, n in zip(vals, ncols):
                 params[int(row[0])] = row[1:n].copy()

@@ -29,9 +29,14 @@ from g2o_tpu.core.types import (
 PARAM_TAGS = {
     "PARAMS_SE3OFFSET": 7,
     "PARAMS_SE2OFFSET": 3,
-    "PARAMS_CAMERACALIB": 7 + 2 + 1,   # offset + (fx? legacy camera params)
+    "PARAMS_CAMERACALIB": 7 + 4,       # offset + fx fy cx cy
     "PARAMS_CAMERAPARAMETERS": 4,      # focal_length cx cy baseline (sba)
 }
+
+# sensor-data payload tags attached verbatim to the preceding vertex
+# (reference ``g2o/types/data``: RobotLaser / RawLaser readings)
+DATA_TAGS = ("ROBOTLASER1", "ROBOTLASER2", "RAWLASER1", "RAWLASER2",
+             "VERTEX_TAG", "VERTEX_ELLIPSE")
 
 
 def load(path_or_file, graph: Graph | None = None, registry=None,
@@ -46,6 +51,7 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
     else:
         fh = open(path_or_file, "r")
         close = True
+    last_vid = None
     try:
         for lineno, line in enumerate(fh, 1):
             line = line.strip()
@@ -55,6 +61,10 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
             tag = parts[0]
             if tag == "FIX":
                 fix_ids.extend(int(p) for p in parts[1:])
+                continue
+            if tag in DATA_TAGS:
+                if last_vid is not None:
+                    g.add_vertex_data(last_vid, line)
                 continue
             if tag in PARAM_TAGS or tag.startswith("PARAMS_"):
                 pid = int(parts[1])
@@ -67,6 +77,7 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
                 if vt.from_vector is not None:
                     vals = np.asarray(vt.from_vector(vals))
                 g.add_vertex(vid, vt, vals)
+                last_vid = vid
                 continue
             et = registry.edge_for_tag(tag)
             if et is not None:
@@ -133,6 +144,8 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
             if rec.vtype.to_vector is not None:
                 est = rec.vtype.to_vector(est)
             fh.write(f"{rec.vtype.io_tags[0]} {vid} {_fmt(est)}\n")
+            for raw in g.vertex_data(vid):
+                fh.write(raw + "\n")
             if rec.fixed:
                 fh.write(f"FIX {vid}\n")
         for e in g.edges():

@@ -70,10 +70,15 @@ def make_fused_step(problem, solver, *, donate: bool = True):
     Works single-device or SPMD (pass sharded ``data``/``estimates``)."""
     solve_fn = solver._solve_fn
 
-    def step(data, estimates, lam):
+    def step(data, estimates, lam, aux):
         lin = problem.linearize_fn(data, estimates)
-        dx = solve_fn(data, lin, lam)
+        dx = solve_fn(data, lin, lam, aux)
         new_est = problem.apply_update_fn(data, estimates, dx)
         return new_est, lin.chi2_robust, lin.chi2
 
-    return jax.jit(step, donate_argnums=(1,) if donate else ())
+    step_jit = jax.jit(step, donate_argnums=(1,) if donate else ())
+
+    def run(data, estimates, lam):
+        return step_jit(data, estimates, lam, solver.aux)
+
+    return run
