@@ -16,6 +16,12 @@ import time
 
 def main():
     import jax
+
+    # persistent compilation cache: the expensive first compile of the fused
+    # runner is reused across bench invocations on this machine
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from g2o_tpu.core.optimizer import LevenbergMarquardt, SparseOptimizer

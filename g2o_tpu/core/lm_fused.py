@@ -169,6 +169,70 @@ def optimize_fused(problem, solver, max_iterations: int, *,
     }
 
 
+def make_gn_run(problem, solver, *, max_iters: int = 512):
+    """Whole-run Gauss-Newton device loop (reference
+    ``optimization_algorithm_gauss_newton.cpp:50``): linearize → solve(0) →
+    oplus, no trust region.  Stops early on non-finite chi2."""
+    solve_fn = solver._solve_fn
+    p = problem
+    dtype = p.dtype
+
+    def run(data, estimates, n_iters, aux):
+        chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
+
+        def cond(carry):
+            it, stop = carry[0], carry[1]
+            return jnp.logical_and(it < jnp.minimum(n_iters, max_iters),
+                                   jnp.logical_not(stop))
+
+        def body(carry):
+            it, stop, est, chi_hist = carry
+            lin = p.linearize_fn(data, est)
+            dx = solve_fn(data, lin, jnp.asarray(0.0, dtype), aux)
+            new = p.apply_update_fn(data, est, dx)
+            chi_new, _ = p.chi2_fn(data, new)
+            ok = jnp.isfinite(chi_new)
+            est2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, est)
+            chi_hist = chi_hist.at[it].set(lin.chi2_robust)
+            return (it + 1, jnp.logical_not(ok), est2, chi_hist)
+
+        init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
+                chi_hist)
+        it, stop, est, chi_hist = jax.lax.while_loop(cond, body, init)
+        chi_f, _ = p.chi2_fn(data, est)
+        return est, it, chi_hist, chi_f
+
+    return jax.jit(run, donate_argnums=(1,))
+
+
+def optimize_fused_gn(problem, solver, max_iterations: int, *,
+                      history_cap: int = 512):
+    """Whole-run GN in one device program (see :func:`optimize_fused`)."""
+    solver.setup(problem)
+    max_iterations = min(int(max_iterations), history_cap)
+    cache = problem.__dict__.setdefault("_gn_runner_cache", {})
+    key = (id(solver), history_cap)
+    run = cache.get(key)
+    if run is None:
+        run = make_gn_run(problem, solver, max_iters=history_cap)
+        cache[key] = run
+    t0 = time.perf_counter()
+    est, iters, chi_hist, chi_f = run(
+        problem.data, problem.estimates,
+        jnp.asarray(max_iterations, jnp.int32), solver.aux)
+    jax.block_until_ready(est)
+    wall = time.perf_counter() - t0
+    problem.set_estimates(est)
+    n = int(iters)
+    return {
+        "iterations": n,
+        "wall_s": wall,
+        "chi2_per_iteration": np.asarray(chi_hist)[:n].tolist(),
+        "chi2_final": float(chi_f),
+    }
+
+
 class FusedLevenbergMarquardt(OptimizationAlgorithm):
     """LM with the trust-region retry loop fused on device."""
 

@@ -216,6 +216,38 @@ EdgeSE2PointXYOffset = register_edge(EdgeType(
 ))
 
 
+_LOTS_OF_XY_CACHE: dict = {}
+
+
+def make_edge_se2_lots_of_xy(k: int) -> EdgeType:
+    """Variable-arity landmark edge (reference ``EdgeSE2LotsOfXY``,
+    ``edge_se2_lotsofxy.h`` — a BaseMultiEdge with runtime vertex count).
+
+    XLA needs static arity, so each observed-point count ``k`` gets its own
+    specialized (cached) edge type with measurement dim 2k — edges of equal
+    arity batch together exactly like any other type."""
+    et = _LOTS_OF_XY_CACHE.get(k)
+    if et is not None:
+        return et
+
+    def residual(states, meas, param):
+        x = states[0]
+        inv = lie.se2_inverse(x)
+        preds = [lie.se2_act(inv, p) for p in states[1:]]
+        return jnp.concatenate(preds, axis=-1) - meas
+
+    et = register_edge(EdgeType(
+        name=f"EDGE_SE2_LOTSOFXY_{k}",
+        vertex_types=(VertexSE2,) + (VertexPointXY,) * k,
+        residual_dim=2 * k,
+        residual=residual,
+        meas_dim=2 * k,
+        tags=(f"EDGE_SE2_LOTSOFXY_{k}",),
+    ))
+    _LOTS_OF_XY_CACHE[k] = et
+    return et
+
+
 def _edge_se2_two_points_residual(states, meas, param):
     """Two landmarks observed from one pose (reference
     ``EdgeSE2TwoPointsXY``, ``edge_se2_twopointsxy.cpp``): both points in

@@ -131,6 +131,35 @@ EdgeXYZPrior = register_edge(EdgeType(
 ))
 
 
+_LOTS_OF_XYZ_CACHE: dict = {}
+
+
+def make_edge_se3_lots_of_xyz(k: int) -> EdgeType:
+    """Variable-arity 3D landmark edge (reference ``EdgeSE3LotsOfXYZ``,
+    ``edge_se3_lotsofxyz.h``) — one cached static-arity specialization per
+    observed-point count (see the 2D counterpart for rationale)."""
+    et = _LOTS_OF_XYZ_CACHE.get(k)
+    if et is not None:
+        return et
+
+    def residual(states, meas, param):
+        x = states[0]
+        inv = lie.se3_inverse(x)
+        preds = [lie.se3_act(inv, p) for p in states[1:]]
+        return jnp.concatenate(preds, axis=-1) - meas
+
+    et = register_edge(EdgeType(
+        name=f"EDGE_SE3_LOTSOF_XYZ_{k}",
+        vertex_types=(VertexSE3,) + (VertexPointXYZ,) * k,
+        residual_dim=3 * k,
+        residual=residual,
+        meas_dim=3 * k,
+        tags=(f"EDGE_SE3_LOTSOF_XYZ_{k}",),
+    ))
+    _LOTS_OF_XYZ_CACHE[k] = et
+    return et
+
+
 def _edge_se3_offset_residual(states, meas, param):
     """Reference ``EdgeSE3Offset::computeError``
     (``g2o/types/slam3d/edge_se3_offset.cpp:102-105``): two poses observed

@@ -1,0 +1,70 @@
+"""Venice-scale BA benchmark — the BASELINE.json config-4 analogue.
+
+No dataset download exists in this environment, so a Venice-like synthetic
+problem is generated (hundreds of cameras, hundreds of thousands of points,
+~1M observations).  At this scale the explicit Schur pair list is memory-
+prohibitive (sum of squared landmark degrees), which is exactly why the
+reference fork built the square-root CGLS path — we benchmark that.
+
+Usage: python scripts/bench_venice.py [N_CAMERAS] [N_POINTS] [N_ITERS]
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from g2o_tpu.core.lm_fused import optimize_fused
+    from g2o_tpu.core.solvers.cgls import CGLSSolver
+    from g2o_tpu.io.bal import load_bal, make_synthetic_bal
+
+    n_cams = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
+    n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    t0 = time.perf_counter()
+    text = make_synthetic_bal(n_cameras=n_cams, n_points=n_pts,
+                              n_obs_per_point=6, pixel_noise=1.0, seed=0)
+    g = load_bal(io.StringIO(text), huber=2.0)
+    rng = np.random.default_rng(1)
+    for vid, rec in g.vertices().items():
+        if rec.marginalized:
+            rec.estimate = rec.estimate + rng.normal(scale=0.05, size=3)
+    p = g.compile()
+    build_s = time.perf_counter() - t0
+    n_obs = p.num_edges
+
+    solver = CGLSSolver(max_iter=60, eta=1e-2)
+    res = optimize_fused(p, solver, 2)           # warm-up/compile
+    res = optimize_fused(p, solver, n_iters)
+
+    out = {
+        "metric": f"Venice-scale BA LM iterations/sec "
+                  f"({n_cams} cams, {n_pts} pts, {n_obs} obs, CGLS)",
+        "value": round(res["iterations"] / res["wall_s"], 4),
+        "unit": "iter/s",
+        "vs_baseline": 0.0,
+        "extra": {
+            "sec_per_iter": round(res["wall_s"] / max(res["iterations"], 1), 4),
+            "chi2_initial": res["chi2_per_iteration"][0],
+            "chi2_final": res["chi2_final"],
+            "build_s": round(build_s, 1),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,3 +78,41 @@ def test_optimize_fused_gain_termination(sphere_problem):
     res = optimize_fused(p, PCGSolver(max_iter=100, tol=1e-10), 50,
                          gain_threshold=1e-6)
     assert res["iterations"] < 50
+
+
+def test_fused_gn(sphere_problem):
+    from g2o_tpu.core.lm_fused import optimize_fused_gn
+
+    p = sphere_problem.compile()
+    res = optimize_fused_gn(p, DenseSolver(), 8)
+    assert res["iterations"] == 8
+    assert res["chi2_final"] < 0.1 * res["chi2_per_iteration"][0]
+
+
+def test_lots_of_xy_edges():
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.core.optimizer import SparseOptimizer
+    from g2o_tpu.ops import lie
+    from g2o_tpu.types.slam2d import (
+        VertexPointXY, VertexSE2, make_edge_se2_lots_of_xy,
+    )
+
+    rng = np.random.default_rng(7)
+    et3 = make_edge_se2_lots_of_xy(3)
+    assert make_edge_se2_lots_of_xy(3) is et3  # cached specialization
+    g = Graph()
+    pose = np.array([0.4, -0.2, 0.5])
+    pts = rng.normal(size=(3, 2)) * 2
+    g.add_vertex(0, VertexSE2, pose, fixed=True)
+    for i, pt in enumerate(pts):
+        g.add_vertex(1 + i, VertexPointXY, pt + rng.normal(scale=0.2, size=2))
+    inv = lie.se2_inverse(jnp.asarray(pose))
+    meas = np.concatenate(
+        [np.asarray(lie.se2_act(inv, jnp.asarray(p))) for p in pts])
+    g.add_edge(et3, [0, 1, 2, 3], meas, np.eye(6) * 10)
+    p = g.compile()
+    opt = SparseOptimizer(p, solver=DenseSolver())
+    opt.optimize(20)
+    assert opt.chi2() < 1e-12
