@@ -79,6 +79,9 @@ def main(argv=None):
     ap.add_argument("-robustKernelWidth", type=float, default=1.0)
     ap.add_argument("-guess", action="store_true",
                     help="spanning-tree initial guess")
+    ap.add_argument("-guessLinear", action="store_true",
+                    help="SLAM2D linear orientation+position initialization "
+                         "(Carlone et al.)")
     ap.add_argument("-marginalize", action="store_true",
                     help="Schur-marginalize all landmark (non-max-dim) vertices")
     ap.add_argument("-stats", default=None, help="write per-iteration stats")
@@ -151,6 +154,11 @@ def main(argv=None):
     if args.guess:
         n = compute_initial_guess(g)
         print(f"# initial guess for {n} vertices", file=sys.stderr)
+    if args.guessLinear:
+        from g2o_tpu.core.slam2d_linear import solve_slam2d_linear
+
+        n = solve_slam2d_linear(g)
+        print(f"# linear 2D initialization for {n} poses", file=sys.stderr)
 
     algo_name, solver_factory = SOLVERS.get(args.solver, (None, None))
     if algo_name is None:

@@ -90,3 +90,21 @@ def test_cli_unknown_solver(tmp_path):
     inp = str(tmp_path / "in.g2o")
     g2o_format.save(g, inp)
     assert cli.main(["-solver", "bogus", inp]) == 1
+
+
+def test_slam2d_linear_init():
+    from g2o_tpu.core.slam2d_linear import solve_slam2d_linear
+
+    g = create_manhattan(n_poses=200, seed=12)
+    for vid, rec in g.vertices().items():
+        if not rec.fixed:
+            rec.estimate = np.zeros(3)
+    p0 = g.compile()
+    import jax
+    chi_zeros = float(p0.chi2_jit(p0.data, p0.estimates)[0])
+    n = solve_slam2d_linear(g)
+    assert n == 200
+    p1 = g.compile()
+    chi_lin = float(p1.chi2_jit(p1.data, p1.estimates)[0])
+    # the linear init must land near the optimum (Carlone et al. property)
+    assert chi_lin < 1e-2 * chi_zeros
