@@ -40,11 +40,17 @@ def _build_solver_table():
     def schur():
         return SchurSolver()
 
+    def sparse_chol():
+        from g2o_tpu.core.solvers.sparse_chol import SparseCholeskySolver
+
+        return SparseCholeskySolver()
+
     for algo in ("gn", "lm", "dl"):
         SOLVERS[f"{algo}_dense"] = (algo, dense)
         SOLVERS[f"{algo}_pcg"] = (algo, pcg)
         SOLVERS[f"{algo}_cgls"] = (algo, cgls)
         SOLVERS[f"{algo}_schur"] = (algo, schur)
+        SOLVERS[f"{algo}_sparse_chol"] = (algo, sparse_chol)
         # reference-style aliases: variable/fixed block sizes all map onto
         # the same array-typed pipeline
         for alias in ("var", "fix6_3", "fix7_3", "fix3_2"):

@@ -1,0 +1,474 @@
+"""Block-sparse Cholesky solver — the TPU formulation of the reference's
+CSparse/CHOLMOD direct solvers (``g2o/solvers/csparse``, ``solvers/cholmod``,
+SURVEY.md §7.3 "the riskiest kernel").
+
+Architecture (uniform block dimension d, e.g. SE2=3 / SE3=6 pose graphs):
+
+* **host symbolic phase** (numpy, once per graph pattern — the analogue of
+  the reference's symbolic AMD analysis reused across iterations,
+  ``linear_solver_csparse.h:71``):
+  - fill-reducing ordering: recursive BFS-separator nested dissection
+    (band orderings like RCM degenerate the elimination tree to a path,
+    serializing the level schedule);
+  - symbolic factorization on the block pattern (elimination-tree based
+    fill computation);
+  - *level schedule*: columns grouped by elimination-tree height — columns
+    in a level factor concurrently, their right-looking updates
+    accumulate with segment-sums (replacing CSparse's sequential
+    up-looking loop);
+  - per-level padded index arrays (factor blocks, update triples
+    (src_i, src_k, dst)) shipped to the device via ``solver.aux``.
+
+* **device numeric phase** (one jitted program): `lax.fori_loop` over
+  levels; per level batched ``cholesky`` of diagonal blocks, batched
+  triangular solves of that level's column blocks, batched outer-product
+  updates scattered by segment-sum.  Forward/backward substitution reuse
+  the same schedule.
+
+The reference's LM diagonal-damping contract (``solver.h:80-93``) maps to
+re-running the numeric phase with ``lam`` added to the diagonal blocks —
+the symbolic phase is unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------- #
+# host symbolic machinery
+# --------------------------------------------------------------------- #
+
+def _nested_dissection(adj: list, nodes: np.ndarray, min_size: int = 32):
+    """Recursive BFS-layer separator ordering; returns node order (list).
+    Children first, separator last — ancestors of both halves."""
+    n = len(nodes)
+    if n <= min_size:
+        return list(nodes)
+    nodeset = set(int(x) for x in nodes)
+    # BFS from an eccentric node
+    start = int(nodes[0])
+    for _ in range(2):
+        layers = _bfs_layers(adj, start, nodeset)
+        start = layers[-1][-1]
+    layers = _bfs_layers(adj, start, nodeset)
+    if len(layers) < 3:
+        return list(nodes)
+    # separator = middle layer
+    mid = len(layers) // 2
+    sep = set(layers[mid])
+    part_a = [v for layer in layers[:mid] for v in layer]
+    part_b = [v for layer in layers[mid + 1:] for v in layer]
+    covered = sep | set(part_a) | set(part_b)
+    # disconnected leftovers go to part_a
+    part_a += [v for v in nodeset if v not in covered]
+    order = []
+    if part_a:
+        order += _nested_dissection(adj, np.asarray(part_a), min_size)
+    if part_b:
+        order += _nested_dissection(adj, np.asarray(part_b), min_size)
+    order += sorted(sep)
+    return order
+
+
+def _bfs_layers(adj, start, nodeset):
+    seen = {start}
+    layers = [[start]]
+    while True:
+        nxt = []
+        for v in layers[-1]:
+            for w in adj[v]:
+                if w in nodeset and w not in seen:
+                    seen.add(w)
+                    nxt.append(w)
+        if not nxt:
+            break
+        layers.append(nxt)
+    return layers
+
+
+def symbolic_factorization(n: int, pairs: np.ndarray, *, min_size: int = 32):
+    """Symbolic block Cholesky.
+
+    Args:
+      n: number of block columns.
+      pairs: (M, 2) unique undirected off-diagonal block pairs.
+    Returns a dict with the permutation, the L block structure and the
+    level schedule (all in PERMUTED indices)."""
+    adj = [[] for _ in range(n)]
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        adj[a].append(b)
+        adj[b].append(a)
+
+    order = _nested_dissection(adj, np.arange(n), min_size=min_size)
+    perm = np.asarray(order, dtype=np.int32)          # new k -> old id
+    inv = np.empty(n, dtype=np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)          # old id -> new k
+
+    # column structures in permuted space via the classic fill algorithm:
+    # struct[j] starts as neighbours > j; eliminate columns in order,
+    # merging struct[j] \ {min} into struct[parent]
+    struct = [set() for _ in range(n)]
+    for a, b in pairs:
+        i, j = inv[int(a)], inv[int(b)]
+        if i < j:
+            i, j = j, i
+        struct[j].add(int(i))          # rows below the diagonal of col j
+    parent = np.full(n, -1, dtype=np.int32)
+    for j in range(n):
+        if struct[j]:
+            p = min(struct[j])
+            parent[j] = p
+            struct[p].update(x for x in struct[j] if x != p)
+
+    # elimination-tree levels: leaves first
+    depth = np.zeros(n, dtype=np.int32)
+    # children depth must be < parent depth: process in order (parents > j)
+    for j in range(n):
+        p = parent[j]
+        if p >= 0:
+            depth[p] = max(depth[p], depth[j] + 1)
+    # depth computed bottom-up is not final (parents processed later is fine
+    # since parent index > child index in a postorder-compatible elimination
+    # order; our order guarantees parent > j by construction)
+    levels: list[list[int]] = []
+    for j in np.argsort(depth, kind="stable"):
+        d = depth[j]
+        while len(levels) <= d:
+            levels.append([])
+        levels[d].append(int(j))
+
+    rows = [np.asarray(sorted(struct[j]), dtype=np.int32) for j in range(n)]
+    nnz = int(sum(len(r) for r in rows))
+    return {
+        "perm": perm, "inv": inv, "parent": parent, "rows": rows,
+        "levels": levels, "nnz_blocks": nnz,
+    }
+
+
+def build_schedule(sym, d: int):
+    """Flatten the symbolic data into padded per-level device arrays.
+
+    Block storage layout: slot j in [0, n) = diagonal block of column j;
+    slot n + e = e-th off-diagonal block (column-major over ``rows``).
+    Returns a dict of numpy arrays (shipped via solver.aux) plus python
+    metadata."""
+    n = len(sym["rows"])
+    rows = sym["rows"]
+    # off-diagonal slot index per (j -> position)
+    col_start = np.zeros(n + 1, dtype=np.int64)
+    for j in range(n):
+        col_start[j + 1] = col_start[j] + len(rows[j])
+    nnz = int(col_start[-1])
+
+    def off_slot(i, j):
+        # block (i, j), i > j
+        r = rows[j]
+        k = np.searchsorted(r, i)
+        return n + int(col_start[j]) + int(k)
+
+    levels = sym["levels"]
+    L = len(levels)
+    max_cols = max((len(lv) for lv in levels), default=1)
+
+    lvl_cols = np.full((L, max_cols), -1, dtype=np.int32)
+    for li, lv in enumerate(levels):
+        lvl_cols[li, :len(lv)] = lv
+
+    # per level: column-block solve list (i, j) and update triples
+    solve_lists, update_lists = [], []
+    for lv in levels:
+        solves = []       # (block_slot, col_j)
+        updates = []      # (srcA_slot, srcB_slot, dst_slot)
+        for j in lv:
+            r = rows[j]
+            for a, i in enumerate(r):
+                solves.append((off_slot(i, j), j))
+            for a in range(len(r)):
+                for b in range(a, len(r)):
+                    i, k = int(r[b]), int(r[a])   # i >= k
+                    dst = k if i == k else off_slot(i, k)
+                    if i == k:
+                        dst = int(k)              # diagonal slot
+                    updates.append((off_slot(i, j), off_slot(k, j), dst))
+        solve_lists.append(solves)
+        update_lists.append(updates)
+
+    max_solves = max((len(s) for s in solve_lists), default=1)
+    max_updates = max((len(u) for u in update_lists), default=1)
+    sv = np.full((L, max_solves, 2), -1, dtype=np.int64)
+    up = np.full((L, max_updates, 3), -1, dtype=np.int64)
+    for li in range(L):
+        s = np.asarray(solve_lists[li], dtype=np.int64).reshape(-1, 2)
+        u = np.asarray(update_lists[li], dtype=np.int64).reshape(-1, 3)
+        sv[li, :len(s)] = s
+        up[li, :len(u)] = u
+
+    # slot -> (row, col) maps used by the triangular solves
+    row_of_slot = np.empty(n + nnz, dtype=np.int64)
+    col_of_slot = np.empty(n + nnz, dtype=np.int64)
+    row_of_slot[:n] = np.arange(n)
+    col_of_slot[:n] = np.arange(n)
+    pos = n
+    for j in range(n):
+        for i in rows[j]:
+            row_of_slot[pos] = int(i)
+            col_of_slot[pos] = int(j)
+            pos += 1
+
+    return {
+        "n": n, "d": d, "nnz": nnz, "L": L,
+        "lvl_cols": lvl_cols,
+        "solves": sv, "updates": up,
+        "col_start": col_start,
+        "row_of_slot": row_of_slot,
+        "col_of_slot": col_of_slot,
+        "off_slot": off_slot,
+    }
+
+
+# --------------------------------------------------------------------- #
+# device numeric phase
+# --------------------------------------------------------------------- #
+
+def factorize(blocks, sched_aux):
+    """Numeric level-scheduled block Cholesky.
+
+    ``blocks``: (n + nnz, d, d) — diagonal blocks first (slots [0, n)),
+    then off-diagonal blocks L-pattern-aligned (zero where no original
+    entry).  Returns the factor in the same layout (L_jj lower-triangular
+    in the diagonal slots, L_ij in the off-diagonal slots)."""
+    lvl_cols = sched_aux["lvl_cols"]     # (L, C)
+    solves = sched_aux["solves"]         # (L, S, 2)
+    updates = sched_aux["updates"]       # (L, U, 3)
+    n_total = blocks.shape[0]
+    d = blocks.shape[-1]
+    Lmax = lvl_cols.shape[0]
+
+    def level_body(li, blocks):
+        cols = lvl_cols[li]                       # (C,)
+        cmask = (cols >= 0)
+        csafe = jnp.maximum(cols, 0)
+        # 1. factor diagonal blocks of this level's columns
+        Dj = blocks[csafe]
+        eye = jnp.eye(d, dtype=blocks.dtype)
+        Dj = jnp.where(cmask[:, None, None], Dj, eye)
+        Lj = jnp.linalg.cholesky(Dj)
+        blocks = blocks.at[csafe].set(
+            jnp.where(cmask[:, None, None], Lj, blocks[csafe]))
+
+        # 2. column solves: L_ij = A_ij L_jj^{-T}
+        sl = solves[li]                           # (S, 2)
+        smask = sl[:, 0] >= 0
+        s_slot = jnp.maximum(sl[:, 0], 0)
+        s_col = jnp.maximum(sl[:, 1], 0)
+        Aij = blocks[s_slot]                      # (S, d, d)
+        Ljj = blocks[s_col]                       # lower chol of col diag
+        # solve X Ljj^T = Aij  =>  X = Aij Ljj^{-T}
+        Xt = jax.scipy.linalg.solve_triangular(
+            Ljj, jnp.swapaxes(Aij, -1, -2), lower=True)
+        X = jnp.swapaxes(Xt, -1, -2)
+        X = jnp.where(smask[:, None, None], X, Aij)
+        blocks = blocks.at[s_slot].set(X)
+
+        # 3. right-looking updates: dst -= L_a L_b^T
+        upd = updates[li]                         # (U, 3)
+        umask = (upd[:, 0] >= 0).astype(blocks.dtype)
+        a_slot = jnp.maximum(upd[:, 0], 0)
+        b_slot = jnp.maximum(upd[:, 1], 0)
+        dst = jnp.maximum(upd[:, 2], 0)
+        La = blocks[a_slot]
+        Lb = blocks[b_slot]
+        M = jnp.einsum("uij,ukj->uik", La, Lb) * umask[:, None, None]
+        # padded rows target slot 0 with zero contribution
+        blocks = blocks.at[dst].add(-M)
+        return blocks
+
+    return jax.lax.fori_loop(0, Lmax, level_body, blocks)
+
+
+def solve_factored(blocks, b, sched_aux):
+    """Triangular solves L L^T x = b with the level schedule.
+    ``b``: (n, d)."""
+    lvl_cols = sched_aux["lvl_cols"]
+    solves = sched_aux["solves"]
+    col_of_slot = sched_aux["col_of_slot"]   # (n+nnz,) column j per slot
+    row_of_slot = sched_aux["row_of_slot"]   # (n+nnz,) row i per slot
+    Lmax = lvl_cols.shape[0]
+    d = b.shape[-1]
+
+    # forward: y_j = L_jj^{-1} (b_j); then b_i -= L_ij y_j for i in rows(j)
+    def fwd_body(li, b):
+        cols = lvl_cols[li]
+        cmask = cols >= 0
+        csafe = jnp.maximum(cols, 0)
+        Ljj = blocks[csafe]
+        rhs = b[csafe]
+        y = jax.scipy.linalg.solve_triangular(Ljj, rhs[..., None],
+                                              lower=True)[..., 0]
+        y = jnp.where(cmask[:, None], y, rhs)
+        b = b.at[csafe].set(y)
+        sl = solves[li]
+        smask = (sl[:, 0] >= 0).astype(b.dtype)
+        s_slot = jnp.maximum(sl[:, 0], 0)
+        i_row = row_of_slot[s_slot]
+        j_col = jnp.maximum(sl[:, 1], 0)
+        contrib = jnp.einsum("sij,sj->si", blocks[s_slot], b[j_col])
+        b = b.at[i_row].add(-contrib * smask[:, None])
+        return b
+
+    y = jax.lax.fori_loop(0, Lmax, fwd_body, b)
+
+    # backward: reverse level order
+    def bwd_body(k, y):
+        li = Lmax - 1 - k
+        sl = solves[li]
+        smask = (sl[:, 0] >= 0).astype(y.dtype)
+        s_slot = jnp.maximum(sl[:, 0], 0)
+        i_row = row_of_slot[s_slot]
+        j_col = jnp.maximum(sl[:, 1], 0)
+        # y_j -= L_ij^T x_i  (x_i already final for i in higher levels)
+        contrib = jnp.einsum("sji,sj->si", blocks[s_slot], y[i_row])
+        y = y.at[j_col].add(-contrib * smask[:, None])
+        cols = lvl_cols[li]
+        cmask = cols >= 0
+        csafe = jnp.maximum(cols, 0)
+        Ljj = blocks[csafe]
+        rhs = y[csafe]
+        x = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Ljj, -1, -2), rhs[..., None], lower=False)[..., 0]
+        x = jnp.where(cmask[:, None], x, rhs)
+        y = y.at[csafe].set(x)
+        return y
+
+    return jax.lax.fori_loop(0, Lmax, bwd_body, y)
+
+
+# --------------------------------------------------------------------- #
+# solver class (single uniform vertex type, no marginalization)
+# --------------------------------------------------------------------- #
+
+class SparseCholeskySolver:
+    """Direct block-sparse Cholesky solver for uniform-block problems
+    (SE2/SE3 pose graphs).  Symbolic analysis runs once at setup; every
+    ``solve`` re-runs the numeric phase with the current lambda on the
+    diagonal (the reference's setLambda/restoreDiagonal contract)."""
+
+    name = "sparse_chol"
+
+    def __init__(self, min_separator_size: int = 32):
+        self.min_size = int(min_separator_size)
+        self.aux = ()
+        self._solve_fn = None
+        self._solve_jit = None
+
+    def setup(self, problem):
+        p = problem
+        if len(p.vertex_types) != 1:
+            raise NotImplementedError(
+                "SparseCholeskySolver: single vertex type required "
+                f"(got {sorted(p.vertex_types)})")
+        (tname,) = p.vertex_types
+        vt = p.vertex_types[tname]
+        d = vt.tangent_dim
+        n = p.counts[tname]
+
+        # block pattern from binary+ edges
+        pair_set = set()
+        edge_meta = {}     # etype name -> (pairs list per edge)
+        for name, et in p.edge_types.items():
+            vidx = np.asarray(p.data.edges[name].vidx)
+            if et.num_slots == 1:
+                edge_meta[name] = None
+                continue
+            if et.num_slots != 2:
+                raise NotImplementedError(
+                    "SparseCholeskySolver: edges with >2 vertices not "
+                    "supported yet")
+            for a, b in vidx:
+                if a != b:
+                    pair_set.add((min(int(a), int(b)), max(int(a), int(b))))
+        pairs = np.asarray(sorted(pair_set), dtype=np.int64).reshape(-1, 2)
+
+        sym = symbolic_factorization(n, pairs, min_size=self.min_size)
+        sched = build_schedule(sym, d)
+        inv = sym["inv"]
+        off_slot = sched.pop("off_slot")
+
+        # per-edge-type slot/transpose maps for scattering H_ab blocks
+        edge_maps = {}
+        for name, et in p.edge_types.items():
+            if et.num_slots != 2:
+                continue
+            vidx = np.asarray(p.data.edges[name].vidx)
+            E = len(vidx)
+            slots = np.zeros(E, dtype=np.int64)
+            transpose = np.zeros(E, dtype=bool)
+            valid = np.ones(E, dtype=bool)
+            for e in range(E):
+                a, b = int(vidx[e, 0]), int(vidx[e, 1])
+                if a == b:
+                    valid[e] = False
+                    continue
+                i, j = int(inv[a]), int(inv[b])
+                if i > j:
+                    slots[e] = off_slot(i, j)      # block (i,j) = H[a,b]
+                    transpose[e] = False
+                else:
+                    slots[e] = off_slot(j, i)      # block (j,i) = H[b,a]
+                    transpose[e] = True
+            edge_maps[name] = (jnp.asarray(slots), jnp.asarray(transpose),
+                               jnp.asarray(valid))
+
+        perm = jnp.asarray(sym["perm"])      # new k -> old id
+        dtype = p.dtype
+        n_total = n + sched["nnz"]
+
+        self.aux = dict(
+            lvl_cols=jnp.asarray(sched["lvl_cols"]),
+            solves=jnp.asarray(sched["solves"]),
+            updates=jnp.asarray(sched["updates"]),
+            row_of_slot=jnp.asarray(sched["row_of_slot"]),
+            col_of_slot=jnp.asarray(sched["col_of_slot"]),
+            perm=perm,
+            offsets=p.data.offsets[tname],
+            edge_maps=edge_maps,
+        )
+        eye = jnp.eye(d, dtype=dtype)
+
+        def solve(data, lin, lam, aux):
+            blocks = jnp.zeros((n_total, d, d), dtype=dtype)
+            # diagonal blocks (permuted), with damping + fixed identity
+            fx = data.fixed[tname].astype(dtype)[:, None, None]
+            diag = lin.diag[tname] + lam * eye
+            diag = diag * (1.0 - fx) + eye * fx
+            blocks = blocks.at[:n].set(diag[aux["perm"]])
+            # off-diagonal H blocks
+            for name, et in p.edge_types.items():
+                if et.num_slots != 2:
+                    continue
+                Js, W = lin.jacs[name], lin.weights[name]
+                Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1])
+                slots, transpose, valid = aux["edge_maps"][name]
+                Hab = jnp.where(transpose[:, None, None],
+                                jnp.swapaxes(Hab, -1, -2), Hab)
+                Hab = Hab * valid[:, None, None].astype(dtype)
+                blocks = blocks.at[slots].add(Hab)
+
+            blocks = factorize(blocks, aux)
+            boff = aux["offsets"][aux["perm"]]
+            bperm = lin.b[boff[:, None] + jnp.arange(d)[None, :]]
+            xperm = solve_factored(blocks, bperm, aux)
+            dx = jnp.zeros_like(lin.b)
+            dx = dx.at[boff[:, None] + jnp.arange(d)[None, :]].set(xperm)
+            return dx
+
+        self._solve_fn = solve
+        self._solve_jit = jax.jit(solve)
+        return self
+
+    def solve(self, data, lin, lam=0.0):
+        return self._solve_jit(data, lin, lam, self.aux)

@@ -1,0 +1,55 @@
+"""Block-sparse Cholesky: symbolic fill, exactness vs dense, full LM."""
+
+import numpy as np
+import pytest
+
+from g2o_tpu.core.solvers import DenseSolver
+from g2o_tpu.core.solvers.sparse_chol import (
+    SparseCholeskySolver, symbolic_factorization,
+)
+from g2o_tpu.sim.generators import create_manhattan, create_sphere
+
+
+def test_symbolic_chain():
+    pairs = np.array([[i, i + 1] for i in range(9)])
+    # natural order (min_size covers the whole set): path has zero fill
+    sym = symbolic_factorization(10, pairs, min_size=100)
+    assert sym["nnz_blocks"] == 9
+    assert sorted(int(x) for x in sym["perm"]) == list(range(10))
+    # nested dissection trades a little fill for a shallow etree
+    sym_nd = symbolic_factorization(10, pairs, min_size=2)
+    assert sym_nd["nnz_blocks"] >= 9
+    assert len(sym_nd["levels"]) <= len(sym["levels"])
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: create_manhattan(n_poses=120, seed=3),
+    lambda: create_sphere(nodes_per_level=10, laps=4, radius=10, seed=2),
+])
+def test_matches_dense(maker):
+    g = maker()
+    p = g.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    lam = 1e-3
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, lam))
+    dx_s = np.asarray(SparseCholeskySolver().setup(p).solve(p.data, lin, lam))
+    rel = np.linalg.norm(dx_s - dx_d) / np.linalg.norm(dx_d)
+    assert rel < 1e-8
+
+
+def test_full_lm():
+    from g2o_tpu.core.lm_fused import optimize_fused
+
+    g = create_manhattan(n_poses=150, seed=5)
+    p = g.compile()
+    res = optimize_fused(p, SparseCholeskySolver(), 10)
+    assert res["chi2_final"] < 0.5 * res["chi2_per_iteration"][0]
+
+
+def test_rejects_mixed_types():
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    g, _ = create_ba_scene(n_cameras=3, n_points=10, seed=1)
+    p = g.compile()
+    with pytest.raises(NotImplementedError):
+        SparseCholeskySolver().setup(p)
