@@ -28,6 +28,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from g2o_tpu.ops.smallblocks import chol_small, inv_small
+
 
 class CGLSSolver:
     name = "cgls"
@@ -56,7 +58,7 @@ class CGLSSolver:
                     jnp.abs(jnp.diagonal(W, axis1=-2, axis2=-1)) < 1e-30,
                     axis=-1)
                 Wsafe = W + eye * jnp.where(diag_zero, 1e-30, 0.0)[:, None, None]
-                Ls[name] = jnp.linalg.cholesky(Wsafe)
+                Ls[name] = chol_small(Wsafe)
             return Ls
 
         def Jmat(data, lin, Ls, v):
@@ -98,7 +100,7 @@ class CGLSSolver:
                 blocks = lin.diag[t] + lam * eye
                 fx = data.fixed[t].astype(p.dtype)[:, None, None]
                 blocks = blocks * (1.0 - fx) + eye * fx
-                minv[t] = jnp.linalg.inv(blocks)
+                minv[t] = inv_small(blocks)
             return minv
 
         def apply_precond(data, minv, r):

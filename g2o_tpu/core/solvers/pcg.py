@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from g2o_tpu.ops.smallblocks import inv_small
+
 
 class PCGSolver:
     name = "pcg"
@@ -51,7 +53,7 @@ class PCGSolver:
                 # fixed vertices (zero rows in J) get a unit block -> dx = 0
                 fx = data.fixed[t].astype(problem.dtype)[:, None, None]
                 blocks = blocks * (1.0 - fx) + eye * fx
-                minv[t] = jnp.linalg.inv(blocks)
+                minv[t] = inv_small(blocks)
             return minv
 
         def matvec(data, lin, lam, v):

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from g2o_tpu.ops.smallblocks import inv_small
+
 
 class SchurSolver:
     name = "schur"
@@ -292,7 +294,7 @@ class SchurSolver:
 
         def solve(data, lin, lam, aux):
             B = build_B(data, lin)                        # (Eo, dp, dl)
-            Dinv = jnp.linalg.inv(landmark_diag(lin, lam, aux))
+            Dinv = inv_small(landmark_diag(lin, lam, aux))
 
             # split gradient
             bp = lin.b[aux["pose_to_global"]]             # (Tp,)
