@@ -213,6 +213,30 @@ EdgeSBAScale = register_edge(EdgeType(
 ))
 
 
+def _edge_p2mc_intrinsics_residual(states, meas, param):
+    """Mono projection with a shared optimizable intrinsics vertex
+    (reference ``EdgeProjectP2MC_Intrinsics``, ``types_sba.h:254-279`` —
+    there the error uses the camera's cached K while the Jacobian differentiates
+    the intrinsics vertex; here the intrinsics vertex IS the projection's K,
+    which is the evident intent)."""
+    point, cam, intr = states
+    pn = _cam_w2n_apply(cam, point)
+    fx, fy, cx, cy = intr[..., 0], intr[..., 1], intr[..., 2], intr[..., 3]
+    u = (fx * pn[..., 0] + cx * pn[..., 2]) / pn[..., 2]
+    v = (fy * pn[..., 1] + cy * pn[..., 2]) / pn[..., 2]
+    return jnp.stack([u, v], axis=-1) - meas
+
+
+EdgeProjectP2MCIntrinsics = register_edge(EdgeType(
+    name="EDGE_PROJECT_P2MC_INTRINSICS",
+    vertex_types=(VertexPointXYZ, VertexCam, VertexIntrinsics),
+    residual_dim=2,
+    residual=_edge_p2mc_intrinsics_residual,
+    meas_dim=2,
+    tags=("EDGE_PROJECT_P2MC_INTRINSICS",),
+))
+
+
 # --- ORB-SLAM-style projection edges (per-edge intrinsics as params) ----- #
 # Reference classes store fx/fy/cx/cy (and bf for stereo) as public edge
 # members set programmatically (``types_six_dof_expmap.h:200-290``,
