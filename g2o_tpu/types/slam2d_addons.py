@@ -61,6 +61,74 @@ EdgeSE2Segment2D = register_edge(EdgeType(
 ))
 
 
+def _segment_line_frame(x, seg):
+    """Observed segment endpoints + supporting-line (theta, rho)."""
+    inv = lie.se2_inverse(x)
+    p1 = lie.se2_act(inv, seg[..., 0:2])
+    p2 = lie.se2_act(inv, seg[..., 2:4])
+    dp = p2 - p1
+    n = jnp.stack([dp[..., 1], -dp[..., 0]], axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    theta = jnp.arctan2(n[..., 1], n[..., 0])
+    rho = 0.5 * (jnp.sum(p1 * n, axis=-1) + jnp.sum(p2 * n, axis=-1))
+    return p1, p2, theta, rho
+
+
+def _edge_se2_segment2d_line_residual(states, meas, param):
+    """Segment observed as its supporting line
+    (``edge_se2_segment2d_line.h:51-65``)."""
+    x, seg = states
+    _, _, theta, rho = _segment_line_frame(x, seg)
+    e_theta = lie.normalize_angle(theta - meas[..., 0])
+    e_rho = rho - meas[..., 1]
+    return jnp.stack([e_theta, e_rho], axis=-1)
+
+
+EdgeSE2Segment2DLine = register_edge(EdgeType(
+    name="EDGE_SE2_SEGMENT2D_LINE",
+    vertex_types=(VertexSE2, VertexSegment2D),
+    residual_dim=2,
+    residual=_edge_se2_segment2d_line_residual,
+    meas_dim=2,
+    tags=("EDGE_SE2_SEGMENT2D_LINE",),
+))
+
+
+def _make_segment2d_pointline(point_num: int):
+    def residual(states, meas, param):
+        """One endpoint + the supporting-line direction
+        (``edge_se2_segment2d_pointLine.h:53-68``)."""
+        x, seg = states
+        p1, p2, theta, _ = _segment_line_frame(x, seg)
+        pt = p1 if point_num == 0 else p2
+        e_pt = pt - meas[..., 0:2]
+        e_theta = lie.normalize_angle(theta - meas[..., 2])
+        return jnp.concatenate([e_pt, e_theta[..., None]], axis=-1)
+
+    return residual
+
+
+EdgeSE2Segment2DPointLine = register_edge(EdgeType(
+    name="EDGE_SE2_SEGMENT2D_POINTLINE",
+    vertex_types=(VertexSE2, VertexSegment2D),
+    residual_dim=3,
+    residual=_make_segment2d_pointline(0),
+    meas_dim=3,
+    tags=("EDGE_SE2_SEGMENT2D_POINTLINE",),
+))
+
+# the reference selects the endpoint via a per-edge _pointNum member; the
+# second endpoint gets its own registered specialization
+EdgeSE2Segment2DPointLine1 = register_edge(EdgeType(
+    name="EDGE_SE2_SEGMENT2D_POINTLINE_P1",
+    vertex_types=(VertexSE2, VertexSegment2D),
+    residual_dim=3,
+    residual=_make_segment2d_pointline(1),
+    meas_dim=3,
+    tags=("EDGE_SE2_SEGMENT2D_POINTLINE_P1",),
+))
+
+
 def _edge_se2_line2d_residual(states, meas, param):
     x, line = states
     inv = lie.se2_inverse(x)

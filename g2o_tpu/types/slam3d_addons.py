@@ -82,6 +82,104 @@ VertexPlane = register_vertex(VertexType(
 ))
 
 
+# --------------------------------------------------------------------- #
+# Plücker lines (reference ``line3d.h``): state (w(3), d(3)), |d| = 1;
+# minimal update via the orthonormal representation (U in SO(3), W in SO(2))
+# --------------------------------------------------------------------- #
+
+_EPS = 1e-12
+
+
+def _line_to_orthonormal(l):
+    w, d = l[..., :3], l[..., 3:6]
+    nw = jnp.linalg.norm(w, axis=-1)
+    nd = jnp.linalg.norm(d, axis=-1)
+    mag = jnp.sqrt(nw * nw + nd * nd)
+    W = jnp.stack([
+        jnp.stack([nw / mag, -nd / mag], axis=-1),
+        jnp.stack([nd / mag, nw / mag], axis=-1),
+    ], axis=-2)
+    u0 = w / jnp.maximum(nw, _EPS)[..., None]
+    u1 = d / jnp.maximum(nd, _EPS)[..., None]
+    cr = jnp.cross(w, d)
+    u2 = cr / jnp.maximum(jnp.linalg.norm(cr, axis=-1), _EPS)[..., None]
+    U = jnp.stack([u0, u1, u2], axis=-1)   # columns
+    return U, W
+
+
+def _line_from_orthonormal(U, W):
+    w = U[..., :, 0] * W[..., 0, 0][..., None]
+    d = U[..., :, 1] * W[..., 1, 0][..., None]
+    l = jnp.concatenate([w, d], axis=-1)
+    return _line_normalize(l)
+
+
+def _line_normalize(l):
+    n = jnp.linalg.norm(l[..., 3:6], axis=-1, keepdims=True)
+    return l / jnp.maximum(n, _EPS)
+
+
+def line3d_oplus(l, v):
+    """Orthonormal update (``line3d.h:148-163``): U <- U R(quat(v[:3])),
+    W <- W Rot2(v[3])."""
+    U, W = _line_to_orthonormal(l)
+    R = lie.quat_to_matrix(lie.quat_from_compact(v[..., :3]))
+    c, s = jnp.cos(v[..., 3]), jnp.sin(v[..., 3])
+    W2 = jnp.stack([
+        jnp.stack([c, -s], axis=-1),
+        jnp.stack([s, c], axis=-1),
+    ], axis=-2)
+    return _line_from_orthonormal(U @ R, W @ W2)
+
+
+def line3d_ominus(a, b):
+    """4-dof difference (``line3d.h:165-181``): quat vec of U_a^T U_b and
+    the SO(2) angle of W_a^T W_b."""
+    Ua, Wa = _line_to_orthonormal(a)
+    Ub, Wb = _line_to_orthonormal(b)
+    dU = jnp.swapaxes(Ua, -1, -2) @ Ub
+    dW = jnp.swapaxes(Wa, -1, -2) @ Wb
+    q = lie.quat_from_matrix(dU)
+    ang = jnp.arctan2(dW[..., 1, 0], dW[..., 0, 0])
+    return jnp.concatenate([q[..., :3], ang[..., None]], axis=-1)
+
+
+def line3d_transform(x_se3, l):
+    """T * line (Plücker): d' = R d, w' = R w + t x (R d)."""
+    R_d = lie.quat_rotate(x_se3[..., 3:7], l[..., 3:6])
+    R_w = lie.quat_rotate(x_se3[..., 3:7], l[..., :3])
+    w = R_w + jnp.cross(x_se3[..., :3], R_d)
+    return _line_normalize(jnp.concatenate([w, R_d], axis=-1))
+
+
+VertexLine3D = register_vertex(VertexType(
+    name="VERTEX_LINE3D",
+    rep_dim=6,
+    tangent_dim=4,
+    oplus=line3d_oplus,
+    tags=("VERTEX_LINE3D",),
+))
+
+
+def _edge_se3_line3d_residual(states, meas, param):
+    """Reference ``EdgeSE3Line3D::computeError``
+    (``edge_se3_line.cpp:73-79``): local = X^-1 * line;
+    error = local.ominus(z)."""
+    x, line = states
+    local = line3d_transform(lie.se3_inverse(x), line)
+    return line3d_ominus(local, meas)
+
+
+EdgeSE3Line3D = register_edge(EdgeType(
+    name="EDGE_SE3_LINE3D",
+    vertex_types=(VertexSE3, VertexLine3D),
+    residual_dim=4,
+    residual=_edge_se3_line3d_residual,
+    meas_dim=6,
+    tags=("EDGE_SE3_LINE3D",),
+))
+
+
 def _edge_plane_residual(states, meas, param):
     """Plane-plane constraint (``edge_plane.h:44-49``): coefficient
     difference error = (p2 - p1) - z."""

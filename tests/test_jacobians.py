@@ -38,6 +38,10 @@ def rand_state(vt):
         t = rng.normal(size=3) * 0.3
         intr = np.array([500.0, 510.0, 320.0, 240.0, 0.2])
         return jnp.asarray(np.concatenate([t, q, intr]))
+    if vt.name == "VERTEX_LINE3D":
+        d = rng.normal(size=3); d /= np.linalg.norm(d)
+        w = np.cross(rng.normal(size=3), d)
+        return jnp.asarray(np.concatenate([w, d]))
     if vt.name == "VERTEX_TRACKXYZ":
         # keep points away from any camera plane (z ~ 0 singularities)
         p = rng.normal(size=3)
@@ -60,6 +64,10 @@ def rand_meas(et):
         v = rng.uniform(-1, 1, size=3)
         v[2] *= np.pi
         return jnp.asarray(v)
+    if et.name == "EDGE_SE3_LINE3D":
+        d = rng.normal(size=3); d /= np.linalg.norm(d)
+        w = np.cross(rng.normal(size=3), d)
+        return jnp.asarray(np.concatenate([w, d]))
     if "ONLYPOSE" in et.name:
         # measurement tail carries the world point; keep it in front
         obs = rng.normal(size=et.meas_dim - 3) * 30.0 + 300.0

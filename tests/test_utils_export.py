@@ -118,3 +118,52 @@ def test_segment_line_optimize():
     opt.optimize(20)
     assert opt.chi2() < 1e-12
     np.testing.assert_allclose(p.get_estimate(10), seg_gt, atol=1e-6)
+
+
+def test_line3d_types():
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.ops import lie
+    from g2o_tpu.types.slam3d import VertexSE3
+    from g2o_tpu.types.slam3d_addons import (
+        EdgeSE3Line3D, VertexLine3D, _line_normalize, line3d_ominus,
+        line3d_oplus, line3d_transform,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def rand_line():
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        w = np.cross(rng.normal(size=3), d)
+        return np.concatenate([w, d])
+
+    l = rand_line()
+    v = rng.normal(size=4) * 0.2
+    l2 = line3d_oplus(jnp.asarray(l), jnp.asarray(v))
+    dd = line3d_ominus(jnp.asarray(l), l2)
+    l3 = line3d_oplus(jnp.asarray(l), dd)
+    np.testing.assert_allclose(np.asarray(l3), np.asarray(l2), atol=1e-12)
+
+    # line SLAM: exact recovery from noisy init
+    line_gt = rand_line()
+    g = Graph()
+    for i in range(4):
+        q = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3) * 0.2)))
+        x = np.concatenate([rng.normal(size=3), q])
+        g.add_vertex(i, VertexSE3, x, fixed=True)
+        meas = np.asarray(line3d_transform(
+            lie.se3_inverse(jnp.asarray(x)), jnp.asarray(line_gt)))
+        if i == 0:
+            init = np.asarray(line3d_oplus(
+                jnp.asarray(line_gt), jnp.asarray(rng.normal(size=4) * 0.1)))
+            g.add_vertex(50, VertexLine3D, init)
+        g.add_edge(EdgeSE3Line3D, [i, 50], meas, np.eye(4) * 100)
+    p = g.compile()
+    opt = SparseOptimizer(p, solver=DenseSolver())
+    opt.optimize(40)
+    assert opt.chi2() < 1e-16
+    est = np.asarray(_line_normalize(jnp.asarray(p.get_estimate(50))))
+    gtn = np.asarray(_line_normalize(jnp.asarray(line_gt)))
+    np.testing.assert_allclose(est, gtn, atol=1e-8)
