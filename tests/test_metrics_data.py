@@ -64,3 +64,29 @@ def test_laser_data_roundtrip():
     assert "ROBOTLASER1 0 -1.5" in out
     g2 = g2o_format.loads(out)
     assert g2.vertex_data(0) == g.vertex_data(0)
+
+
+def test_robot_laser_typed_roundtrip():
+    from g2o_tpu.types.data import RobotLaser, parse_vertex_payloads
+
+    line = ("ROBOTLASER1 0 -1.5708 3.14159 0.0174533 30 0.1 0 5 "
+            "1.0 2.0 3.0 4.0 30.0 0 0.5 0.2 0.1 0.45 0.18 0.1 "
+            "0.3 0.05 0.5 0.5 1 1234.5 myhost 1234.6")
+    rl = RobotLaser.parse(line)
+    assert len(rl.ranges) == 5
+    assert rl.max_range == 30
+    np.testing.assert_allclose(rl.laser_pose, [0.5, 0.2, 0.1])
+    np.testing.assert_allclose(rl.odom_pose, [0.45, 0.18, 0.1])
+    assert rl.hostname == "myhost"
+    # serialize -> parse roundtrip
+    rl2 = RobotLaser.parse(rl.serialize())
+    np.testing.assert_allclose(rl2.ranges, rl.ranges)
+    np.testing.assert_allclose(rl2.odom_pose, rl.odom_pose)
+    assert rl2.timestamp == rl.timestamp
+    # cartesian drops max-range beams
+    pts = rl.cartesian()
+    assert pts.shape == (4, 2)
+    # via graph payloads
+    g = g2o_format.loads("VERTEX_SE2 0 0 0 0\n" + line + "\n")
+    lasers = parse_vertex_payloads(g, 0)
+    assert len(lasers) == 1 and len(lasers[0].ranges) == 5
