@@ -1,12 +1,24 @@
-"""Matrix-free block-Jacobi preconditioned conjugate gradient.
+"""Matrix-free preconditioned conjugate gradient.
 
 TPU-native analogue of the reference ``LinearSolverPCG``
 (``g2o/solvers/pcg/linear_solver_pcg.h:47``): instead of iterating a
 ``SparseBlockMatrix``, the Hessian-vector product is evaluated directly from
 the cached per-edge Jacobian blocks as Σ Jᵀ(W(J v)) — batched small matmuls +
-segment-sum scatter, which XLA fuses into a handful of kernels.  The
-preconditioner is the inverse of the per-vertex diagonal Hessian blocks
-(computed with one vmapped Cholesky per vertex type).
+segment-sum scatter, which XLA fuses into a handful of kernels.
+
+Preconditioners:
+
+* ``"jacobi"`` — per-vertex diagonal block inverses (the reference's
+  block-Jacobi), one vmapped closed-form inverse per vertex type;
+* ``"chunk"`` — chunked block-tridiagonal: consecutive poses are grouped
+  into chunks of ``chunk_size`` and each chunk's diagonal + odometry-chain
+  coupling is solved exactly with ONE batched dense Cholesky per
+  application.  Pose-graph Hessians are dominated by the trajectory chain,
+  so capturing it cuts CG iterations several-fold while costing a single
+  MXU-friendly batched factorization (measured: sphere2500 LM time is
+  linear in CG iterations at ~2.2 ms each, so iterations are the metric
+  that matters).  Falls back to Jacobi for problems without a single
+  uniform vertex type.
 
 The CG recurrence runs entirely on device inside ``lax.while_loop``; only the
 final update vector returns to the host."""
@@ -15,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from g2o_tpu.ops.smallblocks import inv_small
 
@@ -23,18 +36,59 @@ class PCGSolver:
     name = "pcg"
 
     def __init__(self, max_iter: int = 100, tol: float = 1e-6,
-                 abs_tol: float = 0.0):
+                 abs_tol: float = 0.0, precond: str = "jacobi",
+                 chunk_size: int = 32):
         self.max_iter = int(max_iter)
         self.tol = float(tol)
         self.abs_tol = float(abs_tol)
+        self.precond = precond
+        self.chunk_size = int(chunk_size)
         self._solve_jit = None
-        self.aux = ()  # no solver-owned arrays
+        self.aux = ()
+
+    # ------------------------------------------------------------------ #
+
+    def _setup_chunk_precond(self, problem):
+        """Host-side index maps for the chunked tridiagonal preconditioner.
+        Returns None when the problem shape doesn't fit (multi-type)."""
+        if self.precond != "chunk" or len(problem.vertex_types) != 1:
+            return None
+        (tname,) = problem.vertex_types
+        d = problem.vertex_types[tname].tangent_dim
+        n = problem.counts[tname]
+        c = self.chunk_size
+        nc = -(-n // c)          # chunks
+        n_pad = nc * c
+
+        # chain off-diagonal sources: edges between consecutive local ids
+        # WITHIN the same chunk, per edge type (slot order both ways)
+        chain = {}
+        for name, et in problem.edge_types.items():
+            if et.num_slots != 2:
+                continue
+            if any(vt.name != tname for vt in et.vertex_types):
+                continue
+            vidx = np.asarray(problem.data.edges[name].vidx)
+            lo = np.minimum(vidx[:, 0], vidx[:, 1])
+            hi = np.maximum(vidx[:, 0], vidx[:, 1])
+            consecutive = (hi == lo + 1) & (lo // c == hi // c)
+            idx = np.nonzero(consecutive)[0]
+            if len(idx) == 0:
+                continue
+            # orientation: True when slot0 is the lower index
+            fwd = vidx[idx, 0] < vidx[idx, 1]
+            chain[name] = (jnp.asarray(idx.astype(np.int32)),
+                           jnp.asarray(fwd),
+                           jnp.asarray(lo[idx].astype(np.int32)))
+        return dict(tname=tname, d=d, n=n, c=c, nc=nc, n_pad=n_pad,
+                    chain=chain)
 
     def setup(self, problem):
         max_iter, tol = self.max_iter, self.tol
+        chunk_cfg = self._setup_chunk_precond(problem)
+        dtype = problem.dtype
 
-        def apply_precond(data, minv, r):
-            """y = M^{-1} r with per-vertex-type inverse diagonal blocks."""
+        def apply_precond_jacobi(data, minv, r):
             y = jnp.zeros_like(r)
             for t, vt in problem.vertex_types.items():
                 d = vt.tangent_dim
@@ -44,17 +98,70 @@ class PCGSolver:
                 )
             return y
 
-        def build_precond(data, lin, lam):
+        def build_precond_jacobi(data, lin, lam):
             minv = {}
             for t, vt in problem.vertex_types.items():
                 d = vt.tangent_dim
-                eye = jnp.eye(d, dtype=problem.dtype)
+                eye = jnp.eye(d, dtype=dtype)
                 blocks = lin.diag[t] + lam * eye
                 # fixed vertices (zero rows in J) get a unit block -> dx = 0
-                fx = data.fixed[t].astype(problem.dtype)[:, None, None]
+                fx = data.fixed[t].astype(dtype)[:, None, None]
                 blocks = blocks * (1.0 - fx) + eye * fx
                 minv[t] = inv_small(blocks)
             return minv
+
+        if chunk_cfg is not None:
+            tname = chunk_cfg["tname"]
+            d, c = chunk_cfg["d"], chunk_cfg["c"]
+            n, nc, n_pad = chunk_cfg["n"], chunk_cfg["nc"], chunk_cfg["n_pad"]
+            cd = c * d
+            chain = chunk_cfg["chain"]
+
+            def build_precond(data, lin, lam):
+                eye = jnp.eye(d, dtype=dtype)
+                D = lin.diag[tname] + lam * eye
+                fx = data.fixed[tname].astype(dtype)[:, None, None]
+                D = D * (1.0 - fx) + eye * fx
+                if n_pad > n:
+                    pad = jnp.tile(eye[None], (n_pad - n, 1, 1))
+                    D = jnp.concatenate([D, pad], axis=0)
+                # chunk matrices: scatter diagonal blocks
+                M = jnp.zeros((nc, c, c, d, d), dtype=dtype)
+                ar = jnp.arange(n_pad)
+                M = M.at[ar // c, ar % c, ar % c].set(D)
+                # chain off-diagonals (both fixed-masked ends)
+                fx_flat = data.fixed[tname].astype(dtype)
+                for name, (idx, fwd, lo) in chain.items():
+                    Js, W = lin.jacs[name], lin.weights[name]
+                    Hab = jnp.einsum("erd,ers,esf->edf",
+                                     Js[0][idx], W[idx], Js[1][idx])
+                    # orient as block (lo, lo+1)
+                    O = jnp.where(fwd[:, None, None], Hab,
+                                  jnp.swapaxes(Hab, -1, -2))
+                    ci = lo // c
+                    li = lo % c
+                    M = M.at[ci, li, li + 1].add(O)
+                    M = M.at[ci, li + 1, li].add(
+                        jnp.swapaxes(O, -1, -2))
+                Md = M.transpose(0, 1, 3, 2, 4).reshape(nc, cd, cd)
+                Lc = jnp.linalg.cholesky(Md)
+                return Lc
+
+            def apply_precond(data, Lc, r):
+                idx = (data.offsets[tname][:, None]
+                       + jnp.arange(d)[None, :])
+                rv = r[idx]                                  # (n, d)
+                if n_pad > n:
+                    rv = jnp.concatenate(
+                        [rv, jnp.zeros((n_pad - n, d), dtype=dtype)], axis=0)
+                rc = rv.reshape(nc, cd, 1)
+                y = jax.scipy.linalg.cho_solve((Lc, True), rc)[..., 0]
+                y = y.reshape(n_pad, d)[:n]
+                return jnp.zeros_like(r).at[idx].set(y)
+
+        else:
+            build_precond = build_precond_jacobi
+            apply_precond = apply_precond_jacobi
 
         def matvec(data, lin, lam, v):
             # damped system + unit rows on fixed slots
