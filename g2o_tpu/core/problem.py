@@ -216,11 +216,30 @@ class Problem:
 
     def hvp_fn(self, data: ProblemData, lin: LinearizedSystem, v):
         """Matrix-free H·v = Σ_edges Jᵀ(W(J v)) — replaces the reference's
-        explicit SparseBlockMatrix multiply (``sparse_block_matrix.hpp``)."""
+        explicit SparseBlockMatrix multiply (``sparse_block_matrix.hpp``).
+
+        Slots of equal tangent dim are stacked so each edge type costs one
+        gather, two batched einsums and one scatter-add regardless of arity
+        (PCG iterations are latency-bound in per-op dispatch, so op count
+        is the figure of merit)."""
         out = jnp.zeros_like(v)
         for name, et in self.edge_types.items():
             batch = data.edges[name]
             Js, W = lin.jacs[name], lin.weights[name]
+            dims = [vt.tangent_dim for vt in et.vertex_types]
+            if len(set(dims)) == 1:
+                k = len(Js)
+                d = dims[0]
+                # (E, k*d) fused index block -> one gather / one scatter
+                idx = jnp.concatenate([
+                    _seg_ids(data.offsets[vt.name], batch.vidx[:, s], d)
+                    for s, vt in enumerate(et.vertex_types)
+                ], axis=1)
+                Jcat = jnp.concatenate(Js, axis=2)          # (E, r, k*d)
+                y = jnp.einsum("erd,ed->er", Jcat, v[idx])
+                z = jnp.einsum("ers,es->er", W, y)
+                out = out.at[idx].add(jnp.einsum("erd,er->ed", Jcat, z))
+                continue
             y = None
             idxs = []
             for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
