@@ -24,6 +24,14 @@ from g2o_tpu.core.optimizer import (
     Dogleg,
     SparseOptimizer,
 )
+from g2o_tpu.core.lm_fused import (
+    FusedLevenbergMarquardt,
+    optimize_fused,
+    optimize_fused_gn,
+)
+from g2o_tpu.core.solvers import DenseSolver, PCGSolver, SchurSolver
+from g2o_tpu.core.solvers.cgls import CGLSSolver
+from g2o_tpu.core.solvers.sparse_chol import SparseCholeskySolver
 
 __version__ = "0.1.0"
 
@@ -31,6 +39,14 @@ __all__ = [
     "Graph",
     "GaussNewton",
     "LevenbergMarquardt",
+    "FusedLevenbergMarquardt",
     "Dogleg",
     "SparseOptimizer",
+    "optimize_fused",
+    "optimize_fused_gn",
+    "DenseSolver",
+    "PCGSolver",
+    "SchurSolver",
+    "CGLSSolver",
+    "SparseCholeskySolver",
 ]
