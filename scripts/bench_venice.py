@@ -3,8 +3,11 @@
 No dataset download exists in this environment, so a Venice-like synthetic
 problem is generated (hundreds of cameras, hundreds of thousands of points,
 ~1M observations).  At this scale the explicit Schur pair list is memory-
-prohibitive (sum of squared landmark degrees), which is exactly why the
-reference fork built the square-root CGLS path — we benchmark that.
+prohibitive (sum of squared landmark degrees); the matrix-free implicit
+Schur CG (O(observations) memory) is the scalable path — the square-root
+CGLS solver (the fork's approach) is the alternative, currently hampered
+by a pathological fused-runner compile time on the TPU toolchain
+(ROADMAP #4).
 
 Usage: python scripts/bench_venice.py [N_CAMERAS] [N_POINTS] [N_ITERS]
 """
@@ -27,7 +30,7 @@ def main():
     import numpy as np
 
     from g2o_tpu.core.lm_fused import optimize_fused
-    from g2o_tpu.core.solvers.cgls import CGLSSolver
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
     from g2o_tpu.io.bal import load_bal, make_synthetic_bal
 
     n_cams = int(sys.argv[1]) if len(sys.argv) > 1 else 800
@@ -46,13 +49,13 @@ def main():
     build_s = time.perf_counter() - t0
     n_obs = p.num_edges
 
-    solver = CGLSSolver(max_iter=60, eta=1e-2)
+    solver = ImplicitSchurSolver(max_iter=60, tol=1e-6)
     res = optimize_fused(p, solver, 2)           # warm-up/compile
     res = optimize_fused(p, solver, n_iters)
 
     out = {
         "metric": f"Venice-scale BA LM iterations/sec "
-                  f"({n_cams} cams, {n_pts} pts, {n_obs} obs, CGLS)",
+                  f"({n_cams} cams, {n_pts} pts, {n_obs} obs, implicit Schur)",
         "value": round(res["iterations"] / res["wall_s"], 4),
         "unit": "iter/s",
         "vs_baseline": 0.0,

@@ -73,3 +73,28 @@ def test_schur_rejects_partial_marginalization():
     p = g.compile()
     with pytest.raises(NotImplementedError):
         SchurSolver().setup(p)
+
+
+def test_implicit_schur_matches_explicit(scene):
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+
+    g, _ = scene
+    p = g.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    lam = 1e-3
+    dx_e = np.asarray(SchurSolver().setup(p).solve(p.data, lin, lam))
+    dx_i = np.asarray(
+        ImplicitSchurSolver(max_iter=500, tol=1e-12).setup(p)
+        .solve(p.data, lin, lam))
+    rel = np.linalg.norm(dx_i - dx_e) / np.linalg.norm(dx_e)
+    assert rel < 1e-8
+
+
+def test_implicit_schur_full_lm(scene):
+    from g2o_tpu.core.lm_fused import optimize_fused
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+
+    g, _ = scene
+    p = g.compile()
+    res = optimize_fused(p, ImplicitSchurSolver(max_iter=200, tol=1e-8), 10)
+    assert res["chi2_final"] < 1e-4 * res["chi2_per_iteration"][0]
