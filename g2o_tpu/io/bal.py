@@ -61,6 +61,59 @@ def load_bal(path_or_file, *, fix_first_camera: bool = True,
     return g
 
 
+def load_bal_problem(path_or_file, *, fix_first_camera: bool = True,
+                     huber: float = 0.0, dtype=None,
+                     pad_edges_to_multiple: int = 1):
+    """Array-direct BAL loading: tokens -> numpy blocks ->
+    :func:`~g2o_tpu.core.problem.build_problem`, bypassing per-record Python
+    objects (the object path costs minutes at Venice scale)."""
+    from g2o_tpu.core.problem import build_problem
+    from g2o_tpu.ops import robust as robust_mod
+    from g2o_tpu.types.bal import EdgeObservationBAL, VertexCameraBAL
+    from g2o_tpu.types.slam3d import VertexPointXYZ
+
+    if hasattr(path_or_file, "read"):
+        text = path_or_file.read()
+    else:
+        with open(path_or_file) as fh:
+            text = fh.read()
+    tokens = np.array(text.split(), dtype=np.float64)
+    C, P, O = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    pos = 3
+    obs = tokens[pos:pos + 4 * O].reshape(O, 4)
+    pos += 4 * O
+    cams = tokens[pos:pos + 9 * C].reshape(C, 9)
+    pos += 9 * C
+    pts = tokens[pos:pos + 3 * P].reshape(P, 3)
+
+    cam_ids = np.arange(C, dtype=np.int64)
+    pt_ids = C + np.arange(P, dtype=np.int64)
+    cam_fixed = np.zeros(C, dtype=bool)
+    if fix_first_camera:
+        cam_fixed[0] = True
+    vertex_blocks = {
+        VertexCameraBAL: (cam_ids, cams, cam_fixed,
+                          np.zeros(C, dtype=bool)),
+        VertexPointXYZ: (pt_ids, pts, np.zeros(P, dtype=bool),
+                         np.ones(P, dtype=bool)),
+    }
+    vids = np.stack([obs[:, 0].astype(np.int64),
+                     C + obs[:, 1].astype(np.int64)], axis=1)
+    kid = robust_mod.HUBER if huber > 0 else robust_mod.NONE
+    edge_blocks = {
+        EdgeObservationBAL: (
+            vids, obs[:, 2:4],
+            np.tile(np.eye(2), (O, 1, 1)),
+            np.full(O, kid, dtype=np.int32),
+            np.full(O, huber if huber > 0 else 1.0),
+            np.ones(O, dtype=bool),
+            np.zeros((O, 0)),
+        )
+    }
+    return build_problem(vertex_blocks, edge_blocks, dtype=dtype,
+                         pad_edges_to_multiple=pad_edges_to_multiple)
+
+
 def save_bal(g: Graph, path, estimates_by_vid=None):
     """Write the graph back in BAL format (cameras/points recovered by
     type)."""
@@ -111,15 +164,19 @@ def make_synthetic_bal(n_cameras=49, n_points=7000, n_obs_per_point=6,
         rng.uniform(-2, 2, n_points),
     ], axis=1)
 
-    obs = []
-    cam_j = jnp.asarray(cams)
-    for j in range(n_points):
-        sel = rng.choice(n_cameras, size=min(n_obs_per_point, n_cameras),
-                         replace=False)
-        for c in sel:
-            uv = np.asarray(bal_project(cam_j[c], jnp.asarray(pts[j])))
-            obs.append((c, j, uv[0] + rng.normal(scale=pixel_noise),
-                        uv[1] + rng.normal(scale=pixel_noise)))
+    # vectorized observation generation: k distinct cameras per point via
+    # random-key argsort, then one batched projection
+    k = min(n_obs_per_point, n_cameras)
+    keys = rng.random((n_points, n_cameras))
+    sel = np.argsort(keys, axis=1)[:, :k]                      # (P, k)
+    cams_sel = cams[sel.reshape(-1)]                           # (P*k, 9)
+    pts_rep = np.repeat(pts, k, axis=0)                        # (P*k, 3)
+    uv = np.asarray(bal_project(jnp.asarray(cams_sel),
+                                jnp.asarray(pts_rep)))
+    uv = uv + rng.normal(scale=pixel_noise, size=uv.shape)
+    pt_idx = np.repeat(np.arange(n_points), k)
+    obs = list(zip(sel.reshape(-1).tolist(), pt_idx.tolist(),
+                   uv[:, 0].tolist(), uv[:, 1].tolist()))
 
     lines = [f"{n_cameras} {n_points} {len(obs)}"]
     lines += [f"{c} {j} {u:.6f} {v:.6f}" for c, j, u, v in obs]

@@ -27,31 +27,34 @@ def main():
     from g2o_tpu.core.lm_fused import optimize_fused
     from g2o_tpu.core.solvers import SchurSolver
     from g2o_tpu.core.solvers.cgls import CGLSSolver
-    from g2o_tpu.io.bal import load_bal, make_synthetic_bal
+    from g2o_tpu.io.bal import load_bal_problem, make_synthetic_bal
 
     path = sys.argv[1] if len(sys.argv) > 1 else None
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
     t0 = time.perf_counter()
     if path:
-        g = load_bal(path, huber=0.0)
+        src = path
         name = path
     else:
-        text = make_synthetic_bal(n_cameras=49, n_points=7000,
-                                  n_obs_per_point=5, pixel_noise=1.0, seed=0)
-        g = load_bal(io.StringIO(text), huber=0.0)
+        src = io.StringIO(make_synthetic_bal(
+            n_cameras=49, n_points=7000, n_obs_per_point=5,
+            pixel_noise=1.0, seed=0))
         name = "synthetic-ladybug49"
-    # perturb points so there is something to optimize
-    rng = np.random.default_rng(1)
-    for vid, rec in g.vertices().items():
-        if rec.marginalized:
-            rec.estimate = rec.estimate + rng.normal(scale=0.1, size=3)
     build_s = time.perf_counter() - t0
 
     results = {}
+    import jax.numpy as jnp
     for tag, solver in (("schur", SchurSolver()),
                         ("cgls", CGLSSolver(max_iter=100, eta=1e-3))):
-        p = g.compile()
+        if hasattr(src, "seek"):
+            src.seek(0)
+        p = load_bal_problem(src, huber=0.0)
+        rng = np.random.default_rng(1)
+        pts_t = "VERTEX_TRACKXYZ"
+        p.estimates[pts_t] = p.estimates[pts_t] + jnp.asarray(
+            rng.normal(scale=0.1, size=p.estimates[pts_t].shape),
+            dtype=p.dtype)
         # same solver object both calls -> the compiled runner is reused
         res = optimize_fused(p, solver, 2)          # warm-up/compile
         res = optimize_fused(p, solver, n_iters)

@@ -31,7 +31,7 @@ def main():
 
     from g2o_tpu.core.lm_fused import optimize_fused
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
-    from g2o_tpu.io.bal import load_bal, make_synthetic_bal
+    from g2o_tpu.io.bal import load_bal_problem, make_synthetic_bal
 
     n_cams = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
@@ -40,12 +40,12 @@ def main():
     t0 = time.perf_counter()
     text = make_synthetic_bal(n_cameras=n_cams, n_points=n_pts,
                               n_obs_per_point=6, pixel_noise=1.0, seed=0)
-    g = load_bal(io.StringIO(text), huber=2.0)
+    p = load_bal_problem(io.StringIO(text), huber=2.0)
     rng = np.random.default_rng(1)
-    for vid, rec in g.vertices().items():
-        if rec.marginalized:
-            rec.estimate = rec.estimate + rng.normal(scale=0.05, size=3)
-    p = g.compile()
+    import jax.numpy as jnp
+    pts_t = "VERTEX_TRACKXYZ"
+    p.estimates[pts_t] = p.estimates[pts_t] + jnp.asarray(
+        rng.normal(scale=0.05, size=p.estimates[pts_t].shape), dtype=p.dtype)
     build_s = time.perf_counter() - t0
     n_obs = p.num_edges
 

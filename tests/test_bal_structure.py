@@ -67,3 +67,22 @@ def test_structure_only_requires_landmarks():
     p = create_manhattan(n_poses=20, seed=1).compile()
     with pytest.raises(ValueError):
         structure_only_refine(p)
+
+
+def test_load_bal_problem_matches_object_path():
+    import jax
+
+    from g2o_tpu.io.bal import load_bal_problem
+
+    text = make_synthetic_bal(n_cameras=8, n_points=80,
+                              n_obs_per_point=4, pixel_noise=0.5, seed=5)
+    p1 = load_bal_problem(io.StringIO(text), huber=2.0)
+    g = load_bal(io.StringIO(text), huber=2.0)
+    p2 = g.compile()
+    c1 = float(p1.chi2_jit(p1.data, p1.estimates)[0])
+    c2 = float(p2.chi2_jit(p2.data, p2.estimates)[0])
+    assert c1 == pytest.approx(c2, rel=1e-12)
+    assert p1.total_dim == p2.total_dim
+    # marginalization flags preserved for the Schur path
+    res = optimize_fused(p1, SchurSolver(), 5)
+    assert res["chi2_final"] < res["chi2_per_iteration"][0]
