@@ -151,6 +151,67 @@ class Problem:
         )
         return states, res
 
+    def split_tangent(self, v):
+        """Flat ``(T,)`` tangent vector → ``{type: (N_t, d_t)}`` blocks.
+
+        Per-type ranges are contiguous (``offsets[t] = base_t + i*d_t``), so
+        this lowers to static slices + reshapes — never a gather.  Solvers
+        should iterate in this layout: TPU gathers/scatters are processed
+        near-serially per *element*, so ``v[idx]`` with ``(E, k*d)`` element
+        indices costs ~k*d× more than the row-level ``vb[t][vidx]`` gather."""
+        out = {}
+        for t, vt in self.vertex_types.items():
+            base, n, d = self.type_bases[t], self.counts[t], vt.tangent_dim
+            out[t] = v[base:base + n * d].reshape(n, d)
+        return out
+
+    def join_tangent(self, blocks) -> jax.Array:
+        """Inverse of :meth:`split_tangent` (contiguous concat, no scatter)."""
+        return jnp.concatenate(
+            [blocks[t].reshape(-1) for t in self.vertex_types])
+
+    def tree_dot(self, a, b):
+        """Dot product over block-layout tangent vectors."""
+        return sum(jnp.vdot(a[t], b[t]) for t in self.vertex_types)
+
+    def hvp_blocks_fn(self, data: ProblemData, lin: LinearizedSystem, vb):
+        """Block-layout matrix-free H·v = Σ_edges Jᵀ(W(J v)).
+
+        One ROW-level gather and one row-level scatter-add per edge type
+        (when all slots share a vertex type), plus a handful of batched
+        einsums — the latency-optimal formulation for ``lax.while_loop``
+        CG bodies.  Replaces the reference's explicit SparseBlockMatrix
+        multiply (``sparse_block_matrix.hpp``)."""
+        out = {t: jnp.zeros_like(vb[t]) for t in self.vertex_types}
+        for name, et in self.edge_types.items():
+            batch = data.edges[name]
+            Js, W = lin.jacs[name], lin.weights[name]
+            if not isinstance(Js, (tuple, list)):
+                Js = (Js,)
+            tnames = [vt.name for vt in et.vertex_types]
+            if len(set(tnames)) == 1:
+                t = tnames[0]
+                rows = vb[t][batch.vidx]                      # (E, k, d)
+                y = None
+                for s, J in enumerate(Js):
+                    ys = jnp.einsum("erd,ed->er", J, rows[:, s])
+                    y = ys if y is None else y + ys
+                z = jnp.einsum("ers,es->er", W, y)
+                contrib = jnp.stack(
+                    [jnp.einsum("erd,er->ed", J, z) for J in Js], axis=1)
+                out[t] = out[t].at[batch.vidx].add(contrib)
+            else:
+                y = None
+                for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
+                    ys = jnp.einsum("erd,ed->er", J,
+                                    vb[vt.name][batch.vidx[:, s]])
+                    y = ys if y is None else y + ys
+                z = jnp.einsum("ers,es->er", W, y)
+                for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
+                    out[vt.name] = out[vt.name].at[batch.vidx[:, s]].add(
+                        jnp.einsum("erd,er->ed", J, z))
+        return out
+
     def chi2_fn(self, data: ProblemData, estimates):
         """(robust chi2, plain chi2) — reference ``activeRobustChi2`` /
         ``activeChi2`` (``g2o/core/sparse_optimizer.cpp:94-116``)."""
@@ -167,8 +228,10 @@ class Problem:
         return total_r, total_p
 
     def linearize_fn(self, data: ProblemData, estimates) -> LinearizedSystem:
-        T = self.total_dim
-        b = jnp.zeros((T,), dtype=self.dtype)
+        b_blocks = {
+            t: jnp.zeros((self.counts[t], vt.tangent_dim), dtype=self.dtype)
+            for t, vt in self.vertex_types.items()
+        }
         diag = {
             t: jnp.zeros((self.counts[t], vt.tangent_dim, vt.tangent_dim),
                          dtype=self.dtype)
@@ -204,54 +267,21 @@ class Problem:
             We = jnp.einsum("ers,es->er", W, e)
 
             for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
-                d = vt.tangent_dim
-                idx = _seg_ids(data.offsets[vt.name], batch.vidx[:, s], d)
-                b = b.at[idx].add(-jnp.einsum("erd,er->ed", J, We))
+                b_blocks[vt.name] = b_blocks[vt.name].at[batch.vidx[:, s]].add(
+                    -jnp.einsum("erd,er->ed", J, We))
                 Hss = jnp.einsum("erd,ers,esf->edf", J, W, J)
                 diag[vt.name] = diag[vt.name].at[batch.vidx[:, s]].add(Hss)
 
             jacs[name], weights[name], errors[name] = Js, W, e
 
+        b = self.join_tangent(b_blocks)
         return LinearizedSystem(jacs, weights, errors, b, diag, chi2_r, chi2_p)
 
     def hvp_fn(self, data: ProblemData, lin: LinearizedSystem, v):
-        """Matrix-free H·v = Σ_edges Jᵀ(W(J v)) — replaces the reference's
-        explicit SparseBlockMatrix multiply (``sparse_block_matrix.hpp``).
-
-        Slots of equal tangent dim are stacked so each edge type costs one
-        gather, two batched einsums and one scatter-add regardless of arity
-        (PCG iterations are latency-bound in per-op dispatch, so op count
-        is the figure of merit)."""
-        out = jnp.zeros_like(v)
-        for name, et in self.edge_types.items():
-            batch = data.edges[name]
-            Js, W = lin.jacs[name], lin.weights[name]
-            dims = [vt.tangent_dim for vt in et.vertex_types]
-            if len(set(dims)) == 1:
-                k = len(Js)
-                d = dims[0]
-                # (E, k*d) fused index block -> one gather / one scatter
-                idx = jnp.concatenate([
-                    _seg_ids(data.offsets[vt.name], batch.vidx[:, s], d)
-                    for s, vt in enumerate(et.vertex_types)
-                ], axis=1)
-                Jcat = jnp.concatenate(Js, axis=2)          # (E, r, k*d)
-                y = jnp.einsum("erd,ed->er", Jcat, v[idx])
-                z = jnp.einsum("ers,es->er", W, y)
-                out = out.at[idx].add(jnp.einsum("erd,er->ed", Jcat, z))
-                continue
-            y = None
-            idxs = []
-            for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
-                idx = _seg_ids(data.offsets[vt.name], batch.vidx[:, s],
-                               vt.tangent_dim)
-                idxs.append(idx)
-                ys = jnp.einsum("erd,ed->er", J, v[idx])
-                y = ys if y is None else y + ys
-            z = jnp.einsum("ers,es->er", W, y)
-            for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
-                out = out.at[idxs[s]].add(jnp.einsum("erd,er->ed", J, z))
-        return out
+        """Flat-vector H·v — thin wrapper over :meth:`hvp_blocks_fn` (the
+        split/join round-trip is slices + a concat, not gathers)."""
+        return self.join_tangent(
+            self.hvp_blocks_fn(data, lin, self.split_tangent(v)))
 
     def dense_hessian_fn(self, data: ProblemData, lin: LinearizedSystem):
         """Scatter-assemble the full dense tangent-space Hessian (small
@@ -286,11 +316,10 @@ class Problem:
         """x ⊞ dx per vertex type; fixed vertices pinned — reference
         ``SparseOptimizer::update`` (``g2o/core/sparse_optimizer.cpp:441``)."""
         out = {}
+        blocks = self.split_tangent(dx)
         for t, vt in self.vertex_types.items():
-            n, d = self.counts[t], vt.tangent_dim
-            idx = data.offsets[t][:, None] + jnp.arange(d)[None, :]
-            delta = dx[idx]
-            delta = delta * (1.0 - data.fixed[t].astype(self.dtype))[:, None]
+            delta = blocks[t] * (1.0 - data.fixed[t]
+                                 .astype(self.dtype))[:, None]
             out[t] = jax.vmap(vt.oplus)(estimates[t], delta)
         return out
 

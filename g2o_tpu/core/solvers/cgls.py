@@ -61,34 +61,30 @@ class CGLSSolver:
                 Ls[name] = chol_small(Wsafe)
             return Ls
 
-        def Jmat(data, lin, Ls, v):
-            """u = sqrt(W) J v, per edge type -> dict of (E, r)."""
+        def Jmat(data, lin, Ls, vb):
+            """u = sqrt(W) J v (block-layout v), per edge type -> (E, r)."""
             out = {}
             for name, et in p.edge_types.items():
                 batch = data.edges[name]
                 Js = lin.jacs[name]
                 y = None
                 for s, vt in enumerate(et.vertex_types):
-                    d = vt.tangent_dim
-                    idx = (data.offsets[vt.name][batch.vidx[:, s]][:, None]
-                           + jnp.arange(d)[None, :])
-                    ys = jnp.einsum("erd,ed->er", Js[s], v[idx])
+                    rows = vb[vt.name][batch.vidx[:, s]]      # row gather
+                    ys = jnp.einsum("erd,ed->er", Js[s], rows)
                     y = ys if y is None else y + ys
                 out[name] = jnp.einsum("esr,es->er", Ls[name], y)  # L^T y
             return out
 
         def Jt(data, lin, Ls, u):
-            """v = J^T sqrt(W)^T u -> (T,)."""
-            out = jnp.zeros((p.total_dim,), dtype=p.dtype)
+            """v = J^T sqrt(W)^T u -> block layout."""
+            out = {t: jnp.zeros((p.counts[t], vt.tangent_dim), dtype=p.dtype)
+                   for t, vt in p.vertex_types.items()}
             for name, et in p.edge_types.items():
                 batch = data.edges[name]
                 Js = lin.jacs[name]
                 z = jnp.einsum("ers,er->es", Ls[name], u[name])  # L u
                 for s, vt in enumerate(et.vertex_types):
-                    d = vt.tangent_dim
-                    idx = (data.offsets[vt.name][batch.vidx[:, s]][:, None]
-                           + jnp.arange(d)[None, :])
-                    out = out.at[idx].add(
+                    out[vt.name] = out[vt.name].at[batch.vidx[:, s]].add(
                         jnp.einsum("erd,er->ed", Js[s], z))
             return out
 
@@ -103,16 +99,15 @@ class CGLSSolver:
                 minv[t] = inv_small(blocks)
             return minv
 
-        def apply_precond(data, minv, r):
-            y = jnp.zeros_like(r)
-            for t, vt in p.vertex_types.items():
-                d = vt.tangent_dim
-                idx = data.offsets[t][:, None] + jnp.arange(d)[None, :]
-                y = y.at[idx].set(jnp.einsum("nij,nj->ni", minv[t], r[idx]))
-            return y
+        def apply_precond(data, minv, rb):
+            return {t: jnp.einsum("nij,nj->ni", minv[t], rb[t])
+                    for t in p.vertex_types}
 
         def dot_edges(a, b):
             return sum(jnp.vdot(a[k], b[k]) for k in a)
+
+        tdot = p.tree_dot
+        tmap = jax.tree_util.tree_map
 
         def solve(data, lin, lam, aux=()):
             Ls = whiten(lin)
@@ -120,11 +115,11 @@ class CGLSSolver:
 
             # b = J^T W e is exactly lin.b; whitened data residual:
             # r0 = sqrt(W) e with the sign of the descent direction
-            x = jnp.zeros((p.total_dim,), dtype=p.dtype)
             # s0 = J^T sqrt(W)^T (sqrt(W) e) = lin.b
-            s = lin.b
+            s = p.split_tangent(lin.b)
+            x = tmap(jnp.zeros_like, s)
             z = apply_precond(data, minv, s)
-            gamma0 = jnp.vdot(s, z)
+            gamma0 = tdot(s, z)
             pvec = z
             # r in data space (per edge type); damping-row residual = -sqrt(l)x
             r = {name: jnp.einsum("esr,es->er", Ls[name], lin.errors[name])
@@ -141,20 +136,21 @@ class CGLSSolver:
             def body(carry):
                 it, gamma, x, r, pvec = carry
                 q = Jmat(data, lin, Ls, pvec)
-                denom = dot_edges(q, q) + lam * jnp.vdot(pvec, pvec)
+                denom = dot_edges(q, q) + lam * tdot(pvec, pvec)
                 alpha = gamma / jnp.maximum(denom, 1e-300)
-                x = x + alpha * pvec
+                x = tmap(lambda a, b_: a + alpha * b_, x, pvec)
                 r = {k: r[k] - alpha * q[k] for k in r}
-                s = Jt(data, lin, Ls, r) - lam * x
+                jt = Jt(data, lin, Ls, r)
+                s = tmap(lambda a, b_: a - lam * b_, jt, x)
                 z = apply_precond(data, minv, s)
-                gamma_new = jnp.vdot(s, z)
+                gamma_new = tdot(s, z)
                 beta = gamma_new / jnp.maximum(gamma, 1e-300)
-                pvec = z + beta * pvec
+                pvec = tmap(lambda a, b_: a + beta * b_, z, pvec)
                 return (it + 1, gamma_new, x, r, pvec)
 
             carry = (jnp.asarray(0, jnp.int32), gamma0, x, r, pvec)
             _, _, x, _, _ = jax.lax.while_loop(cond, body, carry)
-            return x
+            return p.join_tangent(x)
 
         self._solve_fn = solve
         self._solve_jit = jax.jit(solve)

@@ -6,6 +6,13 @@ TPU-native analogue of the reference ``LinearSolverPCG``
 the cached per-edge Jacobian blocks as Σ Jᵀ(W(J v)) — batched small matmuls +
 segment-sum scatter, which XLA fuses into a handful of kernels.
 
+The entire CG recurrence runs in BLOCK LAYOUT (``{type: (N_t, d_t)}``): TPU
+gathers/scatters serialize per element, so the flat-vector formulation's
+``v[idx]`` with ``(E, k·d)`` element indices costs ~d× more per CG iteration
+than row-level gathers, and the block-Jacobi preconditioner application
+becomes a pure batched einsum with no gather at all.  Only the final update
+vector is joined back to the flat ``(T,)`` layout.
+
 Preconditioners:
 
 * ``"jacobi"`` — per-vertex diagonal block inverses (the reference's
@@ -15,10 +22,8 @@ Preconditioners:
   coupling is solved exactly with ONE batched dense Cholesky per
   application.  Pose-graph Hessians are dominated by the trajectory chain,
   so capturing it cuts CG iterations several-fold while costing a single
-  MXU-friendly batched factorization (measured: sphere2500 LM time is
-  linear in CG iterations at ~2.2 ms each, so iterations are the metric
-  that matters).  Falls back to Jacobi for problems without a single
-  uniform vertex type.
+  MXU-friendly batched factorization.  Falls back to Jacobi for problems
+  without a single uniform vertex type.
 
 The CG recurrence runs entirely on device inside ``lax.while_loop``; only the
 final update vector returns to the host."""
@@ -87,20 +92,16 @@ class PCGSolver:
         max_iter, tol = self.max_iter, self.tol
         chunk_cfg = self._setup_chunk_precond(problem)
         dtype = problem.dtype
+        p = problem
 
-        def apply_precond_jacobi(data, minv, r):
-            y = jnp.zeros_like(r)
-            for t, vt in problem.vertex_types.items():
-                d = vt.tangent_dim
-                idx = data.offsets[t][:, None] + jnp.arange(d)[None, :]
-                y = y.at[idx].set(
-                    jnp.einsum("nij,nj->ni", minv[t], r[idx])
-                )
-            return y
+        def apply_precond_jacobi(data, minv, rb):
+            # pure batched einsum per type — no gather/scatter
+            return {t: jnp.einsum("nij,nj->ni", minv[t], rb[t])
+                    for t in p.vertex_types}
 
         def build_precond_jacobi(data, lin, lam):
             minv = {}
-            for t, vt in problem.vertex_types.items():
+            for t, vt in p.vertex_types.items():
                 d = vt.tangent_dim
                 eye = jnp.eye(d, dtype=dtype)
                 blocks = lin.diag[t] + lam * eye
@@ -130,7 +131,6 @@ class PCGSolver:
                 ar = jnp.arange(n_pad)
                 M = M.at[ar // c, ar % c, ar % c].set(D)
                 # chain off-diagonals (both fixed-masked ends)
-                fx_flat = data.fixed[tname].astype(dtype)
                 for name, (idx, fwd, lo) in chain.items():
                     Js, W = lin.jacs[name], lin.weights[name]
                     Hab = jnp.einsum("erd,ers,esf->edf",
@@ -147,56 +147,59 @@ class PCGSolver:
                 Lc = jnp.linalg.cholesky(Md)
                 return Lc
 
-            def apply_precond(data, Lc, r):
-                idx = (data.offsets[tname][:, None]
-                       + jnp.arange(d)[None, :])
-                rv = r[idx]                                  # (n, d)
+            def apply_precond(data, Lc, rb):
+                rv = rb[tname]                               # (n, d)
                 if n_pad > n:
                     rv = jnp.concatenate(
                         [rv, jnp.zeros((n_pad - n, d), dtype=dtype)], axis=0)
                 rc = rv.reshape(nc, cd, 1)
                 y = jax.scipy.linalg.cho_solve((Lc, True), rc)[..., 0]
-                y = y.reshape(n_pad, d)[:n]
-                return jnp.zeros_like(r).at[idx].set(y)
+                return {tname: y.reshape(n_pad, d)[:n]}
 
         else:
             build_precond = build_precond_jacobi
             apply_precond = apply_precond_jacobi
 
-        def matvec(data, lin, lam, v):
+        def matvec(data, lin, lam, vb):
             # damped system + unit rows on fixed slots
-            return (problem.hvp_fn(data, lin, v) + lam * v
-                    + data.fixed_flat * (v - lam * v))
+            hv = p.hvp_blocks_fn(data, lin, vb)
+            out = {}
+            for t in p.vertex_types:
+                fm = data.fixed[t].astype(dtype)[:, None]
+                out[t] = hv[t] + lam * vb[t] + fm * (vb[t] - lam * vb[t])
+            return out
+
+        tdot = p.tree_dot
+        tmap = jax.tree_util.tree_map
 
         def solve(data, lin, lam, aux=()):
-            b = lin.b
+            b = p.split_tangent(lin.b)
             minv = build_precond(data, lin, lam)
-            x0 = jnp.zeros_like(b)
+            x0 = tmap(jnp.zeros_like, b)
             r0 = b
             z0 = apply_precond(data, minv, r0)
             p0 = z0
-            rz0 = jnp.dot(r0, z0)
-            thresh = tol * tol * jnp.dot(b, b)
+            rz0 = tdot(r0, z0)
+            thresh = tol * tol * tdot(b, b)
 
             def cond(carry):
                 _, r, _, _, rz, it = carry
-                return jnp.logical_and(it < max_iter,
-                                       jnp.dot(r, r) > thresh)
+                return jnp.logical_and(it < max_iter, tdot(r, r) > thresh)
 
             def body(carry):
-                x, r, z, p, rz, it = carry
-                Ap = matvec(data, lin, lam, p)
-                alpha = rz / jnp.dot(p, Ap)
-                x = x + alpha * p
-                r = r - alpha * Ap
+                x, r, z, pv, rz, it = carry
+                Ap = matvec(data, lin, lam, pv)
+                alpha = rz / tdot(pv, Ap)
+                x = tmap(lambda a, b_: a + alpha * b_, x, pv)
+                r = tmap(lambda a, b_: a - alpha * b_, r, Ap)
                 z = apply_precond(data, minv, r)
-                rz_new = jnp.dot(r, z)
+                rz_new = tdot(r, z)
                 beta = rz_new / rz
-                p = z + beta * p
-                return (x, r, z, p, rz_new, it + 1)
+                pv = tmap(lambda a, b_: a + beta * b_, z, pv)
+                return (x, r, z, pv, rz_new, it + 1)
 
             x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
-            return x
+            return p.join_tangent(x)
 
         self._solve_fn = solve          # unjitted, for fusion into one step
         self._solve_jit = jax.jit(solve)

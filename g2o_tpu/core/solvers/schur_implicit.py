@@ -18,13 +18,17 @@ memory.  Landmarks back-substitute exactly as in the explicit path.  This
 is the scalable counterpart of the reference's Schur loop
 (``block_solver.hpp:339-393``) for graphs where the pair clique expansion
 explodes, and complements the square-root CGLS path (which iterates on the
-FULL system rather than the reduced one)."""
+FULL system rather than the reduced one).
+
+The CG recurrence runs in BLOCK LAYOUT (``{type: (N_t, d_t)}``): all
+gathers/scatters are row-level through each edge batch's own ``vidx``
+columns (which already travel inside ``data``), so the solver owns no index
+arrays at all and supports mixed landmark/pose dimensions."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from g2o_tpu.ops.smallblocks import inv_small
 
@@ -40,14 +44,9 @@ class ImplicitSchurSolver:
         self._solve_jit = None
 
     def setup(self, problem):
-        # reuse the explicit solver's classification/layout machinery by
-        # building it without the pair lists
-        from g2o_tpu.core.solvers.schur import SchurSolver
-
-        helper = SchurSolver()
-        # --- reproduce the layout portion of SchurSolver.setup ---
-        marg = {t: bool(m.all()) for t, m in problem.marginalized.items()}
-        for t, m in problem.marginalized.items():
+        p = problem
+        marg = {t: bool(m.all()) for t, m in p.marginalized.items()}
+        for t, m in p.marginalized.items():
             if m.any() and not m.all():
                 raise NotImplementedError(
                     f"ImplicitSchurSolver: type {t} partially marginalized")
@@ -55,38 +54,11 @@ class ImplicitSchurSolver:
         pose_types = [t for t, v in marg.items() if not v]
         if not lm_types:
             raise ValueError("ImplicitSchurSolver: no marginalized vertices")
-        lm_dims = {problem.vertex_types[t].tangent_dim for t in lm_types}
-        if len(lm_dims) != 1:
-            raise NotImplementedError("mixed landmark tangent dims")
-        (dl,) = lm_dims
 
-        pose_base, base = {}, 0
-        for t in pose_types:
-            pose_base[t] = base
-            base += problem.counts[t] * problem.vertex_types[t].tangent_dim
-        Tp = base
-        lm_base, nl = {}, 0
-        for t in lm_types:
-            lm_base[t] = nl
-            nl += problem.counts[t]
-        NL = nl
-
-        pose_off = {
-            t: np.asarray(pose_base[t]
-                          + np.arange(problem.counts[t], dtype=np.int32)
-                          * problem.vertex_types[t].tangent_dim)
-            for t in pose_types
-        }
-        pose_fixed_flat = np.zeros(Tp)
-        for t in pose_types:
-            d = problem.vertex_types[t].tangent_dim
-            fx = np.asarray(problem.data.fixed[t])
-            for i in np.nonzero(fx)[0]:
-                o = pose_base[t] + i * d
-                pose_fixed_flat[o:o + d] = 1.0
-
-        obs_specs, pose_edge_types, obs_pose_dims = [], [], set()
-        for name, et in problem.edge_types.items():
+        # classify edges: observations (one pose slot + one landmark slot)
+        # vs pose-only edges
+        obs_specs, pose_edge_types = [], []
+        for name, et in p.edge_types.items():
             slots_marg = [marg[vt.name] for vt in et.vertex_types]
             if not any(slots_marg):
                 pose_edge_types.append(name)
@@ -96,169 +68,140 @@ class ImplicitSchurSolver:
                     f"unsupported landmark edge pattern in {name}")
             lm_slot = slots_marg.index(True)
             obs_specs.append((name, 1 - lm_slot, lm_slot))
-            obs_pose_dims.add(et.vertex_types[1 - lm_slot].tangent_dim)
-        if len(obs_pose_dims) > 1:
-            raise NotImplementedError("mixed pose dims in observations")
-        dp = obs_pose_dims.pop() if obs_pose_dims else 0
 
-        obs_cam_np, obs_lm_np = [], []
-        for name, pose_slot, lm_slot in obs_specs:
-            et = problem.edge_types[name]
-            vidx = np.asarray(problem.data.edges[name].vidx)
-            pt = et.vertex_types[pose_slot].name
-            lt = et.vertex_types[lm_slot].name
-            obs_cam_np.append(pose_off[pt][vidx[:, pose_slot]])
-            obs_lm_np.append(lm_base[lt] + vidx[:, lm_slot])
-        obs_cam = np.concatenate(obs_cam_np).astype(np.int32)
-        obs_lm = np.concatenate(obs_lm_np).astype(np.int32)
-
-        lm_goff_np = np.zeros(NL, dtype=np.int32)
-        lm_fixed_np = np.zeros(NL, dtype=bool)
-        for t in lm_types:
-            lm_goff_np[lm_base[t]:lm_base[t] + problem.counts[t]] = \
-                np.asarray(problem.data.offsets[t])
-            lm_fixed_np[lm_base[t]:lm_base[t] + problem.counts[t]] = \
-                np.asarray(problem.data.fixed[t])
-
-        pose_to_global = np.zeros(Tp, dtype=np.int32)
-        for t in pose_types:
-            d = problem.vertex_types[t].tangent_dim
-            offs = np.asarray(problem.data.offsets[t])
-            for i in range(problem.counts[t]):
-                po = pose_base[t] + i * d
-                pose_to_global[po:po + d] = np.arange(offs[i], offs[i] + d)
-
-        self.aux = dict(
-            obs_cam=jnp.asarray(obs_cam), obs_lm=jnp.asarray(obs_lm),
-            lm_goff=jnp.asarray(lm_goff_np),
-            lm_fixed=jnp.asarray(lm_fixed_np),
-            pose_to_global=jnp.asarray(pose_to_global),
-            pose_fixed_flat=jnp.asarray(pose_fixed_flat,
-                                        dtype=problem.dtype),
-            pose_off={t: jnp.asarray(o) for t, o in pose_off.items()},
-        )
-
-        dtype = problem.dtype
-        eye_l = jnp.eye(dl, dtype=dtype)
+        dtype = p.dtype
         max_iter, tol = self.max_iter, self.tol
-        p = problem
+        tmap = jax.tree_util.tree_map
 
-        def build_B(lin):
-            Bs = []
-            for name, pose_slot, lm_slot in obs_specs:
-                Js, W = lin.jacs[name], lin.weights[name]
-                Bs.append(jnp.einsum("erd,ers,esf->edf",
-                                     Js[pose_slot], W, Js[lm_slot]))
-            return jnp.concatenate(Bs, axis=0) if Bs else \
-                jnp.zeros((0, dp, dl), dtype=dtype)
-
-        def pose_diag(lin, lam, aux):
-            """Dense-free Hpp·v pieces: diag blocks per pose type."""
+        def damped_diag(data, lin, lam, types):
             out = {}
-            for t in pose_types:
+            for t in types:
                 d = p.vertex_types[t].tangent_dim
                 eye = jnp.eye(d, dtype=dtype)
                 blocks = lin.diag[t] + lam * eye
-                fx = p.data.fixed[t].astype(dtype)[:, None, None]
+                fx = data.fixed[t].astype(dtype)[:, None, None]
                 out[t] = blocks * (1.0 - fx) + eye * fx
             return out
 
-        def hpp_vec(lin, lam, aux, diag_blocks, v):
-            """Hpp v on the pose-only flat vector (diag + pose-pose edges)."""
-            out = jnp.zeros_like(v)
-            for t in pose_types:
-                d = p.vertex_types[t].tangent_dim
-                idx = aux["pose_off"][t][:, None] + jnp.arange(d)[None, :]
-                out = out.at[idx].set(
-                    jnp.einsum("nij,nj->ni", diag_blocks[t], v[idx]))
-            for name in pose_edge_types:
-                et = p.edge_types[name]
-                batch = p.data.edges[name]
+        def pdot(a, b):
+            return sum(jnp.vdot(a[t], b[t]) for t in pose_types)
+
+        def solve(data, lin, lam, aux=()):
+            # per-landmark-type Dinv (batched closed-form inverses)
+            Dinv = {t: inv_small(D)
+                    for t, D in damped_diag(data, lin, lam, lm_types).items()}
+            # per-observation off-diagonal blocks B = Jp^T W Jl
+            B = {}
+            for name, ps, ls in obs_specs:
                 Js, W = lin.jacs[name], lin.weights[name]
-                idxs = [aux["pose_off"][vt.name][batch.vidx[:, s]][:, None]
-                        + jnp.arange(vt.tangent_dim)[None, :]
-                        for s, vt in enumerate(et.vertex_types)]
-                k = len(Js)
-                # off-diagonal coupling only (diag already counted)
-                for i in range(k):
-                    for j in range(k):
-                        if i == j:
-                            continue
-                        Hij_v = jnp.einsum(
-                            "erd,ers,esf,ef->ed", Js[i], W, Js[j], v[idxs[j]])
-                        out = out.at[idxs[i]].add(Hij_v)
-            return out
+                B[name] = jnp.einsum("erd,ers,esf->edf", Js[ps], W, Js[ls])
 
-        def solve(data, lin, lam, aux):
-            B = build_B(lin)                                   # (Eo, dp, dl)
-            Dl = jnp.concatenate([lin.diag[t] for t in lm_types], axis=0) \
-                + lam * eye_l
-            fx = aux["lm_fixed"].astype(dtype)[:, None, None]
-            Dinv = inv_small(Dl * (1.0 - fx) + eye_l * fx)
+            ball = p.split_tangent(lin.b)
+            bp = {t: ball[t] for t in pose_types}
+            bl = {t: ball[t] for t in lm_types}
+            y = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t])
+                 for t in lm_types}
 
-            bp = lin.b[aux["pose_to_global"]]
-            lm_idx2 = aux["lm_goff"][:, None] + jnp.arange(dl)[None, :]
-            bl = lin.b[lm_idx2]
-            y = jnp.einsum("nij,nj->ni", Dinv, bl)
-            cam_idx2 = aux["obs_cam"][:, None] + jnp.arange(dp)[None, :]
-            bschur = bp.at[cam_idx2].add(
-                -jnp.einsum("edl,el->ed", B, y[aux["obs_lm"]]))
+            # bschur = bp - B * (Dinv bl)
+            bschur = dict(bp)
+            for name, ps, ls in obs_specs:
+                et = p.edge_types[name]
+                vidx = data.edges[name].vidx
+                pt = et.vertex_types[ps].name
+                lt = et.vertex_types[ls].name
+                bschur[pt] = bschur[pt].at[vidx[:, ps]].add(
+                    -jnp.einsum("edl,el->ed", B[name], y[lt][vidx[:, ls]]))
 
-            diag_blocks = pose_diag(lin, lam, aux)
+            diag_blocks = damped_diag(data, lin, lam, pose_types)
             minv = {t: inv_small(diag_blocks[t]) for t in pose_types}
 
-            def S_vec(v):
-                u = v[cam_idx2]                                # (Eo, dp)
-                t_ = jnp.zeros((NL, dl), dtype=dtype).at[aux["obs_lm"]].add(
-                    jnp.einsum("edl,ed->el", B, u))
-                s_ = jnp.einsum("nij,nj->ni", Dinv, t_)
-                out = hpp_vec(lin, lam, aux, diag_blocks, v)
-                out = out.at[cam_idx2].add(
-                    -jnp.einsum("edl,el->ed", B, s_[aux["obs_lm"]]))
+            def S_vec(vb):
+                # Hpp v: diagonal blocks (pure einsum) + pose-pose couplings
+                out = {t: jnp.einsum("nij,nj->ni", diag_blocks[t], vb[t])
+                       for t in pose_types}
+                for name in pose_edge_types:
+                    et = p.edge_types[name]
+                    vidx = data.edges[name].vidx
+                    Js, W = lin.jacs[name], lin.weights[name]
+                    k = len(Js)
+                    for i in range(k):
+                        ti = et.vertex_types[i].name
+                        acc = None
+                        for j in range(k):
+                            if i == j:
+                                continue
+                            tj = et.vertex_types[j].name
+                            h = jnp.einsum(
+                                "erd,ers,esf,ef->ed", Js[i], W, Js[j],
+                                vb[tj][vidx[:, j]])
+                            acc = h if acc is None else acc + h
+                        if acc is not None:
+                            out[ti] = out[ti].at[vidx[:, i]].add(acc)
+                # Schur term: − B Dinv B^T v via two segment reductions
+                tl = {t: jnp.zeros((p.counts[t],
+                                    p.vertex_types[t].tangent_dim),
+                                   dtype=dtype) for t in lm_types}
+                for name, ps, ls in obs_specs:
+                    et = p.edge_types[name]
+                    vidx = data.edges[name].vidx
+                    pt = et.vertex_types[ps].name
+                    lt = et.vertex_types[ls].name
+                    u = vb[pt][vidx[:, ps]]
+                    tl[lt] = tl[lt].at[vidx[:, ls]].add(
+                        jnp.einsum("edl,ed->el", B[name], u))
+                s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t])
+                      for t in lm_types}
+                for name, ps, ls in obs_specs:
+                    et = p.edge_types[name]
+                    vidx = data.edges[name].vidx
+                    pt = et.vertex_types[ps].name
+                    lt = et.vertex_types[ls].name
+                    out[pt] = out[pt].at[vidx[:, ps]].add(
+                        -jnp.einsum("edl,el->ed", B[name],
+                                    s_[lt][vidx[:, ls]]))
                 return out
 
-            def precond(r):
-                out = jnp.zeros_like(r)
-                for t in pose_types:
-                    d = p.vertex_types[t].tangent_dim
-                    idx = (aux["pose_off"][t][:, None]
-                           + jnp.arange(d)[None, :])
-                    out = out.at[idx].set(
-                        jnp.einsum("nij,nj->ni", minv[t], r[idx]))
-                return out
+            def precond(rb):
+                return {t: jnp.einsum("nij,nj->ni", minv[t], rb[t])
+                        for t in pose_types}
 
-            x0 = jnp.zeros_like(bschur)
+            x0 = tmap(jnp.zeros_like, bschur)
             r0 = bschur
             z0 = precond(r0)
-            rz0 = jnp.dot(r0, z0)
-            thresh = tol * tol * jnp.dot(bschur, bschur)
+            rz0 = pdot(r0, z0)
+            thresh = tol * tol * pdot(bschur, bschur)
 
             def cond(c):
                 return jnp.logical_and(c[5] < max_iter,
-                                       jnp.dot(c[1], c[1]) > thresh)
+                                       pdot(c[1], c[1]) > thresh)
 
             def body(c):
                 x, r, z, pv, rz, it = c
                 Ap = S_vec(pv)
-                alpha = rz / jnp.dot(pv, Ap)
-                x = x + alpha * pv
-                r = r - alpha * Ap
+                alpha = rz / pdot(pv, Ap)
+                x = tmap(lambda a, b_: a + alpha * b_, x, pv)
+                r = tmap(lambda a, b_: a - alpha * b_, r, Ap)
                 z = precond(r)
-                rz2 = jnp.dot(r, z)
-                return (x, r, z, z + (rz2 / rz) * pv, rz2, it + 1)
+                rz2 = pdot(r, z)
+                pv = tmap(lambda a, b_: a + (rz2 / rz) * b_, z, pv)
+                return (x, r, z, pv, rz2, it + 1)
 
             dxp, *_ = jax.lax.while_loop(cond, body,
                                          (x0, r0, z0, z0, rz0, 0))
 
-            # back-substitute landmarks
-            w = jnp.einsum("edl,ed->el", B, dxp[cam_idx2])
-            wl = jnp.zeros_like(bl).at[aux["obs_lm"]].add(w)
-            dxl = jnp.einsum("nij,nj->ni", Dinv, bl - wl)
+            # back-substitute landmarks: dxl = Dinv (bl - B^T dxp)
+            wl = {t: jnp.zeros_like(bl[t]) for t in lm_types}
+            for name, ps, ls in obs_specs:
+                et = p.edge_types[name]
+                vidx = data.edges[name].vidx
+                pt = et.vertex_types[ps].name
+                lt = et.vertex_types[ls].name
+                wl[lt] = wl[lt].at[vidx[:, ls]].add(
+                    jnp.einsum("edl,ed->el", B[name], dxp[pt][vidx[:, ps]]))
+            dxl = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t] - wl[t])
+                   for t in lm_types}
 
-            dx = jnp.zeros_like(lin.b)
-            dx = dx.at[aux["pose_to_global"]].set(dxp)
-            dx = dx.at[lm_idx2].set(dxl)
-            return dx
+            return p.join_tangent({**dxp, **dxl})
 
         self._solve_fn = solve
         self._solve_jit = jax.jit(solve)
