@@ -105,6 +105,24 @@ def main(argv=None):
     ap.add_argument("-listSolvers", action="store_true")
     ap.add_argument("-listKernels", action="store_true")
     ap.add_argument("-listTypes", action="store_true")
+    ap.add_argument("-renameTypes", default=None,
+                    help="on-disk tag remapping 'oldtag=newtag,...' "
+                         "(reference -renameTypes)")
+    ap.add_argument("-solverProperties", default=None,
+                    help="'key=value,...' applied to the solver/algorithm "
+                         "(e.g. max_iter=200,tol=1e-8,initial_lambda=1e-4)")
+    ap.add_argument("-printSolverProperties", action="store_true")
+    ap.add_argument("-inc", action="store_true",
+                    help="incremental mode: re-add edges ordered by max "
+                         "vertex id, optimizing as the graph grows "
+                         "(reference g2o.cpp:373-460)")
+    ap.add_argument("-update", type=int, default=10,
+                    help="incremental: optimize every N new vertices")
+    ap.add_argument("-incIterations", type=int, default=1,
+                    help="incremental: iterations per update")
+    ap.add_argument("-gt", default=None,
+                    help="ground-truth .g2o file: report ATE/RPE after "
+                         "optimization")
     args = ap.parse_args(argv)
 
     _build_solver_table()
@@ -138,8 +156,13 @@ def main(argv=None):
     from g2o_tpu.core.optimizer import SparseOptimizer
     from g2o_tpu.io import g2o_format
 
+    rename = None
+    if args.renameTypes:
+        rename = dict(kv.split("=", 1) for kv in
+                      args.renameTypes.split(",") if "=" in kv)
+
     t0 = time.perf_counter()
-    g = g2o_format.load(args.input)
+    g = g2o_format.load(args.input, rename=rename)
     print(f"loaded {args.input}: {g.num_vertices} vertices, "
           f"{g.num_edges} edges ({time.perf_counter() - t0:.2f} s)",
           file=sys.stderr)
@@ -178,6 +201,39 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
+    def apply_properties(*objs):
+        """Route '-solverProperties k=v,...' onto solver/algorithm knobs —
+        the analogue of the reference PropertyMap::updateMapFromString
+        (``stuff/property.h:41-159``, CLI wiring ``g2o.cpp:225-237``)."""
+        if args.printSolverProperties:
+            for o in objs:
+                for k, v in sorted(vars(o).items()):
+                    if not k.startswith("_") and isinstance(
+                            v, (int, float, bool, str)):
+                        print(f"{type(o).__name__}.{k} = {v}",
+                              file=sys.stderr)
+        if not args.solverProperties:
+            return
+        for kv in args.solverProperties.split(","):
+            if "=" not in kv:
+                continue
+            k, v = kv.split("=", 1)
+            hit = False
+            for o in objs:
+                if hasattr(o, k) and not k.startswith("_"):
+                    cur = getattr(o, k)
+                    cast = type(cur) if not isinstance(cur, bool) else \
+                        (lambda s: s.lower() in ("1", "true", "yes"))
+                    setattr(o, k, cast(v))
+                    hit = True
+            if not hit:
+                print(f"# warning: unknown solver property {k!r}",
+                      file=sys.stderr)
+
+    if args.inc:
+        return _run_incremental(args, g, algo_name, solver_factory,
+                                apply_properties)
+
     p = g.compile()
     n_iter = abs(args.iterations)
     use_gain = args.iterations < 0
@@ -186,6 +242,7 @@ def main(argv=None):
         from g2o_tpu.core.lm_fused import optimize_fused
 
         solver = solver_factory()
+        apply_properties(solver)
         res = optimize_fused(
             p, solver, n_iter,
             gain_threshold=args.gainThreshold if use_gain else 0.0)
@@ -206,9 +263,11 @@ def main(argv=None):
                    "iterations": res["iterations"],
                    "wall_s": res["wall_s"], "solver": args.solver}
     else:
-        opt = SparseOptimizer(p, algorithm=_make_algorithm(algo_name,
-                                                           args.fused),
-                              solver=solver_factory(), verbose=args.verbose)
+        algorithm = _make_algorithm(algo_name, args.fused)
+        solver = solver_factory()
+        apply_properties(solver, algorithm)
+        opt = SparseOptimizer(p, algorithm=algorithm, solver=solver,
+                              verbose=args.verbose)
         if use_gain:
             opt.terminate_gain_threshold = args.gainThreshold
         t0 = time.perf_counter()
@@ -228,9 +287,78 @@ def main(argv=None):
     if args.summary:
         with open(args.summary, "a") as fh:
             fh.write(json.dumps(summary) + "\n")
+    if args.gt:
+        _report_ate(args, g, p.estimates_by_vid(), rename)
     if args.output:
         g2o_format.save(g, args.output,
                         estimates_by_vid=p.estimates_by_vid())
+        print(f"wrote {args.output}", file=sys.stderr)
+    return 0
+
+
+def _report_ate(args, g, est_by_vid, rename):
+    """ATE/RPE against a ground-truth .g2o trajectory (BASELINE.md parity
+    metrics; the reference leaves this to external evo-style tools)."""
+    from g2o_tpu.io import g2o_format
+    from g2o_tpu.utils.metrics import ate, rpe
+
+    gt_graph = g2o_format.load(args.gt, rename=rename)
+    gt_recs = gt_graph.vertices()
+    by_shape = {}
+    for vid in sorted(est_by_vid):
+        if vid in gt_recs:
+            sh = est_by_vid[vid].shape
+            by_shape.setdefault(sh, ([], []))
+            by_shape[sh][0].append(est_by_vid[vid])
+            by_shape[sh][1].append(gt_recs[vid].estimate)
+    # the trajectory = the largest same-shape group (poses, not landmarks)
+    est, gt = max(by_shape.values(), key=lambda p: len(p[0])) \
+        if by_shape else ([], [])
+    if len(est) < 2:
+        print("# -gt: no overlapping vertex ids", file=sys.stderr)
+        return
+    print(f"ATE(rmse)= {ate(est, gt):.6f}  RPE(rmse)= {rpe(est, gt):.6f}  "
+          f"over {len(est)} poses")
+
+
+def _run_incremental(args, g, algo_name, solver_factory, apply_properties):
+    """Incremental mode — re-add edges ordered by max vertex id, optimizing
+    every ``-update`` vertices (reference ``g2o.cpp:373-460``)."""
+    from g2o_tpu.core.incremental import IncrementalOptimizer
+
+    solver_proto = solver_factory()
+    apply_properties(solver_proto)
+    inc = IncrementalOptimizer(solver_factory=solver_factory,
+                               verbose=args.verbose)
+    vrecs = g.vertices()
+    edges = sorted(g.edges(), key=lambda e: max(e.vids))
+    added = set()
+    n_since = 0
+    t0 = time.perf_counter()
+    for e in edges:
+        for vid in e.vids:
+            if vid not in added:
+                r = vrecs[vid]
+                inc.add_vertex(vid, r.vtype, r.estimate, fixed=r.fixed)
+                added.add(vid)
+                n_since += 1
+        inc.add_edge(e.etype, e.vids, e.measurement, e.information,
+                     kernel=e.kernel, delta=e.delta, param_id=e.param_id)
+        if n_since >= args.update:
+            inc.optimize(args.incIterations)
+            n_since = 0
+            if args.verbose:
+                print(f"vertices= {len(added)}\t chi2= {inc.chi2():.6f}",
+                      file=sys.stderr)
+    inc.optimize(max(args.incIterations, 1))
+    wall = time.perf_counter() - t0
+    print(f"final chi2= {inc.chi2():.6f} ({len(added)} vertices, "
+          f"{inc.recompiles} recompiles, {wall:.3f} s)", file=sys.stderr)
+    if args.output:
+        from g2o_tpu.io import g2o_format
+
+        g2o_format.save(inc.graph, args.output,
+                        estimates_by_vid=inc.problem.estimates_by_vid())
         print(f"wrote {args.output}", file=sys.stderr)
     return 0
 

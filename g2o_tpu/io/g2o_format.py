@@ -40,7 +40,11 @@ DATA_TAGS = ("ROBOTLASER1", "ROBOTLASER2", "RAWLASER1", "RAWLASER2",
 
 
 def load(path_or_file, graph: Graph | None = None, registry=None,
-         default_fixed: set | None = None) -> Graph:
+         default_fixed: set | None = None,
+         rename: dict | None = None) -> Graph:
+    """``rename`` maps on-disk tags to registered tags before lookup — the
+    analogue of the reference CLI's ``-renameTypes`` handling
+    (``apps/g2o_cli/g2o.cpp`` type-renaming flag)."""
     registry = registry or REGISTRY
     g = graph or Graph(registry)
     fix_ids = []
@@ -59,6 +63,8 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
                 continue
             parts = line.split()
             tag = parts[0]
+            if rename and tag in rename:
+                tag = rename[tag]
             if tag == "FIX":
                 fix_ids.extend(int(p) for p in parts[1:])
                 continue

@@ -108,3 +108,43 @@ def test_slam2d_linear_init():
     chi_lin = float(p1.chi2_jit(p1.data, p1.estimates)[0])
     # the linear init must land near the optimum (Carlone et al. property)
     assert chi_lin < 1e-2 * chi_zeros
+
+
+def test_cli_rename_and_properties(tmp_path, capsys):
+    g = create_manhattan(n_poses=30, seed=9)
+    inp = str(tmp_path / "in.g2o")
+    g2o_format.save(g, inp)
+    # rewrite tags to a foreign alias and load via -renameTypes
+    text = open(inp).read().replace("VERTEX_SE2", "VERTEX_SE2_ALIEN") \
+                           .replace("EDGE_SE2", "EDGE_SE2_ALIEN")
+    open(inp, "w").write(text)
+    rc = cli.main(["-i", "5", "-solver", "lm_pcg",
+                   "-renameTypes",
+                   "VERTEX_SE2_ALIEN=VERTEX_SE2,EDGE_SE2_ALIEN=EDGE_SE2",
+                   "-solverProperties", "max_iter=37,tol=1e-7",
+                   "-printSolverProperties", inp])
+    assert rc == 0
+
+
+def test_cli_ate_report(tmp_path, capsys):
+    g = create_manhattan(n_poses=40, seed=10)
+    inp = str(tmp_path / "in.g2o")
+    gt = str(tmp_path / "gt.g2o")
+    g2o_format.save(g, inp)
+    g2o_format.save(g, gt)   # ground truth == noisy input; ATE finite
+    rc = cli.main(["-i", "5", "-solver", "lm_pcg", "-gt", gt, inp])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "ATE(rmse)=" in outp
+
+
+def test_cli_incremental(tmp_path):
+    g = create_manhattan(n_poses=40, seed=11)
+    inp = str(tmp_path / "in.g2o")
+    out = str(tmp_path / "out.g2o")
+    g2o_format.save(g, inp)
+    rc = cli.main(["-inc", "-update", "15", "-incIterations", "1",
+                   "-solver", "lm_pcg", "-o", out, inp])
+    assert rc == 0
+    g2 = g2o_format.load(out)
+    assert g2.num_vertices == g.num_vertices
