@@ -86,6 +86,9 @@ class EdgeType:
     num_params: int = 1  # how many parameter ids this edge references
     # (their value vectors are concatenated into the param argument;
     # analogue of Edge::numParameters, ``g2o/core/optimizable_graph.h``)
+    dynamic_tag: Optional[str] = None  # variable-arity .g2o tag: serialized
+    # as 'TAG id... || count meas info' (reference dynamic multi-edge
+    # convention, ``core/optimizable_graph.cpp:575-590``)
 
     @property
     def num_slots(self) -> int:
@@ -110,6 +113,7 @@ class TypeRegistry:
         self.edge_types: dict[str, EdgeType] = {}
         self._vertex_by_tag: dict[str, VertexType] = {}
         self._edge_by_tag: dict[str, EdgeType] = {}
+        self._dynamic_edge_by_tag: dict[str, Callable] = {}
 
     def register_vertex(self, vt: VertexType) -> VertexType:
         self.vertex_types[vt.name] = vt
@@ -129,8 +133,18 @@ class TypeRegistry:
     def edge_for_tag(self, tag: str) -> Optional[EdgeType]:
         return self._edge_by_tag.get(tag)
 
+    def register_dynamic_edge(self, tag: str, factory: Callable) -> None:
+        """``factory(k: int) -> EdgeType`` builds the arity-``k`` specialized
+        type for a variable-arity tag (reference ``e->resize(numV)`` path,
+        ``core/optimizable_graph.cpp:575-590``)."""
+        self._dynamic_edge_by_tag[tag] = factory
+
+    def dynamic_edge_for_tag(self, tag: str) -> Optional[Callable]:
+        return self._dynamic_edge_by_tag.get(tag)
+
     def known_tags(self):
-        return sorted(set(self._vertex_by_tag) | set(self._edge_by_tag))
+        return sorted(set(self._vertex_by_tag) | set(self._edge_by_tag)
+                      | set(self._dynamic_edge_by_tag))
 
 
 # the global registry (type libraries register into it at import time)

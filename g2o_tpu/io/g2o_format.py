@@ -85,6 +85,36 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
                 g.add_vertex(vid, vt, vals)
                 last_vid = vid
                 continue
+            dyn = registry.dynamic_edge_for_tag(tag)
+            if dyn is not None:
+                # 'TAG id... || count meas upper-tri-info' (reference
+                # ``optimizable_graph.cpp:575-590`` + per-edge read)
+                try:
+                    sep = parts.index("||")
+                except ValueError:
+                    raise ValueError(
+                        f"line {lineno}: {tag} missing '||' separator")
+                vids = [int(x) for x in parts[1:sep]]
+                et = dyn(len(vids) - 1)
+                pos = sep + 1
+                count = int(parts[pos])
+                pos += 1
+                if count != len(vids) - 1:
+                    raise ValueError(
+                        f"line {lineno}: {tag} count {count} != "
+                        f"{len(vids) - 1} observed vertices")
+                m = et.serialized_meas_dim
+                meas = np.array([float(x) for x in parts[pos:pos + m]])
+                pos += m
+                r = et.residual_dim
+                ninfo = r * (r + 1) // 2
+                vals = [float(x) for x in parts[pos:pos + ninfo]]
+                if len(vals) != ninfo:
+                    raise ValueError(
+                        f"line {lineno}: expected {ninfo} information entries")
+                info = upper_triangular_to_full(vals, r)
+                g.add_edge(et, vids, meas, info)
+                continue
             et = registry.edge_for_tag(tag)
             if et is not None:
                 k = et.num_slots
@@ -158,6 +188,14 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
             meas = e.measurement
             if e.etype.meas_to_vector is not None:
                 meas = e.etype.meas_to_vector(meas)
+            if e.etype.dynamic_tag:
+                fh.write(" ".join([
+                    e.etype.dynamic_tag,
+                    " ".join(str(v) for v in e.vids),
+                    "||", str(len(e.vids) - 1), _fmt(meas),
+                    _fmt(full_to_upper_triangular(np.asarray(e.information))),
+                ]) + "\n")
+                continue
             parts = [e.etype.io_tags[0], " ".join(str(v) for v in e.vids)]
             if e.etype.param_dim:
                 parts.append(" ".join(str(p) for p in e.param_id))

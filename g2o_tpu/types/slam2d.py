@@ -243,9 +243,17 @@ def make_edge_se2_lots_of_xy(k: int) -> EdgeType:
         residual=residual,
         meas_dim=2 * k,
         tags=(f"EDGE_SE2_LOTSOFXY_{k}",),
+        dynamic_tag="EDGE_SE2_LOTSOFXY",
     ))
     _LOTS_OF_XY_CACHE[k] = et
     return et
+
+
+# variable-arity text lines 'EDGE_SE2_LOTSOFXY ids... || k meas info'
+# (reference tag registration ``types_slam2d.cpp:53``)
+from g2o_tpu.core.types import REGISTRY as _REG  # noqa: E402
+
+_REG.register_dynamic_edge("EDGE_SE2_LOTSOFXY", make_edge_se2_lots_of_xy)
 
 
 def _edge_se2_two_points_residual(states, meas, param):

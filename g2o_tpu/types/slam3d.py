@@ -155,9 +155,17 @@ def make_edge_se3_lots_of_xyz(k: int) -> EdgeType:
         residual=residual,
         meas_dim=3 * k,
         tags=(f"EDGE_SE3_LOTSOF_XYZ_{k}",),
+        dynamic_tag="EDGE_SE3_LOTSOF_XYZ",
     ))
     _LOTS_OF_XYZ_CACHE[k] = et
     return et
+
+
+# variable-arity text lines (reference tag registration
+# ``types_slam3d.cpp:56``)
+from g2o_tpu.core.types import REGISTRY as _REG  # noqa: E402
+
+_REG.register_dynamic_edge("EDGE_SE3_LOTSOF_XYZ", make_edge_se3_lots_of_xyz)
 
 
 def _edge_se3_offset_residual(states, meas, param):

@@ -76,3 +76,29 @@ def test_params_and_param_edges():
     out = g2o_format.dumps(g)
     g2 = g2o_format.loads(out)
     assert g2.edges()[0].param_id == (0,)
+
+
+def test_dynamic_arity_lotsofxy_roundtrip():
+    """Variable-arity 'EDGE_SE2_LOTSOFXY ids || k meas info' lines
+    (reference ``optimizable_graph.cpp:575-590`` dynamic multi-edge path +
+    ``edge_se2_lotsofxy.cpp`` read/write)."""
+    import numpy as np
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.types.slam2d import (VertexPointXY, VertexSE2,
+                                      make_edge_se2_lots_of_xy)
+
+    g = Graph()
+    g.add_vertex(0, VertexSE2, [0.1, -0.2, 0.3], fixed=True)
+    for i in range(3):
+        g.add_vertex(10 + i, VertexPointXY, [1.0 + i, 2.0 - i])
+    meas = np.arange(6) * 0.5
+    info = np.eye(6) + 0.1
+    g.add_edge(make_edge_se2_lots_of_xy(3), [0, 10, 11, 12], meas, info)
+    text = g2o_format.dumps(g)
+    assert "EDGE_SE2_LOTSOFXY 0 10 11 12 || 3 " in text
+    g2 = g2o_format.loads(text)
+    e = g2.edges()[0]
+    assert e.etype.name == "EDGE_SE2_LOTSOFXY_3"
+    np.testing.assert_allclose(e.measurement, meas)
+    np.testing.assert_allclose(e.information, info)
