@@ -439,7 +439,9 @@ class SparseCholeskySolver:
         )
         eye = jnp.eye(d, dtype=dtype)
 
-        def solve(data, lin, lam, aux):
+        def assemble_and_factor(data, lin, lam, aux):
+            """Scatter H blocks into the L pattern (permuted) and run the
+            level-scheduled numeric factorization."""
             blocks = jnp.zeros((n_total, d, d), dtype=dtype)
             # diagonal blocks (permuted), with damping + fixed identity
             fx = data.fixed[tname].astype(dtype)[:, None, None]
@@ -457,15 +459,16 @@ class SparseCholeskySolver:
                                 jnp.swapaxes(Hab, -1, -2), Hab)
                 Hab = Hab * valid[:, None, None].astype(dtype)
                 blocks = blocks.at[slots].add(Hab)
+            return factorize(blocks, aux)
 
-            blocks = factorize(blocks, aux)
-            boff = aux["offsets"][aux["perm"]]
-            bperm = lin.b[boff[:, None] + jnp.arange(d)[None, :]]
+        def solve(data, lin, lam, aux):
+            blocks = assemble_and_factor(data, lin, lam, aux)
+            bperm = p.split_tangent(lin.b)[tname][aux["perm"]]
             xperm = solve_factored(blocks, bperm, aux)
-            dx = jnp.zeros_like(lin.b)
-            dx = dx.at[boff[:, None] + jnp.arange(d)[None, :]].set(xperm)
-            return dx
+            x = jnp.zeros_like(xperm).at[aux["perm"]].set(xperm)
+            return p.join_tangent({tname: x})
 
+        self._factor_fn = assemble_and_factor  # used by marginal recovery
         self._solve_fn = solve
         self._solve_jit = jax.jit(solve)
         return self

@@ -45,3 +45,34 @@ def test_sharded_schur_full_lm():
     p.estimates = replicate_estimates(p.estimates, mesh)
     res = optimize_fused(p, SchurSolver(mesh=mesh), 10)
     assert res["chi2_final"] < 1e-6 * max(res["chi2_per_iteration"][0], 1.0)
+
+
+def test_sharded_implicit_schur_matches_unsharded():
+    """The matrix-free Schur CG consumes only data.edges + lin, so GSPMD
+    edge-sharding must reproduce the single-device step exactly (the
+    distributed analogue of the reference's OpenMP Schur loop,
+    ``block_solver.hpp:339-393``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+    from g2o_tpu.parallel import (make_fused_step, make_mesh,
+                                  replicate_estimates, shard_problem_data)
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    n_dev = len(jax.devices())
+    g, _ = create_ba_scene(n_cameras=6, n_points=80, pixel_noise=0.5,
+                           point_noise=0.2, seed=3)
+    p = g.compile(pad_edges_to_multiple=n_dev)
+    solver = ImplicitSchurSolver(max_iter=30, tol=1e-10).setup(p)
+    step = make_fused_step(p, solver, donate=False)
+    e0, c0, _ = step(p.data, p.estimates, jnp.asarray(1e-3, p.dtype))
+    mesh = make_mesh(n_dev)
+    data = shard_problem_data(p.data, mesh)
+    est = replicate_estimates(p.estimates, mesh)
+    e1, c1, _ = step(data, est, jnp.asarray(1e-3, p.dtype))
+    np.testing.assert_allclose(float(c0), float(c1), rtol=1e-12)
+    for t in e0:
+        np.testing.assert_allclose(np.asarray(e0[t]), np.asarray(e1[t]),
+                                    rtol=1e-9, atol=1e-11)

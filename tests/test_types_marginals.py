@@ -137,3 +137,25 @@ def test_marginals_chain():
     assert all(b > a for a, b in zip(tr, tr[1:]))
     # single-link covariance = info^-1
     np.testing.assert_allclose(covs[1], np.linalg.inv(info), atol=1e-10)
+
+
+def test_sparse_marginals_match_dense():
+    """Sparse-factor marginal recovery (the scalable backend) must agree
+    with the dense H^-1 blocks (reference solveBlocks semantics,
+    ``solvers/cholmod/linear_solver_cholmod.h:160-230``)."""
+    import numpy as np
+
+    from g2o_tpu.core.marginals import (compute_cross_marginals,
+                                        compute_marginals)
+    from g2o_tpu.sim.generators import create_manhattan
+
+    g = create_manhattan(n_poses=50, seed=14)
+    p = g.compile()
+    vids = sorted(p.vid_index)[:6]
+    md = compute_marginals(p, vids, method="dense")
+    ms = compute_marginals(p, vids, method="sparse")
+    for v in vids:
+        np.testing.assert_allclose(ms[v], md[v], rtol=1e-8, atol=1e-10)
+    cd = compute_cross_marginals(p, vids[1], vids[4], method="dense")
+    cs = compute_cross_marginals(p, vids[1], vids[4], method="sparse")
+    np.testing.assert_allclose(cs, cd, rtol=1e-8, atol=1e-10)
