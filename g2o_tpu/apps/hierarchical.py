@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from g2o_tpu.core.graph import Graph
 from g2o_tpu.core.marginals import compute_marginals
 from g2o_tpu.core.optimizer import LevenbergMarquardt, SparseOptimizer
-from g2o_tpu.core.solvers import DenseSolver, PCGSolver
+from g2o_tpu.core.solvers import PCGSolver
 from g2o_tpu.ops import lie
 
 _GROUP_OPS = {
@@ -97,52 +97,72 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
     centers, star_of = _bfs_stars(graph, star_radius)
     n_stars = len(centers)
 
-    # --- per-star local optimization + condensed edge creation ---
+    # --- per-star local optimization, BATCHED as one block-diagonal
+    # problem: stars partition the vertices, so the union of all star
+    # subproblems (intra-star edges only, every centre fixed) is a single
+    # graph whose Hessian is block-diagonal across stars — ONE compile and
+    # ONE device LM run replace the per-star jit storm, and a single
+    # marginals solve recovers every star's boundary covariances (other
+    # stars don't couple, so the H^-1 blocks are star-local).  The
+    # reference optimizes stars one by one (``star.h:52``); the batched
+    # union is the TPU-shaped equivalent. ---
     star_members: list[list[int]] = [[] for _ in range(n_stars)]
     for vid, sid in star_of.items():
         star_members[sid].append(vid)
+    center_set = set(centers)
 
-    skeleton = Graph(graph.registry)
-    est_after_star = {}
+    local_g = Graph(graph.registry)
+    for vid in sorted(graph.vertices()):
+        rec = graph.vertex(vid)
+        local_g.add_vertex(vid, rec.vtype, rec.estimate,
+                           fixed=(vid in center_set))
+    boundary_of: list[set] = [set() for _ in range(n_stars)]
+    n_intra = 0
+    for e in graph.edges():
+        sids = {star_of[v] for v in e.vids}
+        if len(sids) == 1:
+            local_g.add_edge(e.etype, e.vids, e.measurement, e.information,
+                             kernel=e.kernel, delta=e.delta)
+            n_intra += 1
+        else:
+            for v in e.vids:
+                boundary_of[star_of[v]].add(v)
+
+    if n_intra:
+        p = local_g.compile()
+        opt = SparseOptimizer(p, algorithm=LevenbergMarquardt(),
+                              solver=PCGSolver(max_iter=100, tol=1e-8))
+        opt.optimize(star_iterations)
+        local = p.estimates_by_vid()
+    else:
+        p = None
+        local = {vid: graph.vertex(vid).estimate
+                 for vid in graph.vertices()}
+    est_after_star = {vid: np.asarray(v) for vid, v in local.items()}
+
+    # condensed edges: centre -> each boundary member (or one frontier
+    # member for interior stars); all marginal covariances in one solve
+    targets_of = []
+    all_targets = []
     for sid, center in enumerate(centers):
         members = set(star_members[sid])
-        sub = Graph(graph.registry)
-        for vid in sorted(members):
-            rec = graph.vertex(vid)
-            sub.add_vertex(vid, rec.vtype, rec.estimate,
-                           fixed=(vid == center))
-        n_edges = 0
-        boundary = set()
-        for e in graph.edges():
-            if all(v in members for v in e.vids):
-                sub.add_edge(e.etype, e.vids, e.measurement, e.information,
-                             kernel=e.kernel, delta=e.delta)
-                n_edges += 1
-            elif any(v in members for v in e.vids):
-                boundary.update(v for v in e.vids if v in members)
-        if n_edges:
-            p = sub.compile()
-            opt = SparseOptimizer(p, algorithm=LevenbergMarquardt(),
-                                  solver=DenseSolver())
-            opt.optimize(star_iterations)
-            local = p.estimates_by_vid()
-        else:
-            local = {vid: graph.vertex(vid).estimate for vid in members}
-        for vid in members:
-            est_after_star[vid] = np.asarray(local[vid])
-        # condensed edges: center -> each boundary member (and star frontier)
-        targets = sorted(boundary - {center}) or \
+        targets = sorted(boundary_of[sid] - {center}) or \
             sorted(members - {center})[:1]
+        targets_of.append(targets)
+        all_targets.extend(targets)
+    margs = compute_marginals(p, all_targets, lam=1e-9) if p is not None \
+        else {}
+
+    skeleton = Graph(graph.registry)
+    for sid, center in enumerate(centers):
         if not skeleton.has_vertex(center):
             skeleton.add_vertex(center, vt, local[center],
                                 fixed=(sid == 0))
-        if n_edges and targets:
-            margs = compute_marginals(p, targets, lam=1e-9)
-        for vid in targets:
+        for vid in targets_of[sid]:
             if not skeleton.has_vertex(vid):
                 skeleton.add_vertex(vid, vt, local[vid])
             meas = ops["compose"](ops["inverse"](local[center]), local[vid])
-            if n_edges:
+            if vid in margs:
                 cov = margs[vid]
                 info = np.linalg.inv(cov + 1e-9 * np.eye(cov.shape[0]))
             else:
