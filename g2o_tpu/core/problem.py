@@ -283,6 +283,55 @@ class Problem:
         return self.join_tangent(
             self.hvp_blocks_fn(data, lin, self.split_tangent(v)))
 
+    def hvp_operator(self, data: ProblemData, lin: LinearizedSystem):
+        """Build the latency-optimal H·v closure for CG loops.
+
+        Precomputes, once per linearization (loop-invariant, so it is
+        hoisted out of ``lax.while_loop`` bodies): the slot-concatenated
+        Jacobian ``Jcat = [J_1 … J_k] : (E, r, K)`` and the weighted
+        ``WJ = W·Jcat``, exploiting ``(W J) v = W (J v)``.  Each CG
+        iteration then costs per edge type: ONE row gather, TWO batched
+        einsums (``z = (WJ)·v_rows``, ``out = Jcatᵀ·z``), and ONE
+        row scatter-add — versus five einsums through
+        :meth:`hvp_blocks_fn`."""
+        pre = {}
+        for name in self.edge_types:
+            Js = lin.jacs[name]
+            if not isinstance(Js, (tuple, list)):
+                Js = (Js,)
+            Jcat = jnp.concatenate(Js, axis=2)                 # (E, r, K)
+            WJ = jnp.einsum("ers,esk->erk", lin.weights[name], Jcat)
+            pre[name] = (Jcat, WJ)
+
+        def hvp(vb):
+            out = {t: jnp.zeros_like(vb[t]) for t in self.vertex_types}
+            for name, et in self.edge_types.items():
+                vidx = data.edges[name].vidx
+                Jcat, WJ = pre[name]
+                E = vidx.shape[0]
+                tnames = [vt.name for vt in et.vertex_types]
+                dims = [vt.tangent_dim for vt in et.vertex_types]
+                if len(set(tnames)) == 1:
+                    t, d, k = tnames[0], dims[0], len(dims)
+                    rows = vb[t][vidx].reshape(E, k * d)
+                    z = jnp.einsum("erk,ek->er", WJ, rows)
+                    contrib = jnp.einsum("erk,er->ek", Jcat, z)
+                    out[t] = out[t].at[vidx].add(contrib.reshape(E, k, d))
+                else:
+                    rows = jnp.concatenate(
+                        [vb[t][vidx[:, s]]
+                         for s, t in enumerate(tnames)], axis=1)
+                    z = jnp.einsum("erk,ek->er", WJ, rows)
+                    contrib = jnp.einsum("erk,er->ek", Jcat, z)
+                    off = 0
+                    for s, (t, d) in enumerate(zip(tnames, dims)):
+                        out[t] = out[t].at[vidx[:, s]].add(
+                            contrib[:, off:off + d])
+                        off += d
+            return out
+
+        return hvp
+
     def dense_hessian_fn(self, data: ProblemData, lin: LinearizedSystem):
         """Scatter-assemble the full dense tangent-space Hessian (small
         problems / the dense linear solver backend)."""

@@ -144,35 +144,42 @@ class PCGSolver:
                     M = M.at[ci, li + 1, li].add(
                         jnp.swapaxes(O, -1, -2))
                 Md = M.transpose(0, 1, 3, 2, 4).reshape(nc, cd, cd)
+                # invert ONCE per lambda-trial so each CG application is a
+                # single batched einsum (a cho_solve per application costs
+                # ~4x a CG iteration; the explicit inverse amortizes it)
                 Lc = jnp.linalg.cholesky(Md)
-                return Lc
+                eye_c = jnp.broadcast_to(jnp.eye(cd, dtype=dtype),
+                                         (nc, cd, cd))
+                return jax.scipy.linalg.cho_solve((Lc, True), eye_c)
 
-            def apply_precond(data, Lc, rb):
+            def apply_precond(data, Minv, rb):
                 rv = rb[tname]                               # (n, d)
                 if n_pad > n:
                     rv = jnp.concatenate(
                         [rv, jnp.zeros((n_pad - n, d), dtype=dtype)], axis=0)
-                rc = rv.reshape(nc, cd, 1)
-                y = jax.scipy.linalg.cho_solve((Lc, True), rc)[..., 0]
+                rc = rv.reshape(nc, cd)
+                y = jnp.einsum("cij,cj->ci", Minv, rc)
                 return {tname: y.reshape(n_pad, d)[:n]}
 
         else:
             build_precond = build_precond_jacobi
             apply_precond = apply_precond_jacobi
 
-        def matvec(data, lin, lam, vb):
-            # damped system + unit rows on fixed slots
-            hv = p.hvp_blocks_fn(data, lin, vb)
-            out = {}
-            for t in p.vertex_types:
-                fm = data.fixed[t].astype(dtype)[:, None]
-                out[t] = hv[t] + lam * vb[t] + fm * (vb[t] - lam * vb[t])
-            return out
-
         tdot = p.tree_dot
         tmap = jax.tree_util.tree_map
 
         def solve(data, lin, lam, aux=()):
+            hvp = p.hvp_operator(data, lin)   # loop-invariant W·J precompute
+
+            def matvec(vb):
+                # damped system + unit rows on fixed slots
+                hv = hvp(vb)
+                out = {}
+                for t in p.vertex_types:
+                    fm = data.fixed[t].astype(dtype)[:, None]
+                    out[t] = hv[t] + lam * vb[t] + fm * (vb[t] - lam * vb[t])
+                return out
+
             b = p.split_tangent(lin.b)
             minv = build_precond(data, lin, lam)
             x0 = tmap(jnp.zeros_like, b)
@@ -188,7 +195,7 @@ class PCGSolver:
 
             def body(carry):
                 x, r, z, pv, rz, it = carry
-                Ap = matvec(data, lin, lam, pv)
+                Ap = matvec(pv)
                 alpha = rz / tdot(pv, Ap)
                 x = tmap(lambda a, b_: a + alpha * b_, x, pv)
                 r = tmap(lambda a, b_: a - alpha * b_, r, Ap)
