@@ -133,6 +133,20 @@ class TypeRegistry:
     def edge_for_tag(self, tag: str) -> Optional[EdgeType]:
         return self._edge_by_tag.get(tag)
 
+    def alias_tag(self, alias: str, existing_tag: str) -> None:
+        """Accept ``alias`` wherever ``existing_tag`` is accepted — used for
+        the reference's deprecated tag spellings (``DEPRECATED_*``,
+        ``types/deprecated/slam3d/types_slam3d.cpp:39-52``)."""
+        vt = self._vertex_by_tag.get(existing_tag)
+        if vt is not None:
+            self._vertex_by_tag[alias] = vt
+            return
+        et = self._edge_by_tag.get(existing_tag)
+        if et is not None:
+            self._edge_by_tag[alias] = et
+            return
+        raise KeyError(f"alias target {existing_tag!r} not registered")
+
     def register_dynamic_edge(self, tag: str, factory: Callable) -> None:
         """``factory(k: int) -> EdgeType`` builds the arity-``k`` specialized
         type for a variable-arity tag (reference ``e->resize(numV)`` path,

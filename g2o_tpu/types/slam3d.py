@@ -254,3 +254,23 @@ EdgeSE3PointXYZDisparity = register_edge(EdgeType(
     param_dim=11,
     tags=("EDGE_PROJECT_DISPARITY",),
 ))
+
+
+# ---- deprecated tag spellings (types/deprecated/slam3d) ----
+# The reference ships a deprecated slam3d library whose DEPRECATED_* tag
+# registrations are compiled out to avoid symbol clashes
+# (``types/deprecated/slam3d/types_slam3d.cpp:36-52``); datasets written
+# with it still carry the prefixed tags, so accept them as aliases.
+from g2o_tpu.core.types import REGISTRY as _REGISTRY  # noqa: E402
+
+for _dep, _cur in (
+    ("DEPRECATED_VERTEX_SE3:QUAT", "VERTEX_SE3:QUAT"),
+    ("DEPRECATED_EDGE_SE3:QUAT", "EDGE_SE3:QUAT"),
+    ("DEPRECATED_VERTEX_TRACKXYZ", "VERTEX_TRACKXYZ"),
+    ("DEPRECATED_EDGE_SE3_TRACKXYZ", "EDGE_SE3_TRACKXYZ"),
+    ("DEPRECATED_EDGE_SE3_PRIOR", "EDGE_SE3_PRIOR"),
+    ("DEPRECATED_EDGE_SE3_OFFSET", "EDGE_SE3_OFFSET"),
+    ("DEPRECATED_EDGE_PROJECT_DISPARITY", "EDGE_PROJECT_DISPARITY"),
+    ("DEPRECATED_EDGE_PROJECT_DEPTH", "EDGE_PROJECT_DEPTH"),
+):
+    _REGISTRY.alias_tag(_dep, _cur)

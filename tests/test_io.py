@@ -102,3 +102,16 @@ def test_dynamic_arity_lotsofxy_roundtrip():
     assert e.etype.name == "EDGE_SE2_LOTSOFXY_3"
     np.testing.assert_allclose(e.measurement, meas)
     np.testing.assert_allclose(e.information, info)
+
+
+def test_deprecated_slam3d_tags():
+    """DEPRECATED_* tag spellings load as the modern types (reference
+    ``types/deprecated/slam3d/types_slam3d.cpp:39-52``)."""
+    text = """DEPRECATED_VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1
+DEPRECATED_VERTEX_SE3:QUAT 1 1 0 0 0 0 0 1
+FIX 0
+DEPRECATED_EDGE_SE3:QUAT 0 1 1 0 0 0 0 0 1 1 0 0 0 0 0 1 0 0 0 0 1 0 0 0 1 0 0 1 0 0 1
+"""
+    g = g2o_format.loads(text)
+    assert g.num_vertices == 2 and g.num_edges == 1
+    assert g.edges()[0].etype.name == "EDGE_SE3:QUAT"

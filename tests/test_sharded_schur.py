@@ -76,3 +76,37 @@ def test_sharded_implicit_schur_matches_unsharded():
     for t in e0:
         np.testing.assert_allclose(np.asarray(e0[t]), np.asarray(e1[t]),
                                     rtol=1e-9, atol=1e-11)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host helpers degrade gracefully to single-process: global mesh
+    over all local devices, edge spec covering every axis, sharded step
+    matching the single-device result."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.parallel import (edge_partition_spec, initialize_distributed,
+                                  make_fused_step, make_global_mesh,
+                                  replicate_estimates,
+                                  shard_problem_data_global)
+    from g2o_tpu.sim.generators import create_manhattan
+
+    initialize_distributed()          # no-op single-process
+    mesh = make_global_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == len(jax.devices())
+    g = create_manhattan(n_poses=64, seed=21)
+    p = g.compile(pad_edges_to_multiple=n_dev)
+    solver = PCGSolver(max_iter=30, tol=1e-10).setup(p)
+    step = make_fused_step(p, solver, donate=False)
+    e0, c0, _ = step(p.data, p.estimates, jnp.asarray(1e-4, p.dtype))
+    data = shard_problem_data_global(p.data, mesh)
+    est = replicate_estimates(p.estimates, mesh)
+    e1, c1, _ = step(data, est, jnp.asarray(1e-4, p.dtype))
+    np.testing.assert_allclose(float(c0), float(c1), rtol=1e-12)
+    for t in e0:
+        np.testing.assert_allclose(np.asarray(e0[t]), np.asarray(e1[t]),
+                                    rtol=1e-9, atol=1e-11)
+    assert edge_partition_spec(mesh) is not None
