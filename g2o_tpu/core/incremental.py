@@ -30,13 +30,18 @@ class IncrementalOptimizer:
 
     def __init__(self, *, algorithm_factory=None, solver_factory=None,
                  edge_chunk: int = 256, vertex_chunk: int = 128,
-                 verbose: bool = False):
+                 verbose: bool = False, init_from_edges: bool = True):
         from g2o_tpu.core.optimizer import LevenbergMarquardt
 
         self.graph = Graph()
         self.edge_chunk = int(edge_chunk)
         self.vertex_chunk = int(vertex_chunk)
         self.verbose = verbose
+        # reference `g2o -inc` behaviour (``apps/g2o_cli/g2o.cpp:440-492``):
+        # a vertex first seen through a new edge is initialised by the
+        # edge's initialEstimate rule from the already-placed endpoint
+        self.init_from_edges = bool(init_from_edges)
+        self._fresh: set[int] = set()
         self._algorithm_factory = algorithm_factory or LevenbergMarquardt
         self._solver_factory = solver_factory or (
             lambda: PCGSolver(max_iter=100, tol=1e-8))
@@ -50,6 +55,8 @@ class IncrementalOptimizer:
 
     def add_vertex(self, vid, vtype, estimate, *, fixed=False):
         self.graph.add_vertex(vid, vtype, estimate, fixed=fixed)
+        if self.init_from_edges and not fixed:
+            self._fresh.add(vid)
         if self._problem is not None:
             t = (vtype if isinstance(vtype, str) else vtype.name)
             slot = self._next_vertex_slot(t)
@@ -69,6 +76,8 @@ class IncrementalOptimizer:
 
     def add_edge(self, etype, vids, measurement, information, **kw):
         self.graph.add_edge(etype, vids, measurement, information, **kw)
+        if self.init_from_edges:
+            self._init_fresh_through_edge(self.graph.edges()[-1])
         if self._problem is None:
             return
         rec = self.graph.edges()[-1]
@@ -97,6 +106,45 @@ class IncrementalOptimizer:
         )
         self._set_data(edges={**p.data.edges, name: new_batch})
         self._live_edges[name] = i + 1
+
+    def _init_fresh_through_edge(self, rec):
+        """Initialise endpoints first seen through this edge from the other
+        (already-placed) endpoint via the edge type's initialEstimate rule —
+        the reference's online-vertex initialisation
+        (``apps/g2o_cli/g2o.cpp:457-492``)."""
+        from g2o_tpu.core.initial_guess import _propagate_rule
+
+        fresh_slots = [s for s, v in enumerate(rec.vids) if v in self._fresh]
+        if not fresh_slots:
+            return
+        if len(fresh_slots) == len(rec.vids) and len(rec.vids) > 1:
+            return  # no initialised endpoint to propagate from
+        rule = _propagate_rule(rec.etype.name)
+        if rule is None:
+            return
+        verts = self.graph.vertices()
+        states = [self._current_estimate(v) for v in rec.vids]
+        param = (np.concatenate([self.graph.parameter(pid)
+                                 for pid in rec.param_id])
+                 if rec.param_id is not None else None)
+        for s in fresh_slots:
+            new = rule(states, rec.measurement, param, s)
+            if new is None:
+                continue
+            vid = rec.vids[s]
+            new = np.asarray(new, dtype=np.float64)
+            verts[vid].estimate = new
+            self._fresh.discard(vid)
+            if self._problem is not None and vid in self._problem.vid_index:
+                t, slot = self._problem.vid_index[vid]
+                p = self._problem
+                p.estimates[t] = p.estimates[t].at[slot].set(
+                    jnp.asarray(new, dtype=p.dtype))
+
+    def _current_estimate(self, vid):
+        if self._problem is not None and vid in self._problem.vid_index:
+            return np.asarray(self._problem.get_estimate(vid))
+        return np.asarray(self.graph.vertices()[vid].estimate)
 
     # ------------------------------------------------------------------ #
 

@@ -44,7 +44,10 @@ def test_incremental_no_recompile_within_capacity():
 
 
 def test_incremental_matches_batch():
-    inc = IncrementalOptimizer(edge_chunk=32, vertex_chunk=32)
+    # init_from_edges off: this test compares the chi2 of the RAW estimates
+    # against an identical batch graph
+    inc = IncrementalOptimizer(edge_chunk=32, vertex_chunk=32,
+                               init_from_edges=False)
     from g2o_tpu.core.graph import Graph
     from g2o_tpu.core.optimizer import SparseOptimizer
     from g2o_tpu.core.solvers import PCGSolver
@@ -66,6 +69,29 @@ def test_incremental_matches_batch():
     p = g.compile()
     opt = SparseOptimizer(p, solver=PCGSolver())
     assert chi_inc == pytest.approx(opt.chi2(), rel=1e-10)
+
+
+def test_incremental_init_from_edges():
+    """A vertex first seen through an edge is initialised by the edge's
+    initialEstimate rule (reference ``apps/g2o_cli/g2o.cpp:457-492``)."""
+    inc = IncrementalOptimizer(edge_chunk=16, vertex_chunk=8)
+    info = np.eye(3)
+    inc.add_vertex(0, VertexSE2, [0.0, 0, 0], fixed=True)
+    inc.optimize(0)  # compile, so the next adds take the in-place path
+    # bogus raw estimate; the odometry edge should overwrite it
+    inc.add_vertex(1, VertexSE2, [99.0, -99.0, 1.0])
+    inc.add_edge(EdgeSE2, [0, 1], [1.0, 0.5, 0.25], info)
+    est = np.asarray(inc.get_estimate(1))
+    np.testing.assert_allclose(est, [1.0, 0.5, 0.25], atol=1e-12)
+    # chi2 of a perfectly-propagated chain is zero before any optimization
+    assert inc.chi2() < 1e-12
+    # pre-compile path too: fresh optimizer, adds before the first compile
+    inc2 = IncrementalOptimizer()
+    inc2.add_vertex(0, VertexSE2, [0.0, 0, 0], fixed=True)
+    inc2.add_vertex(1, VertexSE2, [50.0, 50.0, 3.0])
+    inc2.add_edge(EdgeSE2, [0, 1], [2.0, 0.0, -0.5], info)
+    np.testing.assert_allclose(np.asarray(inc2.get_estimate(1)),
+                               [2.0, 0.0, -0.5], atol=1e-12)
 
 
 def test_incremental_capacity_overflow_recompiles():
