@@ -79,9 +79,62 @@ def _propagate_rule(etype_name):
     return None
 
 
-def compute_initial_guess(graph, *, roots=None) -> int:
-    """Propagate estimates over a BFS/uniform-cost spanning tree from the
-    fixed vertices (or explicit root ids).  Mutates the graph's vertex
+def hyper_dijkstra(graph, roots, *, cost=None, max_distance=float("inf"),
+                   level=0):
+    """Shortest-path traversal over the hyper-graph with a pluggable edge
+    cost — the analogue of ``HyperDijkstra::shortestPaths``
+    (``g2o/core/hyper_dijkstra.h:77-88``) with the
+    ``EstimatePropagatorCost`` functor family
+    (``g2o/core/estimate_propagator.h:46-61``).
+
+    ``cost(edge_rec, from_vid, to_vid) -> float`` (default: uniform 1.0;
+    return ``inf``/``None`` to forbid an edge).  Returns ``(dist, parent)``
+    dicts: ``dist[vid]`` = accumulated cost, ``parent[vid]`` =
+    ``(edge_rec, from_vid)`` for the spanning-tree edge (roots map to
+    ``None``)."""
+    if cost is None:
+        cost = lambda e, frm, to: 1.0  # noqa: E731
+
+    adj: dict[int, list] = {}
+    for e in graph.edges():
+        if not e.active or e.level != level:
+            continue
+        for s, vid in enumerate(e.vids):
+            adj.setdefault(vid, []).append((e, s))
+
+    dist = {vid: 0.0 for vid in roots}
+    parent: dict[int, object] = {vid: None for vid in roots}
+    visited = set()
+    heap = [(0.0, vid) for vid in roots]
+    heapq.heapify(heap)
+    while heap:
+        d, vid = heapq.heappop(heap)
+        if vid in visited or d > dist.get(vid, float("inf")):
+            continue
+        visited.add(vid)
+        for e, my_slot in adj.get(vid, ()):
+            for to_slot, to_vid in enumerate(e.vids):
+                if to_slot == my_slot or to_vid in visited:
+                    continue
+                c = cost(e, vid, to_vid)
+                if c is None or not np.isfinite(c):
+                    continue
+                nd = d + float(c)
+                if nd > max_distance or nd >= dist.get(to_vid, float("inf")):
+                    continue
+                dist[to_vid] = nd
+                parent[to_vid] = (e, vid)
+                heapq.heappush(heap, (nd, to_vid))
+    return dist, parent
+
+
+def compute_initial_guess(graph, *, roots=None, cost=None) -> int:
+    """Propagate estimates over a Dijkstra spanning tree from the fixed
+    vertices (or explicit root ids) — the reference's
+    ``EstimatePropagator::propagate`` (``estimate_propagator.cpp:86-137``).
+    ``cost`` is an optional ``(edge_rec, from_vid, to_vid) -> float``
+    functor (default: uniform hop count, the common
+    ``EstimatePropagatorCostOdometry`` usage).  Mutates the graph's vertex
     estimates in place; returns the number of vertices initialised."""
     verts = graph.vertices()
     if roots is None:
@@ -89,6 +142,8 @@ def compute_initial_guess(graph, *, roots=None) -> int:
     if not roots:
         # fall back to the lowest id (reference findGauge-ish behaviour)
         roots = [min(verts)] if verts else []
+    if cost is None:
+        cost = lambda e, frm, to: 1.0  # noqa: E731
 
     # adjacency: vid -> list of (edge_rec, my_slot)
     adj: dict[int, list] = {}
@@ -118,6 +173,9 @@ def compute_initial_guess(graph, *, roots=None) -> int:
                     continue
                 if verts[to_vid].fixed:
                     continue
+                c = cost(e, vid, to_vid)
+                if c is None or not np.isfinite(c):
+                    continue
                 states = [verts[v].estimate for v in e.vids]
                 param = (np.concatenate([graph.parameter(p)
                                          for p in e.param_id])
@@ -126,7 +184,7 @@ def compute_initial_guess(graph, *, roots=None) -> int:
                 if new is None:
                     continue
                 verts[to_vid].estimate = np.asarray(new, dtype=np.float64)
-                dist[to_vid] = d + 1.0
+                dist[to_vid] = d + float(c)
                 n_init += 1
-                heapq.heappush(heap, (d + 1.0, to_vid))
+                heapq.heappush(heap, (d + float(c), to_vid))
     return n_init

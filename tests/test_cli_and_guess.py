@@ -148,3 +148,42 @@ def test_cli_incremental(tmp_path):
     assert rc == 0
     g2 = g2o_format.load(out)
     assert g2.num_vertices == g.num_vertices
+
+
+def test_hyper_dijkstra_costs():
+    """Pluggable-cost traversal (reference hyper_dijkstra.h:77-88)."""
+    from g2o_tpu.core.initial_guess import hyper_dijkstra
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.types.slam2d import EdgeSE2, VertexSE2
+
+    g = Graph()
+    for i in range(4):
+        g.add_vertex(i, VertexSE2, [float(i), 0, 0], fixed=(i == 0))
+    info = np.eye(3)
+    # chain 0-1-2-3 plus a shortcut 0-3
+    for i in range(3):
+        g.add_edge(EdgeSE2, [i, i + 1], [1.0, 0, 0], info)
+    g.add_edge(EdgeSE2, [0, 3], [3.0, 0, 0], info)
+
+    dist, parent = hyper_dijkstra(g, [0])
+    assert dist[3] == 1.0          # uniform cost takes the shortcut
+    assert parent[0] is None and parent[3][1] == 0
+
+    # translation-norm cost: the shortcut (3.0) equals the chain (3 x 1.0);
+    # penalize long edges quadratically so the chain wins
+    def cost(e, frm, to):
+        return float(np.linalg.norm(e.measurement[:2]) ** 2)
+
+    dist2, parent2 = hyper_dijkstra(g, [0], cost=cost)
+    assert dist2[3] == 3.0 and parent2[3][1] == 2
+
+    # forbidding edges via inf cost
+    dist3, _ = hyper_dijkstra(g, [0],
+                              cost=lambda e, f, t: float("inf"))
+    assert set(dist3) == {0}
+
+    # max_distance cutoff
+    dist4, _ = hyper_dijkstra(
+        g, [0], cost=lambda e, f, t: 1.0
+        if abs(f - t) == 1 else float("inf"), max_distance=2.0)
+    assert set(dist4) == {0, 1, 2}
