@@ -89,28 +89,15 @@ def _bfs_layers(adj, start, nodeset):
     return layers
 
 
-def symbolic_factorization(n: int, pairs: np.ndarray, *, min_size: int = 32):
-    """Symbolic block Cholesky.
-
-    Args:
-      n: number of block columns.
-      pairs: (M, 2) unique undirected off-diagonal block pairs.
-    Returns a dict with the permutation, the L block structure and the
-    level schedule (all in PERMUTED indices)."""
-    adj = [[] for _ in range(n)]
-    for a, b in pairs:
-        a, b = int(a), int(b)
-        adj[a].append(b)
-        adj[b].append(a)
-
-    order = _nested_dissection(adj, np.arange(n), min_size=min_size)
-    perm = np.asarray(order, dtype=np.int32)          # new k -> old id
+def _fill_from_perm(n: int, pairs: np.ndarray, perm: np.ndarray):
+    """Pure-Python symbolic fill for a GIVEN ordering (the classic
+    struct-merge algorithm).  Returns (parent, depth, colptr, rows_flat)."""
     inv = np.empty(n, dtype=np.int32)
     inv[perm] = np.arange(n, dtype=np.int32)          # old id -> new k
 
-    # column structures in permuted space via the classic fill algorithm:
-    # struct[j] starts as neighbours > j; eliminate columns in order,
-    # merging struct[j] \ {min} into struct[parent]
+    # column structures in permuted space: struct[j] starts as neighbours
+    # > j; eliminate columns in order, merging struct[j] \ {min} into
+    # struct[parent]
     struct = [set() for _ in range(n)]
     for a, b in pairs:
         i, j = inv[int(a)], inv[int(b)]
@@ -124,109 +111,171 @@ def symbolic_factorization(n: int, pairs: np.ndarray, *, min_size: int = 32):
             parent[j] = p
             struct[p].update(x for x in struct[j] if x != p)
 
-    # elimination-tree levels: leaves first
     depth = np.zeros(n, dtype=np.int32)
-    # children depth must be < parent depth: process in order (parents > j)
     for j in range(n):
         p = parent[j]
         if p >= 0:
             depth[p] = max(depth[p], depth[j] + 1)
-    # depth computed bottom-up is not final (parents processed later is fine
-    # since parent index > child index in a postorder-compatible elimination
-    # order; our order guarantees parent > j by construction)
-    levels: list[list[int]] = []
-    for j in np.argsort(depth, kind="stable"):
-        d = depth[j]
-        while len(levels) <= d:
-            levels.append([])
-        levels[d].append(int(j))
 
-    rows = [np.asarray(sorted(struct[j]), dtype=np.int32) for j in range(n)]
-    nnz = int(sum(len(r) for r in rows))
+    colptr = np.zeros(n + 1, dtype=np.int64)
+    for j in range(n):
+        colptr[j + 1] = colptr[j] + len(struct[j])
+    rows_flat = np.empty(colptr[-1], dtype=np.int32)
+    for j in range(n):
+        rows_flat[colptr[j]:colptr[j + 1]] = sorted(struct[j])
+    return parent, depth, colptr, rows_flat
+
+
+def _symbolic_python(n: int, pairs: np.ndarray, min_size: int):
+    """Pure-Python symbolic analysis (fallback when the native library is
+    unavailable).  Returns (perm, parent, depth, colptr, rows_flat)."""
+    adj = [[] for _ in range(n)]
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        adj[a].append(b)
+        adj[b].append(a)
+
+    order = _nested_dissection(adj, np.arange(n), min_size=min_size)
+    perm = np.asarray(order, dtype=np.int32)          # new k -> old id
+    return (perm,) + _fill_from_perm(n, pairs, perm)
+
+
+def symbolic_factorization(n: int, pairs: np.ndarray, *, min_size: int = 32):
+    """Symbolic block Cholesky: fill-reducing ordering, elimination tree,
+    exact L structure and etree depths.  Runs in the native C++ module
+    (``native/symchol.cpp`` — the analogue of CSparse's ``cs_etree`` /
+    ``cs_ereach``, ``g2o/solvers/csparse``) with a pure-Python fallback.
+
+    Args:
+      n: number of block columns.
+      pairs: (M, 2) unique undirected off-diagonal block pairs.
+    Returns a dict with the permutation, the L block structure (flat
+    ``colptr``/``rows_flat`` + per-column ``rows`` views) and the level
+    schedule (all in PERMUTED indices)."""
+    from g2o_tpu import native
+
+    res = native.symbolic_analysis(n, pairs, min_size) if n else None
+    if res is not None:
+        perm, parent, depth = res["perm"], res["parent"], res["depth"]
+        colptr, rows_flat = res["colptr"], res["rows"]
+    else:
+        perm, parent, depth, colptr, rows_flat = _symbolic_python(
+            n, pairs, min_size)
+
+    inv = np.empty(n, dtype=np.int32)
+    inv[perm] = np.arange(n, dtype=np.int32)          # old id -> new k
+
+    levels: list[list[int]] = [[] for _ in range(int(depth.max()) + 1
+                                                 if n else 0)]
+    for j in np.argsort(depth, kind="stable"):
+        levels[depth[j]].append(int(j))
+
+    rows = [rows_flat[colptr[j]:colptr[j + 1]] for j in range(n)]
     return {
         "perm": perm, "inv": inv, "parent": parent, "rows": rows,
-        "levels": levels, "nnz_blocks": nnz,
+        "levels": levels, "nnz_blocks": int(colptr[-1]),
+        "colptr": colptr, "rows_flat": rows_flat, "depth": depth,
     }
 
 
+def _pad_by_level(level_of, payload, L, fill=-1):
+    """Bucket ``payload`` rows (K, w) by ``level_of`` (K,) into a padded
+    (L, maxK, w) array — vectorized (no per-level python loops)."""
+    payload = np.asarray(payload)
+    K = payload.shape[0]
+    if K == 0:
+        return np.full((L, 1) + payload.shape[1:], fill, dtype=np.int64)
+    order = np.argsort(level_of, kind="stable")
+    lv_sorted = level_of[order]
+    counts = np.bincount(lv_sorted, minlength=L)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    within = np.arange(K) - starts[lv_sorted]
+    out = np.full((L, int(counts.max())) + payload.shape[1:], fill,
+                  dtype=np.int64)
+    out[lv_sorted, within] = payload[order]
+    return out
+
+
 def build_schedule(sym, d: int):
-    """Flatten the symbolic data into padded per-level device arrays.
+    """Flatten the symbolic data into padded per-level device arrays —
+    fully vectorized (the update-triple count is O(sum |col|^2), far too
+    large for python loops at city scale).
 
     Block storage layout: slot j in [0, n) = diagonal block of column j;
-    slot n + e = e-th off-diagonal block (column-major over ``rows``).
-    Returns a dict of numpy arrays (shipped via solver.aux) plus python
-    metadata."""
+    slot n + e = e-th off-diagonal block (column-major over ``rows``)."""
     n = len(sym["rows"])
-    rows = sym["rows"]
-    # off-diagonal slot index per (j -> position)
-    col_start = np.zeros(n + 1, dtype=np.int64)
-    for j in range(n):
-        col_start[j + 1] = col_start[j] + len(rows[j])
-    nnz = int(col_start[-1])
+    colptr = np.asarray(sym["colptr"], dtype=np.int64)
+    rows_flat = np.asarray(sym["rows_flat"], dtype=np.int64)
+    depth = np.asarray(sym["depth"], dtype=np.int64)
+    nnz = int(colptr[-1])
+    L = int(depth.max()) + 1 if n else 0
+    lens = colptr[1:] - colptr[:-1]
 
-    def off_slot(i, j):
-        # block (i, j), i > j
-        r = rows[j]
-        k = np.searchsorted(r, i)
-        return n + int(col_start[j]) + int(k)
+    # slot -> (row, col) maps
+    col_of_off = np.repeat(np.arange(n, dtype=np.int64), lens)
+    row_of_slot = np.concatenate([np.arange(n, dtype=np.int64), rows_flat])
+    col_of_slot = np.concatenate([np.arange(n, dtype=np.int64), col_of_off])
 
-    levels = sym["levels"]
-    L = len(levels)
-    max_cols = max((len(lv) for lv in levels), default=1)
+    # globally-ascending (col, row) key of the off-diagonal slots: rows are
+    # sorted per column and slots ordered by column, so searchsorted gives
+    # off_slot(i, j) = n + searchsorted(key, j*(n+1)+i)
+    key_all = col_of_off * (n + 1) + rows_flat
 
-    lvl_cols = np.full((L, max_cols), -1, dtype=np.int32)
-    for li, lv in enumerate(levels):
-        lvl_cols[li, :len(lv)] = lv
+    def off_slot_v(i, j):
+        return n + np.searchsorted(key_all, j * (n + 1) + i)
 
-    # per level: column-block solve list (i, j) and update triples
-    solve_lists, update_lists = [], []
-    for lv in levels:
-        solves = []       # (block_slot, col_j)
-        updates = []      # (srcA_slot, srcB_slot, dst_slot)
-        for j in lv:
-            r = rows[j]
-            for a, i in enumerate(r):
-                solves.append((off_slot(i, j), j))
-            for a in range(len(r)):
-                for b in range(a, len(r)):
-                    i, k = int(r[b]), int(r[a])   # i >= k
-                    dst = k if i == k else off_slot(i, k)
-                    if i == k:
-                        dst = int(k)              # diagonal slot
-                    updates.append((off_slot(i, j), off_slot(k, j), dst))
-        solve_lists.append(solves)
-        update_lists.append(updates)
+    def off_slot(i, j):   # scalar convenience (marginals / tests)
+        return int(off_slot_v(np.int64(i), np.int64(j)))
 
-    max_solves = max((len(s) for s in solve_lists), default=1)
-    max_updates = max((len(u) for u in update_lists), default=1)
-    sv = np.full((L, max_solves, 2), -1, dtype=np.int64)
-    up = np.full((L, max_updates, 3), -1, dtype=np.int64)
-    for li in range(L):
-        s = np.asarray(solve_lists[li], dtype=np.int64).reshape(-1, 2)
-        u = np.asarray(update_lists[li], dtype=np.int64).reshape(-1, 3)
-        sv[li, :len(s)] = s
-        up[li, :len(u)] = u
+    # level membership of columns
+    lvl_cols = _pad_by_level(depth, np.arange(n, dtype=np.int64)[:, None], L)
+    lvl_cols = lvl_cols[..., 0].astype(np.int32)
 
-    # slot -> (row, col) maps used by the triangular solves
-    row_of_slot = np.empty(n + nnz, dtype=np.int64)
-    col_of_slot = np.empty(n + nnz, dtype=np.int64)
-    row_of_slot[:n] = np.arange(n)
-    col_of_slot[:n] = np.arange(n)
-    pos = n
-    for j in range(n):
-        for i in rows[j]:
-            row_of_slot[pos] = int(i)
-            col_of_slot[pos] = int(j)
-            pos += 1
+    # solves: one per off-diagonal slot (slot, col), level = depth[col]
+    solve_payload = np.stack(
+        [n + np.arange(nnz, dtype=np.int64), col_of_off], axis=1)
+    sv = _pad_by_level(depth[col_of_off], solve_payload, L)
+
+    # update triples: per column j, all ordered pairs (a <= b) over rows(j):
+    #   srcA = slot(rows[b], j), srcB = slot(rows[a], j),
+    #   dst  = diag slot  when rows[a] == rows[b] (a == b),
+    #          off_slot(rows[b], rows[a]) otherwise.
+    # vectorized by grouping columns of equal length
+    srcA_l, srcB_l, dst_l, lvl_l = [], [], [], []
+    for l in np.unique(lens):
+        if l == 0:
+            continue
+        cols_l = np.nonzero(lens == l)[0]                # (C,)
+        a, b = np.triu_indices(int(l))                   # (P,)
+        base = colptr[cols_l][:, None]                   # (C, 1)
+        pa = base + a[None, :]
+        pb = base + b[None, :]
+        i = rows_flat[pb]
+        k = rows_flat[pa]
+        dst = np.where(i == k, k, off_slot_v(i, k))
+        srcA_l.append((n + pb).ravel())
+        srcB_l.append((n + pa).ravel())
+        dst_l.append(dst.ravel())
+        lvl_l.append(np.repeat(depth[cols_l], len(a)))
+    if srcA_l:
+        upd_payload = np.stack([np.concatenate(srcA_l),
+                                np.concatenate(srcB_l),
+                                np.concatenate(dst_l)], axis=1)
+        up = _pad_by_level(np.concatenate(lvl_l), upd_payload, L)
+    else:
+        up = np.full((max(L, 1), 1, 3), -1, dtype=np.int64)
+    if sv.shape[0] == 0:
+        sv = np.full((max(L, 1), 1, 2), -1, dtype=np.int64)
 
     return {
         "n": n, "d": d, "nnz": nnz, "L": L,
         "lvl_cols": lvl_cols,
         "solves": sv, "updates": up,
-        "col_start": col_start,
+        "col_start": colptr,
         "row_of_slot": row_of_slot,
         "col_of_slot": col_of_slot,
         "off_slot": off_slot,
+        "off_slot_v": off_slot_v,
     }
 
 
@@ -395,31 +444,25 @@ class SparseCholeskySolver:
 
         sym = symbolic_factorization(n, pairs, min_size=self.min_size)
         sched = build_schedule(sym, d)
-        inv = sym["inv"]
+        inv = sym["inv"].astype(np.int64)
         off_slot = sched.pop("off_slot")
+        off_slot_v = sched.pop("off_slot_v")
 
         # per-edge-type slot/transpose maps for scattering H_ab blocks
+        # (vectorized: block (hi, lo) with hi > lo holds H[a,b] when
+        # inv[a] > inv[b], H[b,a] — the transpose — otherwise)
         edge_maps = {}
         for name, et in p.edge_types.items():
             if et.num_slots != 2:
                 continue
             vidx = np.asarray(p.data.edges[name].vidx)
-            E = len(vidx)
-            slots = np.zeros(E, dtype=np.int64)
-            transpose = np.zeros(E, dtype=bool)
-            valid = np.ones(E, dtype=bool)
-            for e in range(E):
-                a, b = int(vidx[e, 0]), int(vidx[e, 1])
-                if a == b:
-                    valid[e] = False
-                    continue
-                i, j = int(inv[a]), int(inv[b])
-                if i > j:
-                    slots[e] = off_slot(i, j)      # block (i,j) = H[a,b]
-                    transpose[e] = False
-                else:
-                    slots[e] = off_slot(j, i)      # block (j,i) = H[b,a]
-                    transpose[e] = True
+            i = inv[vidx[:, 0]]
+            j = inv[vidx[:, 1]]
+            valid = vidx[:, 0] != vidx[:, 1]
+            lo = np.where(valid, np.minimum(i, j), 0)
+            hi = np.where(valid, np.maximum(i, j), 1)
+            slots = np.where(valid, off_slot_v(hi, lo), 0)
+            transpose = i < j
             edge_maps[name] = (jnp.asarray(slots), jnp.asarray(transpose),
                                jnp.asarray(valid))
 

@@ -18,17 +18,23 @@ _LIB = None
 _TRIED = False
 
 
+_SOURCES = ("fastparse.cpp", "symchol.cpp")
+
+
 def _build_lib() -> str | None:
-    src = os.path.join(_SRC_DIR, "fastparse.cpp")
-    with open(src, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
+    h = hashlib.sha256()
+    for src in srcs:
+        with open(src, "rb") as fh:
+            h.update(fh.read())
+    digest = h.hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(),
                          f"g2o_tpu_native_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
-    out = os.path.join(cache, f"libfastparse_{digest}.so")
+    out = os.path.join(cache, f"libg2o_native_{digest}.so")
     if os.path.exists(out):
         return out
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", src, "-o",
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", *srcs, "-o",
            out + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -68,8 +74,65 @@ def get_lib():
                                    ctypes.POINTER(ctypes.c_int)]
     lib.g2o_free.restype = None
     lib.g2o_free.argtypes = [ctypes.c_void_p]
+    # symbolic Cholesky analysis
+    lib.g2o_symchol.restype = ctypes.c_void_p
+    lib.g2o_symchol.argtypes = [ctypes.c_int32, ctypes.c_int64,
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.c_int32]
+    lib.g2o_sym_nnz.restype = ctypes.c_int64
+    lib.g2o_sym_nnz.argtypes = [ctypes.c_void_p]
+    lib.g2o_sym_nlevels.restype = ctypes.c_int32
+    lib.g2o_sym_nlevels.argtypes = [ctypes.c_void_p]
+    for fn in ("g2o_sym_perm", "g2o_sym_parent", "g2o_sym_rows",
+               "g2o_sym_depth"):
+        getattr(lib, fn).restype = None
+        getattr(lib, fn).argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int32)]
+    lib.g2o_sym_colptr.restype = None
+    lib.g2o_sym_colptr.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int64)]
+    lib.g2o_sym_release.restype = None
+    lib.g2o_sym_release.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
+
+
+def symbolic_analysis(n: int, pairs, min_size: int = 32):
+    """Native symbolic block-Cholesky analysis (ordering + etree + exact L
+    structure + level depths).  ``pairs``: (M, 2) int array of unique
+    undirected off-diagonal block pairs.  Returns a dict of numpy arrays,
+    or None when the native library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    pairs = np.ascontiguousarray(np.asarray(pairs, dtype=np.int32).reshape(-1, 2))
+    h = lib.g2o_symchol(
+        n, pairs.shape[0],
+        pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), min_size)
+    if not h:
+        return None
+    try:
+        nnz = lib.g2o_sym_nnz(h)
+        perm = np.empty(n, dtype=np.int32)
+        parent = np.empty(n, dtype=np.int32)
+        depth = np.empty(n, dtype=np.int32)
+        colptr = np.empty(n + 1, dtype=np.int64)
+        rows = np.empty(nnz, dtype=np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.g2o_sym_perm(h, perm.ctypes.data_as(i32p))
+        lib.g2o_sym_parent(h, parent.ctypes.data_as(i32p))
+        lib.g2o_sym_depth(h, depth.ctypes.data_as(i32p))
+        lib.g2o_sym_colptr(
+            h, colptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if nnz:
+            lib.g2o_sym_rows(h, rows.ctypes.data_as(i32p))
+        return {"perm": perm, "parent": parent, "depth": depth,
+                "colptr": colptr, "rows": rows,
+                "nlevels": int(lib.g2o_sym_nlevels(h))}
+    finally:
+        lib.g2o_sym_release(h)
 
 
 def parse_blocks(path_or_text, *, is_text: bool = False):

@@ -53,3 +53,24 @@ def test_rejects_mixed_types():
     p = g.compile()
     with pytest.raises(NotImplementedError):
         SparseCholeskySolver().setup(p)
+
+
+def test_native_symbolic_matches_python_fill():
+    """The native C++ analysis (ordering + etree + ereach structure) must
+    reproduce the classic python struct-merge fill for the same ordering."""
+    from g2o_tpu import native
+    from g2o_tpu.core.solvers.sparse_chol import _fill_from_perm
+
+    rng = np.random.default_rng(7)
+    n = 150
+    pairs = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in rng.integers(0, n, (320, 2)) if a != b})
+    pairs = np.asarray(pairs)
+    res = native.symbolic_analysis(n, pairs, 16)
+    if res is None:
+        pytest.skip("no C++ compiler available")
+    parent, depth, colptr, rows = _fill_from_perm(n, pairs, res["perm"])
+    np.testing.assert_array_equal(res["parent"], parent)
+    np.testing.assert_array_equal(res["colptr"], colptr)
+    np.testing.assert_array_equal(res["rows"], rows)
+    np.testing.assert_array_equal(res["depth"], depth)
