@@ -227,6 +227,21 @@ class Problem:
             total_p = total_p + jnp.sum(e2 * act)
         return total_r, total_p
 
+    def edge_chi2_fn(self, data: ProblemData, estimates):
+        """Per-edge robust chi2 — ``{etype: (E,)}`` arrays (inactive/padded
+        rows are zero).  The per-edge analogue of the reference's
+        ``Edge::chi2()`` after ``robustifyError`` as used by tools ranking
+        or selecting edges by error (``examples/g2o_unfold/g2o-unfold.cpp:66-79``,
+        ``tools.cpp`` gnudump)."""
+        out = {}
+        for name, et in self.edge_types.items():
+            batch = data.edges[name]
+            _, e = self._edge_residuals(et, batch, estimates)
+            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
+            rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+            out[name] = rho[:, 0] * batch.active.astype(self.dtype)
+        return out
+
     def linearize_fn(self, data: ProblemData, estimates) -> LinearizedSystem:
         b_blocks = {
             t: jnp.zeros((self.counts[t], vt.tangent_dim), dtype=self.dtype)
