@@ -32,6 +32,7 @@ from g2o_tpu.core.lm_fused import (
 from g2o_tpu.core.solvers import DenseSolver, PCGSolver, SchurSolver
 from g2o_tpu.core.solvers.cgls import CGLSSolver
 from g2o_tpu.core.solvers.sparse_chol import SparseCholeskySolver
+from g2o_tpu.core.solvers.supernodal import SupernodalCholeskySolver
 
 __version__ = "0.1.0"
 
@@ -49,4 +50,5 @@ __all__ = [
     "SchurSolver",
     "CGLSSolver",
     "SparseCholeskySolver",
+    "SupernodalCholeskySolver",
 ]

@@ -50,12 +50,18 @@ def _build_solver_table():
 
         return ImplicitSchurSolver()
 
+    def supernodal():
+        from g2o_tpu.core.solvers.supernodal import SupernodalCholeskySolver
+
+        return SupernodalCholeskySolver()
+
     for algo in ("gn", "lm", "dl"):
         SOLVERS[f"{algo}_dense"] = (algo, dense)
         SOLVERS[f"{algo}_pcg"] = (algo, pcg)
         SOLVERS[f"{algo}_cgls"] = (algo, cgls)
         SOLVERS[f"{algo}_schur"] = (algo, schur)
         SOLVERS[f"{algo}_sparse_chol"] = (algo, sparse_chol)
+        SOLVERS[f"{algo}_supernodal"] = (algo, supernodal)
         SOLVERS[f"{algo}_schur_implicit"] = (algo, schur_implicit)
         # reference-style aliases: variable/fixed block sizes all map onto
         # the same array-typed pipeline
