@@ -82,9 +82,15 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
                           star_iterations: int = 10,
                           skeleton_iterations: int = 30,
                           refine_iterations: int = 10,
+                          max_levels: int = 2,
+                          recurse_threshold: int = 300,
                           verbose: bool = False):
     """Run the full multilevel pipeline in place on ``graph``.
-    Returns a summary dict."""
+
+    ``max_levels`` > 2 recursively condenses the skeleton itself while it
+    still has more than ``recurse_threshold`` vertices — the arbitrary-
+    depth analogue of the reference's ``Edge::level()`` hierarchy
+    (``core/optimizable_graph.h:437-439``).  Returns a summary dict."""
     vtypes = {r.vtype.name for r in graph.vertices().values()}
     if len(vtypes) != 1 or next(iter(vtypes)) not in _GROUP_OPS:
         raise NotImplementedError(
@@ -177,12 +183,26 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
             skeleton.add_edge(e.etype, e.vids, e.measurement, e.information,
                               kernel=e.kernel, delta=e.delta)
 
-    ps = skeleton.compile()
-    opt_s = SparseOptimizer(ps, algorithm=LevenbergMarquardt(),
-                            solver=PCGSolver(max_iter=100, tol=1e-8),
-                            verbose=verbose)
-    opt_s.optimize(skeleton_iterations)
-    skel_est = ps.estimates_by_vid()
+    levels_used = 2
+    if max_levels > 2 and skeleton.num_vertices > recurse_threshold:
+        # condense the skeleton again: the level-2 (and deeper) hierarchy
+        sub = optimize_hierarchical(
+            skeleton, star_radius=star_radius,
+            star_iterations=star_iterations,
+            skeleton_iterations=skeleton_iterations,
+            refine_iterations=skeleton_iterations,
+            max_levels=max_levels - 1,
+            recurse_threshold=recurse_threshold, verbose=verbose)
+        levels_used = sub["levels"] + 1
+        skel_est = {vid: skeleton.vertex(vid).estimate
+                    for vid in skeleton.vertices()}
+    else:
+        ps = skeleton.compile()
+        opt_s = SparseOptimizer(ps, algorithm=LevenbergMarquardt(),
+                                solver=PCGSolver(max_iter=100, tol=1e-8),
+                                verbose=verbose)
+        opt_s.optimize(skeleton_iterations)
+        skel_est = ps.estimates_by_vid()
 
     # --- re-anchor stars rigidly to the optimized centres ---
     for sid, center in enumerate(centers):
@@ -202,6 +222,7 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
         graph.set_estimate(vid, est)
     return {
         "n_stars": n_stars,
+        "levels": levels_used,
         "skeleton_vertices": skeleton.num_vertices,
         "skeleton_edges": skeleton.num_edges,
         "final_chi2": opt_f.chi2(),

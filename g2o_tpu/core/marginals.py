@@ -9,10 +9,10 @@ Two backends:
   (MXU Cholesky) and solve all requested columns in one batched triangular
   solve — the covariance blocks are ``(H^-1)[slots_i, slots_j]``.
 * **sparse** (uniform-block pose graphs at scale): reuse the
-  :class:`~g2o_tpu.core.solvers.sparse_chol.SparseCholeskySolver`'s
-  level-scheduled block factor and run its triangular solves over a batch
-  of unit-block right-hand sides — where the reference walks the CSparse/
-  CHOLMOD factor with the Takahashi recursion (``solveBlocks``,
+  :class:`~g2o_tpu.core.solvers.supernodal.SupernodalCholeskySolver`'s
+  amalgamated block factor and run its batched-panel triangular solves
+  over a batch of unit-block right-hand sides — where the reference walks
+  the CSparse/CHOLMOD factor with the Takahashi recursion (``solveBlocks``,
   ``solvers/cholmod/linear_solver_cholmod.h:160-230``), the TPU version
   vmaps the substitution over the requested columns.  Memory is
   O(nnz(L) + n·d·k) instead of O(T²).
@@ -46,12 +46,15 @@ def _sparse_applicable(problem) -> bool:
 
 
 def _sparse_cov_blocks(problem, locals_, *, lam, estimates):
-    """(k, d, d) diagonal covariance blocks via the sparse factor."""
-    from g2o_tpu.core.solvers.sparse_chol import (SparseCholeskySolver,
-                                                  solve_factored)
+    """(k, d, d) diagonal covariance blocks via the supernodal factor
+    (symbolic setup is ~300x faster than the per-column schedule at
+    sphere2500 scale and the triangular sweeps run over ~15 levels of
+    batched dense panels instead of ~240 column levels)."""
+    from g2o_tpu.core.solvers.supernodal import (SupernodalCholeskySolver,
+                                                 solve_supernodal)
 
     p = problem
-    solver = SparseCholeskySolver().setup(p)
+    solver = SupernodalCholeskySolver().setup(p)
     (tname,) = p.vertex_types
     d = p.vertex_types[tname].tangent_dim
     n = p.counts[tname]
@@ -71,8 +74,8 @@ def _sparse_cov_blocks(problem, locals_, *, lam, estimates):
         def one(kcol):
             rhs = jnp.zeros((n, d, d), dtype=dtype).at[kcol].set(
                 jnp.eye(d, dtype=dtype))
-            X = jax.vmap(solve_factored, in_axes=(None, -1, None),
-                         out_axes=-1)(blocks, rhs, aux)
+            X = jax.vmap(solve_supernodal, in_axes=(None, -1, None, None),
+                         out_axes=-1)(blocks, rhs, aux["levels"], d)
             return X[kcol]                       # (d, d) = (H^-1)[v, v]
 
         return jax.vmap(one)(kcols)
@@ -154,10 +157,10 @@ def compute_cross_marginals(problem, vid_a, vid_b, *, lam: float = 0.0,
         if not _sparse_applicable(p):
             raise NotImplementedError("sparse cross-marginals need a "
                                       "uniform-block problem")
-        from g2o_tpu.core.solvers.sparse_chol import (SparseCholeskySolver,
-                                                      solve_factored)
+        from g2o_tpu.core.solvers.supernodal import (
+            SupernodalCholeskySolver, solve_supernodal)
 
-        solver = SparseCholeskySolver().setup(p)
+        solver = SupernodalCholeskySolver().setup(p)
         (tname,) = p.vertex_types
         n = p.counts[tname]
         perm = np.asarray(solver.aux["perm"])
@@ -174,8 +177,8 @@ def compute_cross_marginals(problem, vid_a, vid_b, *, lam: float = 0.0,
                                        aux)
             rhs = jnp.zeros((n, db, db), dtype=dtype).at[kb].set(
                 jnp.eye(db, dtype=dtype))
-            X = jax.vmap(solve_factored, in_axes=(None, -1, None),
-                         out_axes=-1)(blocks, rhs, aux)
+            X = jax.vmap(solve_supernodal, in_axes=(None, -1, None, None),
+                         out_axes=-1)(blocks, rhs, aux["levels"], db)
             return X[ka]
 
         return np.asarray(run(p.data, lin, aux))

@@ -331,7 +331,9 @@ def factorize(blocks, sched_aux):
         dst = jnp.maximum(upd[:, 2], 0)
         La = blocks[a_slot]
         Lb = blocks[b_slot]
-        M = jnp.einsum("uij,ukj->uik", La, Lb) * umask[:, None, None]
+        M = jnp.einsum("uij,ukj->uik", La, Lb,
+                       precision=jax.lax.Precision.HIGHEST) \
+            * umask[:, None, None]
         # padded rows target slot 0 with zero contribution
         blocks = blocks.at[dst].add(-M)
         return blocks
@@ -365,7 +367,8 @@ def solve_factored(blocks, b, sched_aux):
         s_slot = jnp.maximum(sl[:, 0], 0)
         i_row = row_of_slot[s_slot]
         j_col = jnp.maximum(sl[:, 1], 0)
-        contrib = jnp.einsum("sij,sj->si", blocks[s_slot], b[j_col])
+        contrib = jnp.einsum("sij,sj->si", blocks[s_slot], b[j_col],
+                             precision=jax.lax.Precision.HIGHEST)
         b = b.at[i_row].add(-contrib * smask[:, None])
         return b
 
@@ -380,7 +383,8 @@ def solve_factored(blocks, b, sched_aux):
         i_row = row_of_slot[s_slot]
         j_col = jnp.maximum(sl[:, 1], 0)
         # y_j -= L_ij^T x_i  (x_i already final for i in higher levels)
-        contrib = jnp.einsum("sji,sj->si", blocks[s_slot], y[i_row])
+        contrib = jnp.einsum("sji,sj->si", blocks[s_slot], y[i_row],
+                             precision=jax.lax.Precision.HIGHEST)
         y = y.at[j_col].add(-contrib * smask[:, None])
         cols = lvl_cols[li]
         cmask = cols >= 0
@@ -484,11 +488,24 @@ class SparseCholeskySolver:
 
         def assemble_and_factor(data, lin, lam, aux):
             """Scatter H blocks into the L pattern (permuted) and run the
-            level-scheduled numeric factorization."""
+            level-scheduled numeric factorization.  All H einsums at
+            HIGHEST precision: the TPU bf16 matmul default (~1e-3
+            relative) breaks the SPD-ness a direct factorization needs
+            (iterative solvers tolerate it; Cholesky NaNs)."""
+            hi = jax.lax.Precision.HIGHEST
             blocks = jnp.zeros((n_total, d, d), dtype=dtype)
-            # diagonal blocks (permuted), with damping + fixed identity
+            # diagonal blocks (permuted), with damping + fixed identity —
+            # rebuilt at HIGHEST rather than taken from lin.diag
+            diag = jnp.zeros((n, d, d), dtype=dtype)
+            for name, et in p.edge_types.items():
+                Js, W = lin.jacs[name], lin.weights[name]
+                vidx = data.edges[name].vidx
+                for s in range(et.num_slots):
+                    Hss = jnp.einsum("erd,ers,esf->edf", Js[s], W, Js[s],
+                                     precision=hi)
+                    diag = diag.at[vidx[:, s]].add(Hss)
             fx = data.fixed[tname].astype(dtype)[:, None, None]
-            diag = lin.diag[tname] + lam * eye
+            diag = diag + lam * eye
             diag = diag * (1.0 - fx) + eye * fx
             blocks = blocks.at[:n].set(diag[aux["perm"]])
             # off-diagonal H blocks
@@ -496,7 +513,8 @@ class SparseCholeskySolver:
                 if et.num_slots != 2:
                     continue
                 Js, W = lin.jacs[name], lin.weights[name]
-                Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1])
+                Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1],
+                                 precision=hi)
                 slots, transpose, valid = aux["edge_maps"][name]
                 Hab = jnp.where(transpose[:, None, None],
                                 jnp.swapaxes(Hab, -1, -2), Hab)

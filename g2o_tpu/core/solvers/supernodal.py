@@ -322,6 +322,78 @@ def _strict_lower_block_mask(sp: int, d: int, dtype):
     return jnp.asarray(m, dtype=dtype)
 
 
+# XLA's TPU cholesky/triangular-solve *expanders* are full-f32 only up to
+# their internal base-case size (~128 columns); above it they switch to a
+# blocked path whose inner dots run at DEFAULT (bf16 MXU) precision —
+# measured: clean 1e-7 factors at 96, NaN factors at 144 on sphere2500.
+# Above this threshold we run our own d-block-granular blocked kernels
+# with Precision.HIGHEST trailing updates.
+_SAFE_XLA_DIM = 96
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _chol_batched(D, d: int):
+    """Batched lower Cholesky of (S, sd, sd), d-blocked when sd is past
+    the XLA expander's full-precision range."""
+    sd = D.shape[-1]
+    if sd <= _SAFE_XLA_DIM or sd % d:
+        return jnp.linalg.cholesky(D)
+    sp = sd // d
+    L = jnp.zeros_like(D)
+    for k in range(sp):
+        a = k * d
+        Lkk = jnp.linalg.cholesky(D[:, a:a + d, a:a + d])
+        L = L.at[:, a:a + d, a:a + d].set(Lkk)
+        if k + 1 == sp:
+            break
+        B = D[:, a + d:, a:a + d]                       # (S, r, d)
+        X = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+            Lkk, jnp.swapaxes(B, -1, -2), lower=True), -1, -2)
+        L = L.at[:, a + d:, a:a + d].set(X)
+        D = D.at[:, a + d:, a + d:].add(
+            -jnp.einsum("sik,sjk->sij", X, X, precision=_HI))
+    return L
+
+
+def _solve_lower_batched(L, B, d: int):
+    """Solve L Y = B (L (S, sd, sd) lower, B (S, sd, m)), d-blocked past
+    the XLA expander's full-precision range."""
+    sd = L.shape[-1]
+    if sd <= _SAFE_XLA_DIM or sd % d:
+        return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    sp = sd // d
+    for k in range(sp):
+        a = k * d
+        Yk = jax.scipy.linalg.solve_triangular(
+            L[:, a:a + d, a:a + d], B[:, a:a + d, :], lower=True)
+        B = B.at[:, a:a + d, :].set(Yk)
+        if k + 1 < sp:
+            B = B.at[:, a + d:, :].add(-jnp.einsum(
+                "sij,sjm->sim", L[:, a + d:, a:a + d], Yk, precision=_HI))
+    return B
+
+
+def _solve_upper_batched(L, B, d: int):
+    """Solve L^T Y = B with L lower — the backward sweep, d-blocked past
+    the XLA expander's full-precision range."""
+    sd = L.shape[-1]
+    if sd <= _SAFE_XLA_DIM or sd % d:
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), B, lower=False)
+    sp = sd // d
+    for k in reversed(range(sp)):
+        a = k * d
+        Yk = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L[:, a:a + d, a:a + d], -1, -2),
+            B[:, a:a + d, :], lower=False)
+        B = B.at[:, a:a + d, :].set(Yk)
+        if k > 0:
+            # (L^T)_{i,k} Y_k = L_{k,i}^T Y_k for i < k
+            B = B.at[:, :a, :].add(-jnp.einsum(
+                "sji,sjm->sim", L[:, a:a + d, :a], Yk, precision=_HI))
+    return B
+
+
 def factorize_supernodal(blocks, levels, d: int):
     """Numeric supernodal factorization over the level/bucket schedule.
     ``blocks``: (n + nnz, d, d) slot array (same layout as
@@ -344,7 +416,7 @@ def factorize_supernodal(blocks, levels, d: int):
             eye = jnp.eye(sd, dtype=dtype)
             D = D * cm[:, :, None] * cm[:, None, :] \
                 + eye[None] * (1.0 - cm)[:, :, None]
-            Ld = jnp.linalg.cholesky(D)
+            Ld = _chol_batched(D, d)
             blocks = _scatter_grid(blocks, grid_d,
                                    jnp.tril(Ld) * cm[:, :, None]
                                    * cm[:, None, :], d)
@@ -352,8 +424,7 @@ def factorize_supernodal(blocks, levels, d: int):
                 continue
             Pm = _gather_grid(blocks, grid_p, d)         # (S, md, sd)
             # P <- P Ld^{-T}
-            Pt = jax.scipy.linalg.solve_triangular(
-                Ld, jnp.swapaxes(Pm, -1, -2), lower=True)
+            Pt = _solve_lower_batched(Ld, jnp.swapaxes(Pm, -1, -2), d)
             Pm = jnp.swapaxes(Pt, -1, -2) * cm[:, None, :]
             rowmask = jnp.repeat((bk["rows"] >= 0), d, axis=1).astype(dtype)
             Pm = Pm * rowmask[:, :, None]
@@ -400,8 +471,7 @@ def solve_supernodal(blocks, b, levels, d: int):
         for bk in blevel:
             Ld, cm = padded_diag(bk)
             rhs = gather_rhs(bk["cols"])
-            y = jax.scipy.linalg.solve_triangular(
-                Ld, rhs[..., None], lower=True)[..., 0] * cm
+            y = _solve_lower_batched(Ld, rhs[..., None], d)[..., 0] * cm
             b = scatter_rhs(b, bk["cols"], y)
             if bk["panel"].shape[1]:
                 Pm = _gather_grid(blocks, bk["panel"], d)
@@ -420,9 +490,7 @@ def solve_supernodal(blocks, b, levels, d: int):
                 rhs = rhs - jnp.einsum(
                     "smk,sm->sk", Pm, xr,
                     precision=jax.lax.Precision.HIGHEST)
-            x = jax.scipy.linalg.solve_triangular(
-                jnp.swapaxes(Ld, -1, -2), rhs[..., None],
-                lower=False)[..., 0] * cm
+            x = _solve_upper_batched(Ld, rhs[..., None], d)[..., 0] * cm
             b = scatter_rhs(b, bk["cols"], x)
     return b
 
@@ -507,16 +575,31 @@ class SupernodalCholeskySolver:
         eye = jnp.eye(d, dtype=dtype)
 
         def assemble_and_factor(data, lin, lam, aux):
+            # every H einsum at HIGHEST: on TPU the default is bf16 MXU
+            # passes (~1e-3 relative) — enough to make trailing blocks of
+            # an ill-conditioned pose-graph Hessian indefinite after the
+            # supernodal updates (NaN factors).  The diagonal is rebuilt
+            # here rather than taken from lin.diag (which is assembled at
+            # the iterative solvers' default precision).
             blocks = jnp.zeros((n_total, d, d), dtype=dtype)
+            diag = jnp.zeros((n, d, d), dtype=dtype)
+            for name, et in p.edge_types.items():
+                Js, W = lin.jacs[name], lin.weights[name]
+                vidx = data.edges[name].vidx
+                for s in range(et.num_slots):
+                    Hss = jnp.einsum("erd,ers,esf->edf", Js[s], W, Js[s],
+                                     precision=_HI)
+                    diag = diag.at[vidx[:, s]].add(Hss)
             fx = data.fixed[tname].astype(dtype)[:, None, None]
-            diag = lin.diag[tname] + lam * eye
+            diag = diag + lam * eye
             diag = diag * (1.0 - fx) + eye * fx
             blocks = blocks.at[:n].set(diag[aux["perm"]])
             for name, et in p.edge_types.items():
                 if et.num_slots != 2:
                     continue
                 Js, W = lin.jacs[name], lin.weights[name]
-                Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1])
+                Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1],
+                                 precision=_HI)
                 slots, transpose, valid = aux["edge_maps"][name]
                 Hab = jnp.where(transpose[:, None, None],
                                 jnp.swapaxes(Hab, -1, -2), Hab)

@@ -42,3 +42,14 @@ def test_hierarchical_rejects_mixed_types():
     g, _ = create_ba_scene(n_cameras=3, n_points=10, seed=2)
     with pytest.raises(NotImplementedError):
         optimize_hierarchical(g)
+
+
+def test_hierarchical_three_levels():
+    g = create_manhattan(n_poses=400, seed=23)
+    p0 = g.compile()
+    chi0 = float(p0.chi2_jit(p0.data, p0.estimates)[0])
+    res = optimize_hierarchical(g, star_radius=2, star_iterations=6,
+                                skeleton_iterations=12, refine_iterations=6,
+                                max_levels=3, recurse_threshold=40)
+    assert res["levels"] == 3
+    assert res["final_chi2"] < chi0 * 0.5
