@@ -298,7 +298,8 @@ class Problem:
         return self.join_tangent(
             self.hvp_blocks_fn(data, lin, self.split_tangent(v)))
 
-    def hvp_operator(self, data: ProblemData, lin: LinearizedSystem):
+    def hvp_operator(self, data: ProblemData, lin: LinearizedSystem,
+                     *, onehot_max_segments: int = 0):
         """Build the latency-optimal H·v closure for CG loops.
 
         Precomputes, once per linearization (loop-invariant, so it is
@@ -308,7 +309,14 @@ class Problem:
         iteration then costs per edge type: ONE row gather, TWO batched
         einsums (``z = (WJ)·v_rows``, ``out = Jcatᵀ·z``), and ONE
         row scatter-add — versus five einsums through
-        :meth:`hvp_blocks_fn`."""
+        :meth:`hvp_blocks_fn`.
+
+        ``onehot_max_segments`` > 0 replaces the row gather/scatter of any
+        vertex type with at most that many vertices by one-hot MXU matmuls
+        at ``Precision.HIGHEST`` (exact in f32): TPU gathers/scatters
+        process rows near-serially, so for small-to-medium vertex counts
+        the dense ``onehot(vidx) @ v`` / ``onehot(vidx)^T @ contrib``
+        formulation is several times faster per CG iteration."""
         pre = {}
         for name in self.edge_types:
             Js = lin.jacs[name]
@@ -317,6 +325,27 @@ class Problem:
             Jcat = jnp.concatenate(Js, axis=2)                 # (E, r, K)
             WJ = jnp.einsum("ers,esk->erk", lin.weights[name], Jcat)
             pre[name] = (Jcat, WJ)
+
+        hi = jax.lax.Precision.HIGHEST
+
+        def gather_rows(vb, vt_name, idx):
+            v = vb[vt_name]
+            n = self.counts[vt_name]
+            if 0 < n <= onehot_max_segments:
+                oh = jax.nn.one_hot(idx, n, dtype=v.dtype)
+                return jax.lax.dot_general(
+                    oh, v, (((1,), (0,)), ((), ())), precision=hi,
+                    preferred_element_type=v.dtype)
+            return v[idx]
+
+        def scatter_rows(out_t, vt_name, idx, rows):
+            n = self.counts[vt_name]
+            if 0 < n <= onehot_max_segments:
+                oh = jax.nn.one_hot(idx, n, dtype=rows.dtype)
+                return out_t + jax.lax.dot_general(
+                    oh, rows, (((0,), (0,)), ((), ())), precision=hi,
+                    preferred_element_type=rows.dtype)
+            return out_t.at[idx].add(rows)
 
         def hvp(vb):
             out = {t: jnp.zeros_like(vb[t]) for t in self.vertex_types}
@@ -328,20 +357,23 @@ class Problem:
                 dims = [vt.tangent_dim for vt in et.vertex_types]
                 if len(set(tnames)) == 1:
                     t, d, k = tnames[0], dims[0], len(dims)
-                    rows = vb[t][vidx].reshape(E, k * d)
+                    rows = gather_rows(vb, t, vidx.reshape(E * k)).reshape(
+                        E, k * d)
                     z = jnp.einsum("erk,ek->er", WJ, rows)
                     contrib = jnp.einsum("erk,er->ek", Jcat, z)
-                    out[t] = out[t].at[vidx].add(contrib.reshape(E, k, d))
+                    out[t] = scatter_rows(
+                        out[t], t, vidx.reshape(E * k),
+                        contrib.reshape(E * k, d))
                 else:
                     rows = jnp.concatenate(
-                        [vb[t][vidx[:, s]]
+                        [gather_rows(vb, t, vidx[:, s])
                          for s, t in enumerate(tnames)], axis=1)
                     z = jnp.einsum("erk,ek->er", WJ, rows)
                     contrib = jnp.einsum("erk,er->ek", Jcat, z)
                     off = 0
                     for s, (t, d) in enumerate(zip(tnames, dims)):
-                        out[t] = out[t].at[vidx[:, s]].add(
-                            contrib[:, off:off + d])
+                        out[t] = scatter_rows(out[t], t, vidx[:, s],
+                                              contrib[:, off:off + d])
                         off += d
             return out
 

@@ -42,12 +42,16 @@ class PCGSolver:
 
     def __init__(self, max_iter: int = 100, tol: float = 1e-6,
                  abs_tol: float = 0.0, precond: str = "jacobi",
-                 chunk_size: int = 32):
+                 chunk_size: int = 32, onehot_max_segments: int = 0):
         self.max_iter = int(max_iter)
         self.tol = float(tol)
         self.abs_tol = float(abs_tol)
         self.precond = precond
         self.chunk_size = int(chunk_size)
+        # > 0: replace row gathers/scatters in the H·v product with exact
+        # one-hot MXU matmuls for vertex types of at most this many vertices
+        # (see Problem.hvp_operator) — a large per-CG-iteration win on TPU
+        self.onehot_max_segments = int(onehot_max_segments)
         self._solve_jit = None
         self.aux = ()
 
@@ -168,8 +172,12 @@ class PCGSolver:
         tdot = p.tree_dot
         tmap = jax.tree_util.tree_map
 
+        onehot_max = self.onehot_max_segments
+
         def solve(data, lin, lam, aux=()):
-            hvp = p.hvp_operator(data, lin)   # loop-invariant W·J precompute
+            # loop-invariant W·J precompute (hoisted out of the CG loop)
+            hvp = p.hvp_operator(data, lin,
+                                 onehot_max_segments=onehot_max)
 
             def matvec(vb):
                 # damped system + unit rows on fixed slots

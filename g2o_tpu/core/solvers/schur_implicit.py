@@ -13,37 +13,98 @@ per-observation blocks:
     u_e = v[cam_e];  t_j = Σ_{e∈obs(j)} B_e^T u_e;  s_j = Dinv_j t_j;
     S v = Hpp v − Σ_e B_e s_{lm_e}
 
-— two segment reductions and three batched einsums per CG iteration, O(Eo)
-memory.  Landmarks back-substitute exactly as in the explicit path.  This
-is the scalable counterpart of the reference's Schur loop
+Landmarks back-substitute exactly as in the explicit path.  This is the
+scalable counterpart of the reference's Schur loop
 (``block_solver.hpp:339-393``) for graphs where the pair clique expansion
 explodes, and complements the square-root CGLS path (which iterates on the
 FULL system rather than the reduced one).
 
-The CG recurrence runs in BLOCK LAYOUT (``{type: (N_t, d_t)}``): all
-gathers/scatters are row-level through each edge batch's own ``vidx``
-columns (which already travel inside ``data``), so the solver owns no index
-arrays at all and supports mixed landmark/pose dimensions."""
+Two observation layouts:
+
+* ``layout="rows"`` (default) — row-level gathers/scatters through each edge
+  batch's own ``vidx`` (which already travels inside ``data``).  The solver
+  owns no index arrays, every reduction is a plain XLA scatter-add, and
+  GSPMD edge-sharding reproduces the single-device result bit-for-bit.
+* ``layout="bucketed"`` — the TPU fast path.  TPU gathers/scatters process
+  rows near-serially, so at Venice scale (900k observations) they are ~85%
+  of every CG iteration.  At ``setup`` the observations are permuted into a
+  landmark-degree-bucketed layout (``g2o_tpu/ops/bucketed.py``): the
+  landmark-side reduction/broadcast become per-bucket ``einsum`` over a
+  dense degree axis (no gather/scatter at all), and the camera-side
+  gather/scatter become one-hot MXU matmuls at ``Precision.HIGHEST``
+  (exact in f32, ~3x faster than the row scatter — measured 2.5-3.0 ms vs
+  8.3 ms for 900k rows into 800 cameras on 1× v5e).  Index arrays travel
+  via ``solver.aux``.
+
+Preconditioners:
+
+* ``"schur_jacobi"`` (default) — per-camera diagonal blocks of the REDUCED
+  system, ``S_jj = Hpp_jj − Σ_{e∈obs(j)} B_e Dinv_{lm(e)} B_e^T`` (the
+  standard BA reduced-camera preconditioner); one extra reduction per
+  λ-trial, typically several-fold fewer CG iterations than Hpp-Jacobi.
+* ``"jacobi"`` — damped Hpp diagonal blocks only.
+"""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from g2o_tpu.ops.bucketed import bucket_by_segment
 from g2o_tpu.ops.smallblocks import inv_small
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _onehot_matmul_scatter(idx, rows, n_seg):
+    """Σ_i rows[i] into segment idx[i] as ``onehot(idx)^T @ rows`` — an MXU
+    matmul instead of a serialized scatter.  ``Precision.HIGHEST`` makes it
+    exact in f32 (one-hot entries are exactly representable).  Out-of-range
+    ids produce all-zero one-hot rows (dropped), matching scatter
+    semantics."""
+    flat = rows.reshape(rows.shape[0], -1)
+    oh = jax.nn.one_hot(idx, n_seg, dtype=flat.dtype)
+    out = jax.lax.dot_general(oh, flat, (((0,), (0,)), ((), ())),
+                              precision=_HI,
+                              preferred_element_type=flat.dtype)
+    return out.reshape((n_seg,) + rows.shape[1:])
+
+
+def _onehot_matmul_gather(idx, table):
+    """table[idx] as ``onehot(idx) @ table`` (out-of-range ids yield zero
+    rows)."""
+    flat = table.reshape(table.shape[0], -1)
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=flat.dtype)
+    out = jax.lax.dot_general(oh, flat, (((1,), (0,)), ((), ())),
+                              precision=_HI,
+                              preferred_element_type=flat.dtype)
+    return out.reshape((idx.shape[0],) + table.shape[1:])
 
 
 class ImplicitSchurSolver:
     name = "schur_implicit"
 
-    def __init__(self, max_iter: int = 100, tol: float = 1e-8):
+    def __init__(self, max_iter: int = 100, tol: float = 1e-8, *,
+                 precond: str = "schur_jacobi", layout: str = "rows",
+                 onehot_max_segments: int = 8192, max_buckets: int = 10):
+        if layout not in ("rows", "bucketed"):
+            raise ValueError(f"unknown layout {layout!r}")
+        if precond not in ("schur_jacobi", "jacobi"):
+            raise ValueError(f"unknown precond {precond!r}")
         self.max_iter = int(max_iter)
         self.tol = float(tol)
+        self.precond = precond
+        self.layout = layout
+        self.onehot_max_segments = int(onehot_max_segments)
+        self.max_buckets = int(max_buckets)
         self.aux = ()
         self._solve_fn = None
         self._solve_jit = None
 
-    def setup(self, problem):
+    # ------------------------------------------------------------------ #
+
+    def _classify(self, problem):
         p = problem
         marg = {t: bool(m.all()) for t, m in p.marginalized.items()}
         for t, m in p.marginalized.items():
@@ -55,8 +116,7 @@ class ImplicitSchurSolver:
         if not lm_types:
             raise ValueError("ImplicitSchurSolver: no marginalized vertices")
 
-        # classify edges: observations (one pose slot + one landmark slot)
-        # vs pose-only edges
+        # observations (one pose slot + one landmark slot) vs pose-only edges
         obs_specs, pose_edge_types = [], []
         for name, et in p.edge_types.items():
             slots_marg = [marg[vt.name] for vt in et.vertex_types]
@@ -68,10 +128,16 @@ class ImplicitSchurSolver:
                     f"unsupported landmark edge pattern in {name}")
             lm_slot = slots_marg.index(True)
             obs_specs.append((name, 1 - lm_slot, lm_slot))
+        return lm_types, pose_types, obs_specs, pose_edge_types
 
+    def setup(self, problem):
+        p = problem
+        lm_types, pose_types, obs_specs, pose_edge_types = self._classify(p)
         dtype = p.dtype
         max_iter, tol = self.max_iter, self.tol
         tmap = jax.tree_util.tree_map
+        use_schur_precond = self.precond == "schur_jacobi"
+        bucketed = self.layout == "bucketed"
 
         def damped_diag(data, lin, lam, types):
             out = {}
@@ -86,7 +152,78 @@ class ImplicitSchurSolver:
         def pdot(a, b):
             return sum(jnp.vdot(a[t], b[t]) for t in pose_types)
 
-        def solve(data, lin, lam, aux=()):
+        # ---------------- bucketed layout: host symbolic phase ------------ #
+        # per obs edge type: a landmark-degree BucketPlan over its rows, the
+        # permuted source-row and camera-id arrays (travel via aux), and the
+        # static per-bucket (count, degree) shapes (baked in the closure)
+        bspec = {}
+        aux = {}
+        if bucketed:
+            for name, ps, ls in obs_specs:
+                et = p.edge_types[name]
+                lt = et.vertex_types[ls].name
+                pt = et.vertex_types[ps].name
+                vidx = np.asarray(p.data.edges[name].vidx)
+                E = vidx.shape[0]
+                plan = bucket_by_segment(vidx[:, ls], p.counts[lt],
+                                         max_buckets=self.max_buckets)
+                camz = np.concatenate(
+                    [vidx[:, ps].astype(np.int64), [p.counts[pt]]])
+                cam_pad = camz[plan.perm_src].astype(np.int32)
+                aux[name] = {
+                    "perm": jnp.asarray(plan.perm_src),
+                    "cam": jnp.asarray(cam_pad),
+                    "segp": jnp.asarray(plan.seg_perm),
+                }
+                bspec[name] = (plan.counts, plan.degrees,
+                               int(len(plan.seg_perm)))
+            self.aux = aux
+
+        def pose_rows_gather(vb_t, idx, n_pose):
+            if n_pose <= self.onehot_max_segments:
+                return _onehot_matmul_gather(idx, vb_t)
+            return vb_t[jnp.minimum(idx, n_pose - 1)] * \
+                (idx < n_pose).astype(dtype)[:, None]
+
+        def pose_rows_scatter(idx, rows, n_pose):
+            if n_pose <= self.onehot_max_segments:
+                return _onehot_matmul_scatter(idx, rows, n_pose)
+            return jnp.zeros((n_pose,) + rows.shape[1:],
+                             dtype=rows.dtype).at[idx].add(rows)
+
+        def bucket_down(spec, B_pad, u_pad):
+            """Per-bucket Σ_rows B^T u → per-segment (S_used, dl); the
+            degree axis reduces inside the einsum (no materialised
+            intermediate)."""
+            counts, degrees, _ = spec
+            out, off = [], 0
+            for n, d in zip(counts, degrees):
+                Bb = B_pad[off:off + n * d]
+                ub = u_pad[off:off + n * d]
+                Bb = Bb.reshape((n, d) + Bb.shape[1:])
+                ub = ub.reshape((n, d) + ub.shape[1:])
+                out.append(jnp.einsum("ndij,ndi->nj", Bb, ub))
+                off += n * d
+            return jnp.concatenate(out, axis=0)
+
+        def bucket_up(spec, B_pad, s_used):
+            """Per-bucket B s_{segment(row)} → padded rows (E_pad, dp); the
+            broadcast over the degree axis fuses into the einsum."""
+            counts, degrees, _ = spec
+            out, off, k = [], 0, 0
+            for n, d in zip(counts, degrees):
+                Bb = B_pad[off:off + n * d]
+                Bb = Bb.reshape((n, d) + Bb.shape[1:])
+                sb = s_used[k:k + n]
+                yb = jnp.einsum("ndij,nj->ndi", Bb, sb)
+                out.append(yb.reshape((n * d,) + yb.shape[2:]))
+                off += n * d
+                k += n
+            return jnp.concatenate(out, axis=0)
+
+        # ------------------------------------------------------------------ #
+
+        def solve_full(data, lin, lam, aux=()):
             # per-landmark-type Dinv (batched closed-form inverses)
             Dinv = {t: inv_small(D)
                     for t, D in damped_diag(data, lin, lam, lm_types).items()}
@@ -95,6 +232,19 @@ class ImplicitSchurSolver:
             for name, ps, ls in obs_specs:
                 Js, W = lin.jacs[name], lin.weights[name]
                 B[name] = jnp.einsum("erd,ers,esf->edf", Js[ps], W, Js[ls])
+
+            if bucketed:
+                # permute B into the padded bucket layout once per solve
+                # (sentinel row E is zero)
+                Bp, Dinv_perm = {}, {}
+                for name, ps, ls in obs_specs:
+                    et = p.edge_types[name]
+                    lt = et.vertex_types[ls].name
+                    Bz = jnp.concatenate(
+                        [B[name],
+                         jnp.zeros((1,) + B[name].shape[1:], dtype=dtype)])
+                    Bp[name] = Bz[aux[name]["perm"]]
+                    Dinv_perm[name] = Dinv[lt][aux[name]["segp"]]
 
             ball = p.split_tangent(lin.b)
             bp = {t: ball[t] for t in pose_types}
@@ -106,14 +256,52 @@ class ImplicitSchurSolver:
             bschur = dict(bp)
             for name, ps, ls in obs_specs:
                 et = p.edge_types[name]
-                vidx = data.edges[name].vidx
                 pt = et.vertex_types[ps].name
                 lt = et.vertex_types[ls].name
-                bschur[pt] = bschur[pt].at[vidx[:, ps]].add(
-                    -jnp.einsum("edl,el->ed", B[name], y[lt][vidx[:, ls]]))
+                if bucketed:
+                    rows = bucket_up(bspec[name], Bp[name],
+                                     y[lt][aux[name]["segp"]])
+                    bschur[pt] = bschur[pt] - pose_rows_scatter(
+                        aux[name]["cam"], rows, p.counts[pt])
+                else:
+                    vidx = data.edges[name].vidx
+                    bschur[pt] = bschur[pt].at[vidx[:, ps]].add(
+                        -jnp.einsum("edl,el->ed", B[name],
+                                    y[lt][vidx[:, ls]]))
 
+            # preconditioner: damped Hpp diag, optionally minus the Schur
+            # term's per-camera diagonal (the reduced-system Jacobi blocks)
             diag_blocks = damped_diag(data, lin, lam, pose_types)
-            minv = {t: inv_small(diag_blocks[t]) for t in pose_types}
+            sdiag = dict(diag_blocks)
+            if use_schur_precond:
+                for name, ps, ls in obs_specs:
+                    et = p.edge_types[name]
+                    pt = et.vertex_types[ps].name
+                    lt = et.vertex_types[ls].name
+                    if bucketed:
+                        counts, degrees, _ = bspec[name]
+                        Dp, off, k, rows = Dinv_perm[name], 0, 0, []
+                        for n, d in zip(counts, degrees):
+                            Bb = Bp[name][off:off + n * d]
+                            Bb = Bb.reshape((n, d) + Bb.shape[1:])
+                            Cb = jnp.einsum("ndij,njk,ndlk->ndil",
+                                            Bb, Dp[k:k + n], Bb,
+                                            precision=_HI)
+                            rows.append(Cb.reshape((n * d,) + Cb.shape[2:]))
+                            off += n * d
+                            k += n
+                        C = jnp.concatenate(rows, axis=0)
+                        sdiag[pt] = sdiag[pt] - pose_rows_scatter(
+                            aux[name]["cam"], C, p.counts[pt])
+                    else:
+                        vidx = data.edges[name].vidx
+                        C = jnp.einsum("edl,elm,efm->edf", B[name],
+                                       Dinv[lt][vidx[:, ls]], B[name],
+                                       precision=_HI)
+                        sdiag[pt] = sdiag[pt].at[vidx[:, ps]].add(-C)
+                # fixed cameras keep their unit rows (B rows are zeroed at
+                # linearize, so the subtraction leaves them intact)
+            minv = {t: inv_small(sdiag[t]) for t in pose_types}
 
             def S_vec(vb):
                 # Hpp v: diagonal blocks (pure einsum) + pose-pose couplings
@@ -143,22 +331,35 @@ class ImplicitSchurSolver:
                                    dtype=dtype) for t in lm_types}
                 for name, ps, ls in obs_specs:
                     et = p.edge_types[name]
-                    vidx = data.edges[name].vidx
                     pt = et.vertex_types[ps].name
                     lt = et.vertex_types[ls].name
-                    u = vb[pt][vidx[:, ps]]
-                    tl[lt] = tl[lt].at[vidx[:, ls]].add(
-                        jnp.einsum("edl,ed->el", B[name], u))
+                    if bucketed:
+                        u = pose_rows_gather(vb[pt], aux[name]["cam"],
+                                             p.counts[pt])
+                        part = bucket_down(bspec[name], Bp[name], u)
+                        tl[lt] = tl[lt].at[aux[name]["segp"]].add(
+                            part, unique_indices=True)
+                    else:
+                        vidx = data.edges[name].vidx
+                        u = vb[pt][vidx[:, ps]]
+                        tl[lt] = tl[lt].at[vidx[:, ls]].add(
+                            jnp.einsum("edl,ed->el", B[name], u))
                 s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t])
                       for t in lm_types}
                 for name, ps, ls in obs_specs:
                     et = p.edge_types[name]
-                    vidx = data.edges[name].vidx
                     pt = et.vertex_types[ps].name
                     lt = et.vertex_types[ls].name
-                    out[pt] = out[pt].at[vidx[:, ps]].add(
-                        -jnp.einsum("edl,el->ed", B[name],
-                                    s_[lt][vidx[:, ls]]))
+                    if bucketed:
+                        rows = bucket_up(bspec[name], Bp[name],
+                                         s_[lt][aux[name]["segp"]])
+                        out[pt] = out[pt] - pose_rows_scatter(
+                            aux[name]["cam"], rows, p.counts[pt])
+                    else:
+                        vidx = data.edges[name].vidx
+                        out[pt] = out[pt].at[vidx[:, ps]].add(
+                            -jnp.einsum("edl,el->ed", B[name],
+                                        s_[lt][vidx[:, ls]]))
                 return out
 
             def precond(rb):
@@ -186,23 +387,42 @@ class ImplicitSchurSolver:
                 pv = tmap(lambda a, b_: a + (rz2 / rz) * b_, z, pv)
                 return (x, r, z, pv, rz2, it + 1)
 
-            dxp, *_ = jax.lax.while_loop(cond, body,
-                                         (x0, r0, z0, z0, rz0, 0))
+            dxp, r_f, _, _, _, cg_iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, rz0, 0))
 
             # back-substitute landmarks: dxl = Dinv (bl - B^T dxp)
             wl = {t: jnp.zeros_like(bl[t]) for t in lm_types}
             for name, ps, ls in obs_specs:
                 et = p.edge_types[name]
-                vidx = data.edges[name].vidx
                 pt = et.vertex_types[ps].name
                 lt = et.vertex_types[ls].name
-                wl[lt] = wl[lt].at[vidx[:, ls]].add(
-                    jnp.einsum("edl,ed->el", B[name], dxp[pt][vidx[:, ps]]))
+                if bucketed:
+                    u = pose_rows_gather(dxp[pt], aux[name]["cam"],
+                                         p.counts[pt])
+                    part = bucket_down(bspec[name], Bp[name], u)
+                    wl[lt] = wl[lt].at[aux[name]["segp"]].add(
+                        part, unique_indices=True)
+                else:
+                    vidx = data.edges[name].vidx
+                    wl[lt] = wl[lt].at[vidx[:, ls]].add(
+                        jnp.einsum("edl,ed->el", B[name],
+                                   dxp[pt][vidx[:, ps]]))
             dxl = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t] - wl[t])
                    for t in lm_types}
 
-            return p.join_tangent({**dxp, **dxl})
+            stats = {"cg_iterations": cg_iters,
+                     "residual2": pdot(r_f, r_f),
+                     "rhs2": pdot(bschur, bschur)}
+            return p.join_tangent({**dxp, **dxl}), stats
 
+        def solve(data, lin, lam, aux=()):
+            return solve_full(data, lin, lam, aux)[0]
+
+        # diagnostic entry point: also returns CG iteration count and final
+        # residual (the analogue of the reference's iterationsLinearSolver
+        # batch stat, ``g2o/core/batch_stats.h:59``)
+        self._solve_full = solve_full
+        self._solve_full_jit = jax.jit(solve_full)
         self._solve_fn = solve
         self._solve_jit = jax.jit(solve)
         return self

@@ -49,7 +49,7 @@ def main():
     build_s = time.perf_counter() - t0
     n_obs = p.num_edges
 
-    solver = ImplicitSchurSolver(max_iter=60, tol=1e-6)
+    solver = ImplicitSchurSolver(max_iter=60, tol=1e-6, layout="bucketed")
     res = optimize_fused(p, solver, 2)           # warm-up/compile
     res = optimize_fused(p, solver, n_iters)
 

@@ -90,6 +90,46 @@ def test_implicit_schur_matches_explicit(scene):
     assert rel < 1e-8
 
 
+@pytest.mark.parametrize("layout", ["rows", "bucketed"])
+@pytest.mark.parametrize("precond", ["jacobi", "schur_jacobi"])
+def test_implicit_schur_variants_match_explicit(scene, layout, precond):
+    """The bucketed observation layout (degree-bucketed reshape reductions +
+    one-hot MXU camera matmuls) and the Schur-Jacobi preconditioner must not
+    change the solution — only the cost per CG iteration / the iteration
+    count."""
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+
+    g, _ = scene
+    p = g.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    lam = 1e-3
+    dx_e = np.asarray(SchurSolver().setup(p).solve(p.data, lin, lam))
+    s = ImplicitSchurSolver(max_iter=500, tol=1e-13, precond=precond,
+                            layout=layout).setup(p)
+    dx = np.asarray(s._solve_jit(p.data, lin, lam, s.aux))
+    rel = np.linalg.norm(dx - dx_e) / np.linalg.norm(dx_e)
+    assert rel < 1e-8
+
+
+def test_implicit_schur_bucketed_padded_edges(scene):
+    """Inactive padding rows (W == 0) must not perturb the bucketed
+    reductions."""
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+
+    g, _ = scene
+    p = g.compile()
+    pp = g.compile(pad_edges_to_multiple=64)
+    lam = 1e-3
+    lin = p.linearize_jit(p.data, p.estimates)
+    linp = pp.linearize_jit(pp.data, pp.estimates)
+    s0 = ImplicitSchurSolver(max_iter=300, tol=1e-13).setup(p)
+    s1 = ImplicitSchurSolver(max_iter=300, tol=1e-13,
+                             layout="bucketed").setup(pp)
+    dx0 = np.asarray(s0._solve_jit(p.data, lin, lam, s0.aux))
+    dx1 = np.asarray(s1._solve_jit(pp.data, linp, lam, s1.aux))
+    np.testing.assert_allclose(dx0, dx1, rtol=1e-7, atol=1e-10)
+
+
 def test_implicit_schur_full_lm(scene):
     from g2o_tpu.core.lm_fused import optimize_fused
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
