@@ -50,6 +50,14 @@ def _build_solver_table():
 
         return ImplicitSchurSolver()
 
+    def schur_implicit_bucketed():
+        # the TPU fast path: degree-bucketed landmark reductions + one-hot
+        # MXU camera matmuls + eta-forcing CG (inexact Newton)
+        from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+
+        return ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi",
+                                   layout="bucketed")
+
     def supernodal():
         from g2o_tpu.core.solvers.supernodal import SupernodalCholeskySolver
 
@@ -63,6 +71,8 @@ def _build_solver_table():
         SOLVERS[f"{algo}_sparse_chol"] = (algo, sparse_chol)
         SOLVERS[f"{algo}_supernodal"] = (algo, supernodal)
         SOLVERS[f"{algo}_schur_implicit"] = (algo, schur_implicit)
+        SOLVERS[f"{algo}_schur_implicit_bucketed"] = (
+            algo, schur_implicit_bucketed)
         # reference-style aliases: variable/fixed block sizes all map onto
         # the same array-typed pipeline
         for alias in ("var", "fix6_3", "fix7_3", "fix3_2"):

@@ -245,10 +245,15 @@ class Graph:
     # -- compile -----------------------------------------------------------
 
     def compile(self, *, level: int = 0, dtype=None,
-                pad_edges_to_multiple: int = 1):
+                pad_edges_to_multiple: int = 1,
+                bucket_landmarks: bool = False):
         """Freeze into an immutable SoA :class:`Problem` for the given level
-        (reference level filter: ``g2o/core/sparse_optimizer.cpp:232``)."""
+        (reference level filter: ``g2o/core/sparse_optimizer.cpp:232``).
+        ``bucket_landmarks=True`` stores landmark-observation edge batches in
+        the degree-bucketed layout (scatter-free H/b assembly + implicit
+        Schur — the TPU fast path for BA-scale problems)."""
         from g2o_tpu.core.problem import compile_graph
 
         return compile_graph(self, level=level, dtype=dtype,
-                             pad_edges_to_multiple=pad_edges_to_multiple)
+                             pad_edges_to_multiple=pad_edges_to_multiple,
+                             bucket_landmarks=bucket_landmarks)

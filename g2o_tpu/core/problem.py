@@ -50,6 +50,22 @@ class ProblemData(NamedTuple):
     fixed: dict          # vertex-type name -> (N_t,) bool
     offsets: dict        # vertex-type name -> (N_t,) int32 flat tangent offset
     fixed_flat: jax.Array  # (T,) 1.0 where the tangent slot belongs to a fixed vertex
+    plans: dict = {}     # edge name -> {"segp": (S_used,) int32} bucket arrays
+
+
+class BucketedEdgeSpec(NamedTuple):
+    """Static shape info of a compile-time landmark-bucketed edge batch
+    (the index arrays travel in ``ProblemData.plans``; see
+    ``g2o_tpu/ops/bucketed.py``).  Rows ``[0, n_rows)`` of the batch are
+    grouped into ``len(degrees)`` slabs — slab ``b`` holds ``counts[b]``
+    landmarks × ``degrees[b]`` padded rows; inactive padding rows carry
+    W == 0 so dense per-slab reductions equal the scatter-add."""
+
+    pose_slot: int
+    lm_slot: int
+    counts: tuple
+    degrees: tuple
+    n_rows: int          # sum(counts[b] * degrees[b]) — slab-covered prefix
 
 
 class LinearizedSystem(NamedTuple):
@@ -75,7 +91,10 @@ class Problem:
 
     def __init__(self, vertex_types, counts, edge_types, data: ProblemData,
                  estimates: dict, marginalized: dict, vid_index: dict,
-                 type_bases: dict, total_dim: int, dtype):
+                 type_bases: dict, total_dim: int, dtype,
+                 bucket_specs=None, assembly_onehot_max: int = 8192):
+        self.bucket_specs: dict = bucket_specs or {}
+        self.assembly_onehot_max = int(assembly_onehot_max)
         self.vertex_types: dict[str, VertexType] = vertex_types
         self.counts: dict[str, int] = counts
         self.edge_types: dict[str, EdgeType] = edge_types
@@ -281,11 +300,36 @@ class Problem:
             W = batch.info * (rho[:, 1] * act)[:, None, None]
             We = jnp.einsum("ers,es->er", W, e)
 
+            spec = self.bucket_specs.get(name)
             for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
-                b_blocks[vt.name] = b_blocks[vt.name].at[batch.vidx[:, s]].add(
-                    -jnp.einsum("erd,er->ed", J, We))
+                t = vt.name
+                brows = -jnp.einsum("erd,er->ed", J, We)
                 Hss = jnp.einsum("erd,ers,esf->edf", J, W, J)
-                diag[vt.name] = diag[vt.name].at[batch.vidx[:, s]].add(Hss)
+                if spec is not None and s == spec.lm_slot:
+                    # landmark side: dense per-slab reductions (rows are in
+                    # the compile-time bucketed layout) + one unique-index
+                    # scatter per array — no row-serialized scatter-add
+                    from g2o_tpu.ops.bucketed import bucket_reduce
+
+                    segp = data.plans[name]["segp"]
+                    nb = spec.n_rows
+                    b_blocks[t] = b_blocks[t].at[segp].add(
+                        bucket_reduce(spec, brows[:nb]), unique_indices=True)
+                    diag[t] = diag[t].at[segp].add(
+                        bucket_reduce(spec, Hss[:nb]), unique_indices=True)
+                elif (spec is not None
+                      and self.counts[t] <= self.assembly_onehot_max):
+                    # camera side: exact one-hot MXU reductions
+                    from g2o_tpu.ops.onehot import onehot_scatter_add
+
+                    idx = batch.vidx[:, s]
+                    b_blocks[t] = b_blocks[t] + onehot_scatter_add(
+                        idx, brows, self.counts[t])
+                    diag[t] = diag[t] + onehot_scatter_add(
+                        idx, Hss, self.counts[t])
+                else:
+                    b_blocks[t] = b_blocks[t].at[batch.vidx[:, s]].add(brows)
+                    diag[t] = diag[t].at[batch.vidx[:, s]].add(Hss)
 
             jacs[name], weights[name], errors[name] = Js, W, e
 
@@ -427,7 +471,8 @@ class Problem:
 
 
 def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
-                  pad_edges_to_multiple: int = 1) -> Problem:
+                  pad_edges_to_multiple: int = 1,
+                  bucket_landmarks: bool = False) -> Problem:
     """Build a :class:`Problem` from raw numpy blocks.
 
     ``vertex_blocks``: ``{VertexType: (vids (N,), estimates (N, rep),
@@ -479,20 +524,15 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
 
     edges = {}
     edge_types = {}
+    bucket_specs = {}
+    plans = {}
     m = max(int(pad_edges_to_multiple), 1)
     for et, (vids, meas, info, kern, delt, act, par) in edge_blocks.items():
         name = et.name
         edge_types[name] = et
         E = len(vids)
-        n_pad = (-E) % m
 
-        def pad(a, n_pad=n_pad):
-            if n_pad == 0:
-                return np.asarray(a)
-            a = np.asarray(a)
-            return np.concatenate([a, np.repeat(a[:1], n_pad, axis=0)], axis=0)
-
-        vidx_raw = pad(np.asarray(vids, dtype=np.int64))
+        vidx_raw = np.asarray(vids, dtype=np.int64)
         vidx = np.empty_like(vidx_raw, dtype=np.int32)
         for s, svt in enumerate(et.vertex_types):
             sv = sorted_vids.get(svt.name)
@@ -506,23 +546,77 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                 vid = int(vidx_raw[:, s][bad][0])
                 raise ValueError(f"{name}: unknown vertex id {vid}")
             vidx[:, s] = loc
-        act = pad(np.asarray(act, dtype=bool)).copy()
-        if n_pad:
-            act[E:] = False
+        act = np.asarray(act, dtype=bool).copy()
         par = np.asarray(par, dtype=np.float64)
         if par.ndim != 2 or par.shape[1] != et.param_dim:
             raise ValueError(
                 f"{name}: parameter values have dim "
                 f"{par.shape[1] if par.ndim == 2 else '?'}, "
                 f"expected {et.param_dim}")
+        arrays = {
+            "vidx": vidx,
+            "meas": np.asarray(meas, dtype=np.float64),
+            "info": np.asarray(info, dtype=np.float64),
+            "kernel": np.asarray(kern, dtype=np.int32),
+            "delta": np.asarray(delt, dtype=np.float64),
+            "active": act,
+            "param": par,
+        }
+
+        # ---- compile-time landmark-bucketed layout --------------------- #
+        # Binary edges with exactly one fully-marginalized slot get their
+        # rows permuted into the degree-bucketed layout of
+        # ``g2o_tpu/ops/bucketed.py``: H/b assembly and the implicit Schur
+        # CG body then reduce the landmark axis with dense per-slab
+        # reshapes + one-hot MXU camera matmuls instead of serialized
+        # scatters (the TPU analogue of the reference's per-landmark Schur
+        # column loop, ``g2o/core/block_solver.hpp:342``).  Padding rows
+        # replicate row 0 with active=False (W == 0 kills contributions).
+        if bucket_landmarks and E > 0 and len(et.vertex_types) == 2:
+            marg_slots = [
+                s for s, svt in enumerate(et.vertex_types)
+                if counts[svt.name] > 0 and bool(
+                    np.asarray(marginalized[svt.name]).all())
+            ]
+            if len(marg_slots) == 1:
+                from g2o_tpu.ops.bucketed import bucket_by_segment
+
+                ls = marg_slots[0]
+                lt = et.vertex_types[ls].name
+                plan = bucket_by_segment(vidx[:, ls], counts[lt])
+                perm = np.minimum(plan.perm_src, E - 1)
+                sentinel = plan.perm_src == E
+                for k, a in arrays.items():
+                    a2 = a[perm].copy()
+                    if k == "active":
+                        a2[sentinel] = False
+                    arrays[k] = a2
+                bucket_specs[name] = BucketedEdgeSpec(
+                    pose_slot=1 - ls, lm_slot=ls,
+                    counts=plan.counts, degrees=plan.degrees,
+                    n_rows=int(len(plan.perm_src)))
+                plans[name] = {"segp": jnp.asarray(plan.seg_perm)}
+                E = int(len(plan.perm_src))
+
+        n_pad = (-E) % m
+
+        def pad(a, n_pad=n_pad):
+            a = np.asarray(a)
+            if n_pad == 0 or len(a) == 0:
+                return a
+            return np.concatenate([a, np.repeat(a[:1], n_pad, axis=0)], axis=0)
+
+        act = pad(arrays["active"]).copy()
+        if n_pad:
+            act[E:] = False
         edges[name] = EdgeBatchData(
-            vidx=jnp.asarray(vidx),
-            meas=jnp.asarray(pad(meas), dtype=dtype),
-            info=jnp.asarray(pad(info), dtype=dtype),
-            kernel=jnp.asarray(pad(np.asarray(kern, dtype=np.int32))),
-            delta=jnp.asarray(pad(np.asarray(delt)), dtype=dtype),
+            vidx=jnp.asarray(pad(arrays["vidx"])),
+            meas=jnp.asarray(pad(arrays["meas"]), dtype=dtype),
+            info=jnp.asarray(pad(arrays["info"]), dtype=dtype),
+            kernel=jnp.asarray(pad(arrays["kernel"])),
+            delta=jnp.asarray(pad(arrays["delta"]), dtype=dtype),
             active=jnp.asarray(act),
-            param=jnp.asarray(pad(par), dtype=dtype),
+            param=jnp.asarray(pad(arrays["param"]), dtype=dtype),
         )
 
     data = ProblemData(
@@ -530,13 +624,16 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         fixed=fixed,
         offsets=offsets,
         fixed_flat=jnp.asarray(fixed_flat, dtype=dtype),
+        plans=plans,
     )
     return Problem(vertex_types, counts, edge_types, data, estimates,
-                   marginalized, vid_index, type_bases, total_dim, dtype)
+                   marginalized, vid_index, type_bases, total_dim, dtype,
+                   bucket_specs=bucket_specs)
 
 
 def compile_graph(graph, *, level: int = 0, dtype=None,
-                  pad_edges_to_multiple: int = 1) -> Problem:
+                  pad_edges_to_multiple: int = 1,
+                  bucket_landmarks: bool = False) -> Problem:
     """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
     :class:`Problem` — the analogue of ``initializeOptimization`` +
     ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
@@ -589,4 +686,5 @@ def compile_graph(graph, *, level: int = 0, dtype=None,
         )
 
     return build_problem(vertex_blocks, edge_blocks, dtype=dtype,
-                         pad_edges_to_multiple=pad_edges_to_multiple)
+                         pad_edges_to_multiple=pad_edges_to_multiple,
+                         bucket_landmarks=bucket_landmarks)

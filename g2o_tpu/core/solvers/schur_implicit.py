@@ -52,43 +52,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from g2o_tpu.ops.bucketed import bucket_by_segment
+from g2o_tpu.ops.onehot import (onehot_gather as _onehot_matmul_gather,
+                                onehot_scatter_add as _onehot_matmul_scatter)
 from g2o_tpu.ops.smallblocks import inv_small
 
 _HI = jax.lax.Precision.HIGHEST
-
-
-def _onehot_matmul_scatter(idx, rows, n_seg):
-    """Σ_i rows[i] into segment idx[i] as ``onehot(idx)^T @ rows`` — an MXU
-    matmul instead of a serialized scatter.  ``Precision.HIGHEST`` makes it
-    exact in f32 (one-hot entries are exactly representable).  Out-of-range
-    ids produce all-zero one-hot rows (dropped), matching scatter
-    semantics."""
-    flat = rows.reshape(rows.shape[0], -1)
-    oh = jax.nn.one_hot(idx, n_seg, dtype=flat.dtype)
-    out = jax.lax.dot_general(oh, flat, (((0,), (0,)), ((), ())),
-                              precision=_HI,
-                              preferred_element_type=flat.dtype)
-    return out.reshape((n_seg,) + rows.shape[1:])
-
-
-def _onehot_matmul_gather(idx, table):
-    """table[idx] as ``onehot(idx) @ table`` (out-of-range ids yield zero
-    rows)."""
-    flat = table.reshape(table.shape[0], -1)
-    oh = jax.nn.one_hot(idx, table.shape[0], dtype=flat.dtype)
-    out = jax.lax.dot_general(oh, flat, (((1,), (0,)), ((), ())),
-                              precision=_HI,
-                              preferred_element_type=flat.dtype)
-    return out.reshape((idx.shape[0],) + table.shape[1:])
 
 
 class ImplicitSchurSolver:
     name = "schur_implicit"
 
     def __init__(self, max_iter: int = 100, tol: float = 1e-8, *,
-                 precond: str = "schur_jacobi", layout: str = "rows",
+                 precond: str = "schur_jacobi", layout: str = "auto",
                  onehot_max_segments: int = 8192, max_buckets: int = 10):
-        if layout not in ("rows", "bucketed"):
+        if layout not in ("auto", "rows", "bucketed"):
             raise ValueError(f"unknown layout {layout!r}")
         if precond not in ("schur_jacobi", "jacobi"):
             raise ValueError(f"unknown precond {precond!r}")
@@ -137,7 +114,16 @@ class ImplicitSchurSolver:
         max_iter, tol = self.max_iter, self.tol
         tmap = jax.tree_util.tree_map
         use_schur_precond = self.precond == "schur_jacobi"
-        bucketed = self.layout == "bucketed"
+        # "auto": use the bucketed fast path iff the problem was compiled
+        # with bucket_landmarks=True (its edge batches are already in the
+        # padded bucket layout — no per-solve permutation needed at all)
+        pre = {name: name in p.bucket_specs for name, _, _ in obs_specs}
+        if self.layout == "bucketed":
+            bucketed = True
+        elif self.layout == "auto":
+            bucketed = bool(obs_specs) and all(pre.values())
+        else:
+            bucketed = False
 
         def damped_diag(data, lin, lam, types):
             out = {}
@@ -160,6 +146,13 @@ class ImplicitSchurSolver:
         aux = {}
         if bucketed:
             for name, ps, ls in obs_specs:
+                if pre[name]:
+                    # compile-time bucketed batch: rows are already in slab
+                    # order, seg_perm travels in data.plans, camera ids ARE
+                    # the (padded) vidx pose column
+                    sp = p.bucket_specs[name]
+                    bspec[name] = (sp.counts, sp.degrees, sp.n_rows)
+                    continue
                 et = p.edge_types[name]
                 lt = et.vertex_types[ls].name
                 pt = et.vertex_types[ps].name
@@ -176,7 +169,7 @@ class ImplicitSchurSolver:
                     "segp": jnp.asarray(plan.seg_perm),
                 }
                 bspec[name] = (plan.counts, plan.degrees,
-                               int(len(plan.seg_perm)))
+                               int(len(plan.perm_src)))
             self.aux = aux
 
         def pose_rows_gather(vb_t, idx, n_pose):
@@ -234,17 +227,31 @@ class ImplicitSchurSolver:
                 B[name] = jnp.einsum("erd,ers,esf->edf", Js[ps], W, Js[ls])
 
             if bucketed:
-                # permute B into the padded bucket layout once per solve
-                # (sentinel row E is zero)
+                def segp_of(name):
+                    return (data.plans[name]["segp"] if pre[name]
+                            else aux[name]["segp"])
+
+                def cam_of(name, ps):
+                    if pre[name]:
+                        return data.edges[name].vidx[:bspec[name][2], ps]
+                    return aux[name]["cam"]
+
+                # B already lands in slab order for compile-time bucketed
+                # batches; otherwise permute once per solve (sentinel row E
+                # is zero)
                 Bp, Dinv_perm = {}, {}
                 for name, ps, ls in obs_specs:
                     et = p.edge_types[name]
                     lt = et.vertex_types[ls].name
-                    Bz = jnp.concatenate(
-                        [B[name],
-                         jnp.zeros((1,) + B[name].shape[1:], dtype=dtype)])
-                    Bp[name] = Bz[aux[name]["perm"]]
-                    Dinv_perm[name] = Dinv[lt][aux[name]["segp"]]
+                    if pre[name]:
+                        Bp[name] = B[name]
+                    else:
+                        Bz = jnp.concatenate(
+                            [B[name],
+                             jnp.zeros((1,) + B[name].shape[1:],
+                                       dtype=dtype)])
+                        Bp[name] = Bz[aux[name]["perm"]]
+                    Dinv_perm[name] = Dinv[lt][segp_of(name)]
 
             ball = p.split_tangent(lin.b)
             bp = {t: ball[t] for t in pose_types}
@@ -260,9 +267,9 @@ class ImplicitSchurSolver:
                 lt = et.vertex_types[ls].name
                 if bucketed:
                     rows = bucket_up(bspec[name], Bp[name],
-                                     y[lt][aux[name]["segp"]])
+                                     y[lt][segp_of(name)])
                     bschur[pt] = bschur[pt] - pose_rows_scatter(
-                        aux[name]["cam"], rows, p.counts[pt])
+                        cam_of(name, ps), rows, p.counts[pt])
                 else:
                     vidx = data.edges[name].vidx
                     bschur[pt] = bschur[pt].at[vidx[:, ps]].add(
@@ -292,7 +299,7 @@ class ImplicitSchurSolver:
                             k += n
                         C = jnp.concatenate(rows, axis=0)
                         sdiag[pt] = sdiag[pt] - pose_rows_scatter(
-                            aux[name]["cam"], C, p.counts[pt])
+                            cam_of(name, ps), C, p.counts[pt])
                     else:
                         vidx = data.edges[name].vidx
                         C = jnp.einsum("edl,elm,efm->edf", B[name],
@@ -334,10 +341,10 @@ class ImplicitSchurSolver:
                     pt = et.vertex_types[ps].name
                     lt = et.vertex_types[ls].name
                     if bucketed:
-                        u = pose_rows_gather(vb[pt], aux[name]["cam"],
+                        u = pose_rows_gather(vb[pt], cam_of(name, ps),
                                              p.counts[pt])
                         part = bucket_down(bspec[name], Bp[name], u)
-                        tl[lt] = tl[lt].at[aux[name]["segp"]].add(
+                        tl[lt] = tl[lt].at[segp_of(name)].add(
                             part, unique_indices=True)
                     else:
                         vidx = data.edges[name].vidx
@@ -352,9 +359,9 @@ class ImplicitSchurSolver:
                     lt = et.vertex_types[ls].name
                     if bucketed:
                         rows = bucket_up(bspec[name], Bp[name],
-                                         s_[lt][aux[name]["segp"]])
+                                         s_[lt][segp_of(name)])
                         out[pt] = out[pt] - pose_rows_scatter(
-                            aux[name]["cam"], rows, p.counts[pt])
+                            cam_of(name, ps), rows, p.counts[pt])
                     else:
                         vidx = data.edges[name].vidx
                         out[pt] = out[pt].at[vidx[:, ps]].add(
@@ -397,10 +404,10 @@ class ImplicitSchurSolver:
                 pt = et.vertex_types[ps].name
                 lt = et.vertex_types[ls].name
                 if bucketed:
-                    u = pose_rows_gather(dxp[pt], aux[name]["cam"],
+                    u = pose_rows_gather(dxp[pt], cam_of(name, ps),
                                          p.counts[pt])
                     part = bucket_down(bspec[name], Bp[name], u)
-                    wl[lt] = wl[lt].at[aux[name]["segp"]].add(
+                    wl[lt] = wl[lt].at[segp_of(name)].add(
                         part, unique_indices=True)
                 else:
                     vidx = data.edges[name].vidx

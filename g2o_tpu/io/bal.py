@@ -63,7 +63,8 @@ def load_bal(path_or_file, *, fix_first_camera: bool = True,
 
 def load_bal_problem(path_or_file, *, fix_first_camera: bool = True,
                      huber: float = 0.0, dtype=None,
-                     pad_edges_to_multiple: int = 1):
+                     pad_edges_to_multiple: int = 1,
+                     bucket_landmarks: bool = False):
     """Array-direct BAL loading: tokens -> numpy blocks ->
     :func:`~g2o_tpu.core.problem.build_problem`, bypassing per-record Python
     objects (the object path costs minutes at Venice scale)."""
@@ -111,7 +112,8 @@ def load_bal_problem(path_or_file, *, fix_first_camera: bool = True,
         )
     }
     return build_problem(vertex_blocks, edge_blocks, dtype=dtype,
-                         pad_edges_to_multiple=pad_edges_to_multiple)
+                         pad_edges_to_multiple=pad_edges_to_multiple,
+                         bucket_landmarks=bucket_landmarks)
 
 
 def save_bal(g: Graph, path, estimates_by_vid=None):

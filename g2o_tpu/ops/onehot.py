@@ -1,0 +1,40 @@
+"""One-hot MXU gather/scatter — exact f32 replacements for row-serialized
+TPU gathers/scatters when the segment count is small enough to amortise.
+
+TPU scatter-adds process rows near-serially (measured 8.3 ms for 900k
+9-wide rows into 800 segments on 1× v5e); the same reduction as
+``onehot(idx)^T @ rows`` with ``Precision.HIGHEST`` runs in 2.5-3.0 ms on
+the systolic array and is EXACT in f32 (one-hot entries are exactly
+representable, accumulation happens in f32).  XLA fuses the one-hot
+construction into the matmul, so the (N, S) mask is never materialised.
+
+Out-of-range ids produce all-zero one-hot rows: gathers return zero rows,
+scatters drop the row — matching XLA's clip/drop semantics for padding
+sentinels."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def onehot_scatter_add(idx, rows, n_seg: int):
+    """Σ_i rows[i] into segment idx[i]: (N, ...) -> (n_seg, ...)."""
+    flat = rows.reshape(rows.shape[0], -1)
+    oh = jax.nn.one_hot(idx, n_seg, dtype=flat.dtype)
+    out = jax.lax.dot_general(oh, flat, (((0,), (0,)), ((), ())),
+                              precision=_HI,
+                              preferred_element_type=flat.dtype)
+    return out.reshape((n_seg,) + rows.shape[1:])
+
+
+def onehot_gather(idx, table):
+    """table[idx]: (S, ...) -> (N, ...)."""
+    flat = table.reshape(table.shape[0], -1)
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=flat.dtype)
+    out = jax.lax.dot_general(oh, flat, (((1,), (0,)), ((), ())),
+                              precision=_HI,
+                              preferred_element_type=flat.dtype)
+    return out.reshape((idx.shape[0],) + table.shape[1:])

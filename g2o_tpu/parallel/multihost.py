@@ -103,4 +103,7 @@ def shard_problem_data_global(data: ProblemData, mesh: Mesh) -> ProblemData:
         offsets={k: jax.device_put(np.asarray(v), repl)
                  for k, v in data.offsets.items()},
         fixed_flat=jax.device_put(np.asarray(data.fixed_flat), repl),
+        plans={k: {kk: jax.device_put(np.asarray(vv), repl)
+                   for kk, vv in d.items()}
+               for k, d in data.plans.items()},
     )

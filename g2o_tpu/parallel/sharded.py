@@ -54,6 +54,8 @@ def shard_problem_data(data: ProblemData, mesh: Mesh,
         fixed={k: jax.device_put(v, repl) for k, v in data.fixed.items()},
         offsets={k: jax.device_put(v, repl) for k, v in data.offsets.items()},
         fixed_flat=jax.device_put(data.fixed_flat, repl),
+        plans={k: {kk: jax.device_put(vv, repl) for kk, vv in d.items()}
+               for k, d in data.plans.items()},
     )
 
 

@@ -40,7 +40,8 @@ def main():
     t0 = time.perf_counter()
     text = make_synthetic_bal(n_cameras=n_cams, n_points=n_pts,
                               n_obs_per_point=6, pixel_noise=1.0, seed=0)
-    p = load_bal_problem(io.StringIO(text), huber=2.0)
+    p = load_bal_problem(io.StringIO(text), huber=2.0,
+                         bucket_landmarks=True)
     rng = np.random.default_rng(1)
     import jax.numpy as jnp
     pts_t = "VERTEX_TRACKXYZ"
@@ -49,7 +50,11 @@ def main():
     build_s = time.perf_counter() - t0
     n_obs = p.num_edges
 
-    solver = ImplicitSchurSolver(max_iter=60, tol=1e-6, layout="bucketed")
+    # eta-forcing: LM needs only an inexact step (the fork's own
+    # LinearSolverPCGEigen terminates on ||s||^2 <= eta ||s0||^2,
+    # ``solvers/eigen/linear_solver_pcg_eigen.h:184-188``); the trust
+    # region absorbs the inexactness
+    solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi")
     res = optimize_fused(p, solver, 2)           # warm-up/compile
     res = optimize_fused(p, solver, n_iters)
 

@@ -54,6 +54,50 @@ def test_bucket_merging_bounds_kernel_count():
     assert plan.pad_ratio < 2.0
 
 
+def test_compile_time_bucketing_equivalence():
+    """``compile(bucket_landmarks=True)`` must be invisible to the math:
+    identical chi2, b, diagonal Hessian blocks, and solver steps — only the
+    edge-row layout (and thus the assembly kernels) change."""
+    from g2o_tpu.core.solvers import SchurSolver
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    g, _ = create_ba_scene(n_cameras=8, n_points=120, pixel_noise=0.5,
+                           point_noise=0.2, seed=5)
+    p0 = g.compile()
+    pb = g.compile(bucket_landmarks=True)
+    assert pb.bucket_specs, "BA scene should produce bucketed specs"
+    lin0 = p0.linearize_jit(p0.data, p0.estimates)
+    linb = pb.linearize_jit(pb.data, pb.estimates)
+    np.testing.assert_allclose(np.asarray(lin0.b), np.asarray(linb.b),
+                               rtol=1e-9, atol=1e-11)
+    for t in lin0.diag:
+        np.testing.assert_allclose(np.asarray(lin0.diag[t]),
+                                   np.asarray(linb.diag[t]),
+                                   rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(lin0.chi2_robust),
+                               float(linb.chi2_robust), rtol=1e-12)
+
+    lam = 1e-3
+    dx_e = np.asarray(SchurSolver().setup(p0).solve(p0.data, lin0, lam))
+    s = ImplicitSchurSolver(max_iter=500, tol=1e-13).setup(pb)
+    dx = np.asarray(s._solve_jit(pb.data, linb, lam, s.aux))
+    assert np.linalg.norm(dx - dx_e) / np.linalg.norm(dx_e) < 1e-8
+
+
+def test_compile_time_bucketing_full_lm():
+    from g2o_tpu.core.lm_fused import optimize_fused
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    g, _ = create_ba_scene(n_cameras=6, n_points=80, pixel_noise=0.0,
+                           point_noise=0.3, seed=9)
+    pb = g.compile(bucket_landmarks=True, pad_edges_to_multiple=32)
+    res = optimize_fused(pb, ImplicitSchurSolver(max_iter=200, tol=1e-10),
+                         12)
+    assert res["chi2_final"] < 1e-6 * max(res["chi2_per_iteration"][0], 1.0)
+
+
 def test_bucket_empty_segments():
     seg = np.array([5, 5, 5, 9])
     plan = bucket_by_segment(seg, 12)
