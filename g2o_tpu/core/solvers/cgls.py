@@ -34,9 +34,11 @@ from g2o_tpu.ops.smallblocks import chol_small, inv_small
 class CGLSSolver:
     name = "cgls"
 
-    def __init__(self, max_iter: int = 200, eta: float = 1e-2):
+    def __init__(self, max_iter: int = 200, eta: float = 1e-2,
+                 onehot_max_segments: int = 8192):
         self.max_iter = int(max_iter)
         self.eta = float(eta)
+        self.onehot_max_segments = int(onehot_max_segments)
         self._solve_fn = None
         self._solve_jit = None
         self.aux = ()  # no solver-owned arrays
@@ -44,6 +46,18 @@ class CGLSSolver:
     def setup(self, problem):
         max_iter, eta = self.max_iter, self.eta
         p = problem
+        onehot_max = self.onehot_max_segments
+
+        def slab_iter(spec, *arrays):
+            """Yield per-bucket (n, d) reshaped views of slab-ordered
+            arrays (compile-time bucketed batches, see
+            ``Problem.bucket_specs``)."""
+            off = 0
+            for n, d in zip(spec.counts, spec.degrees):
+                yield n, d, tuple(
+                    a[off:off + n * d].reshape((n, d) + a.shape[1:])
+                    for a in arrays)
+                off += n * d
 
         def whiten(lin):
             """Per-edge-type lower-Cholesky of W (sqrt of the robustified
@@ -62,30 +76,80 @@ class CGLSSolver:
             return Ls
 
         def Jmat(data, lin, Ls, vb):
-            """u = sqrt(W) J v (block-layout v), per edge type -> (E, r)."""
+            """u = sqrt(W) J v (block-layout v), per edge type -> (E, r).
+
+            Edge types stored in the compile-time bucketed layout
+            (``p.bucket_specs``) avoid the row-serialized landmark gather:
+            the per-landmark value broadcasts over the slab's degree axis
+            inside a dense einsum; the camera gather becomes an exact
+            one-hot MXU matmul."""
             out = {}
             for name, et in p.edge_types.items():
                 batch = data.edges[name]
                 Js = lin.jacs[name]
+                spec = p.bucket_specs.get(name)
                 y = None
                 for s, vt in enumerate(et.vertex_types):
-                    rows = vb[vt.name][batch.vidx[:, s]]      # row gather
-                    ys = jnp.einsum("erd,ed->er", Js[s], rows)
+                    t = vt.name
+                    if spec is not None and s == spec.lm_slot:
+                        v_used = vb[t][data.plans[name]["segp"]]
+                        chunks, k = [], 0
+                        for n, d, (Jb,) in slab_iter(spec, Js[s]):
+                            chunks.append(jnp.einsum(
+                                "ndri,ni->ndr", Jb,
+                                v_used[k:k + n]).reshape(n * d, -1))
+                            k += n
+                        ys = jnp.concatenate(chunks, axis=0)
+                        E = Js[s].shape[0]
+                        if E > spec.n_rows:   # pad-to-multiple tail: J == 0
+                            ys = jnp.concatenate(
+                                [ys, jnp.zeros((E - spec.n_rows,)
+                                               + ys.shape[1:], ys.dtype)])
+                    elif (spec is not None
+                          and p.counts[t] <= onehot_max):
+                        from g2o_tpu.ops.onehot import onehot_gather
+
+                        rows = onehot_gather(batch.vidx[:, s], vb[t])
+                        ys = jnp.einsum("erd,ed->er", Js[s], rows)
+                    else:
+                        rows = vb[t][batch.vidx[:, s]]      # row gather
+                        ys = jnp.einsum("erd,ed->er", Js[s], rows)
                     y = ys if y is None else y + ys
                 out[name] = jnp.einsum("esr,es->er", Ls[name], y)  # L^T y
             return out
 
         def Jt(data, lin, Ls, u):
-            """v = J^T sqrt(W)^T u -> block layout."""
+            """v = J^T sqrt(W)^T u -> block layout (bucketed edge types use
+            dense slab reductions / one-hot MXU scatters, see Jmat)."""
             out = {t: jnp.zeros((p.counts[t], vt.tangent_dim), dtype=p.dtype)
                    for t, vt in p.vertex_types.items()}
             for name, et in p.edge_types.items():
                 batch = data.edges[name]
                 Js = lin.jacs[name]
+                spec = p.bucket_specs.get(name)
                 z = jnp.einsum("ers,er->es", Ls[name], u[name])  # L u
                 for s, vt in enumerate(et.vertex_types):
-                    out[vt.name] = out[vt.name].at[batch.vidx[:, s]].add(
-                        jnp.einsum("erd,er->ed", Js[s], z))
+                    t = vt.name
+                    if spec is not None and s == spec.lm_slot:
+                        nb = spec.n_rows
+                        chunks = []
+                        for n, d, (Jb, zb) in slab_iter(spec, Js[s][:nb],
+                                                        z[:nb]):
+                            chunks.append(jnp.einsum("ndri,ndr->ni", Jb, zb))
+                        part = jnp.concatenate(chunks, axis=0)
+                        out[t] = out[t].at[data.plans[name]["segp"]].add(
+                            part, unique_indices=True)
+                    elif (spec is not None
+                          and p.counts[t] <= onehot_max):
+                        from g2o_tpu.ops.onehot import onehot_scatter_add
+
+                        out[t] = out[t] + onehot_scatter_add(
+                            batch.vidx[:, s],
+                            jnp.einsum("erd,er->ed", Js[s], z),
+                            p.counts[t])
+                    else:
+                        out[t] = out[t].at[batch.vidx[:, s]].add(
+                            jnp.einsum("erd,er->ed", Js[s], z))
             return out
 
         def build_precond(data, lin, lam):

@@ -98,6 +98,26 @@ def test_compile_time_bucketing_full_lm():
     assert res["chi2_final"] < 1e-6 * max(res["chi2_per_iteration"][0], 1.0)
 
 
+def test_compile_time_bucketing_cgls():
+    """The square-root CGLS path must produce the same step on a bucketed
+    problem (slab J·v / Jᵀ·r reductions replace the row gathers/scatters)."""
+    from g2o_tpu.core.solvers.cgls import CGLSSolver
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    g, _ = create_ba_scene(n_cameras=8, n_points=120, pixel_noise=0.5,
+                           point_noise=0.2, seed=5)
+    p0 = g.compile()
+    pb = g.compile(bucket_landmarks=True, pad_edges_to_multiple=64)
+    lin0 = p0.linearize_jit(p0.data, p0.estimates)
+    linb = pb.linearize_jit(pb.data, pb.estimates)
+    lam = 1e-3
+    s0 = CGLSSolver(max_iter=2000, eta=1e-10).setup(p0)
+    sb = CGLSSolver(max_iter=2000, eta=1e-10).setup(pb)
+    dx0 = np.asarray(s0._solve_jit(p0.data, lin0, lam, s0.aux))
+    dxb = np.asarray(sb._solve_jit(pb.data, linb, lam, sb.aux))
+    assert np.linalg.norm(dxb - dx0) / np.linalg.norm(dx0) < 1e-8
+
+
 def test_bucket_empty_segments():
     seg = np.array([5, 5, 5, 9])
     plan = bucket_by_segment(seg, 12)

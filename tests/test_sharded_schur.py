@@ -78,6 +78,38 @@ def test_sharded_implicit_schur_matches_unsharded():
                                     rtol=1e-9, atol=1e-11)
 
 
+def test_sharded_bucketed_implicit_schur_matches_unsharded():
+    """The compile-time bucketed layout (slab reductions + one-hot MXU
+    matmuls) must also survive GSPMD edge-sharding: dense per-slab
+    reductions shard along the slab axis, one-hot matmuls reduce the
+    sharded contraction dimension with a psum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+    from g2o_tpu.parallel import (make_fused_step, make_mesh,
+                                  replicate_estimates, shard_problem_data)
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    n_dev = len(jax.devices())
+    g, _ = create_ba_scene(n_cameras=6, n_points=80, pixel_noise=0.5,
+                           point_noise=0.2, seed=3)
+    p = g.compile(bucket_landmarks=True, pad_edges_to_multiple=n_dev)
+    solver = ImplicitSchurSolver(max_iter=30, tol=1e-10).setup(p)
+    assert p.bucket_specs  # auto layout rides the compile-time plan
+    step = make_fused_step(p, solver, donate=False)
+    e0, c0, _ = step(p.data, p.estimates, jnp.asarray(1e-3, p.dtype))
+    mesh = make_mesh(n_dev)
+    data = shard_problem_data(p.data, mesh)
+    est = replicate_estimates(p.estimates, mesh)
+    e1, c1, _ = step(data, est, jnp.asarray(1e-3, p.dtype))
+    np.testing.assert_allclose(float(c0), float(c1), rtol=1e-12)
+    for t in e0:
+        np.testing.assert_allclose(np.asarray(e0[t]), np.asarray(e1[t]),
+                                   rtol=1e-8, atol=1e-10)
+
+
 def test_multihost_helpers_single_process():
     """Multi-host helpers degrade gracefully to single-process: global mesh
     over all local devices, edge spec covering every axis, sharded step
