@@ -45,11 +45,20 @@ def main():
 
     results = {}
     import jax.numpy as jnp
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+
     for tag, solver in (("schur", SchurSolver()),
-                        ("cgls", CGLSSolver(max_iter=100, eta=1e-3))):
+                        ("cgls", CGLSSolver(max_iter=100, eta=1e-3)),
+                        ("schur_implicit",
+                         ImplicitSchurSolver(max_iter=100, tol=1e-2,
+                                             precond="jacobi"))):
         if hasattr(src, "seek"):
             src.seek(0)
-        p = load_bal_problem(src, huber=0.0)
+        # CGLS and the implicit Schur path ride the compile-time bucketed
+        # layout (scatter-free landmark reductions + one-hot MXU camera
+        # matmuls); the explicit Schur pair path keeps the plain layout
+        p = load_bal_problem(src, huber=0.0,
+                             bucket_landmarks=(tag != "schur"))
         rng = np.random.default_rng(1)
         pts_t = "VERTEX_TRACKXYZ"
         p.estimates[pts_t] = p.estimates[pts_t] + jnp.asarray(
