@@ -51,8 +51,11 @@ def main():
     # chunked block-tridiagonal preconditioner: captures the trajectory
     # chain, and with the invert-once formulation its per-CG-iteration
     # apply is a single batched einsum — measured best time-to-target on
-    # 1x v5e (0.52 s vs 0.74 s block-Jacobi)
-    solver = PCGSolver(max_iter=50, tol=1e-6, precond="chunk", chunk_size=16)
+    # 1x v5e (0.52 s vs 0.74 s block-Jacobi).  tol=0.1 is eta-forcing: LM
+    # only needs a descent direction, not an exact solve; the sweep at
+    # tol in {1e-6, 3e-2, 1e-1} reaches the identical final chi2 with
+    # time-to-reference-chi2 0.51 -> 0.47 s at tol=0.1.
+    solver = PCGSolver(max_iter=50, tol=1e-1, precond="chunk", chunk_size=16)
 
     # warm-up run (compiles the fused device loop)
     res = optimize_fused(p, solver, 2)
