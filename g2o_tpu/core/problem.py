@@ -160,11 +160,44 @@ class Problem:
     # pure functions (jitted in __init__)
     # ------------------------------------------------------------------ #
 
-    def _edge_residuals(self, et: EdgeType, batch: EdgeBatchData, estimates):
-        states = tuple(
-            estimates[vt.name][batch.vidx[:, s]]
-            for s, vt in enumerate(et.vertex_types)
-        )
+    def _edge_residuals(self, et: EdgeType, batch: EdgeBatchData, estimates,
+                        name: str | None = None, plans: dict | None = None):
+        """Per-edge vertex states + residuals.
+
+        For compile-time landmark-bucketed batches the landmark states are
+        produced by ONE (S_used,)-row gather + per-slab broadcasts and the
+        camera states by an exact one-hot MXU gather — bit-identical to the
+        (E,)-row gathers they replace (padding rows replicate their slab
+        segment's first row, see :func:`build_problem`), but without the
+        near-serial per-row TPU gather over the full observation axis."""
+        spec = self.bucket_specs.get(name) if name is not None else None
+        states = []
+        for s, vt in enumerate(et.vertex_types):
+            t = vt.name
+            if spec is not None and s == spec.lm_slot and plans is not None:
+                est_used = estimates[t][plans[name]["segp"]]
+                rows, off = [], 0
+                for nseg, dg in zip(spec.counts, spec.degrees):
+                    v = est_used[off:off + nseg]
+                    rows.append(jnp.broadcast_to(
+                        v[:, None], (nseg, dg) + v.shape[1:]).reshape(
+                        (nseg * dg,) + v.shape[1:]))
+                    off += nseg
+                tail = batch.vidx.shape[0] - spec.n_rows
+                if tail:
+                    # trailing pad_edges_to_multiple rows replicate batch
+                    # row 0 = first segment's first row
+                    rows.append(jnp.broadcast_to(
+                        est_used[:1], (tail,) + est_used.shape[1:]))
+                states.append(jnp.concatenate(rows, axis=0))
+            elif (spec is not None and s == spec.pose_slot
+                    and 0 < self.counts[t] <= self.assembly_onehot_max):
+                from g2o_tpu.ops.onehot import onehot_gather
+
+                states.append(onehot_gather(batch.vidx[:, s], estimates[t]))
+            else:
+                states.append(estimates[t][batch.vidx[:, s]])
+        states = tuple(states)
         res = jax.vmap(lambda *a: et.residual(a[:-2], a[-2], a[-1]))(
             *states, batch.meas, batch.param
         )
@@ -238,7 +271,7 @@ class Problem:
         total_p = jnp.zeros((), dtype=self.dtype)
         for name, et in self.edge_types.items():
             batch = data.edges[name]
-            _, e = self._edge_residuals(et, batch, estimates)
+            _, e = self._edge_residuals(et, batch, estimates, name, data.plans)
             e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
             rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
             act = batch.active.astype(self.dtype)
@@ -255,7 +288,7 @@ class Problem:
         out = {}
         for name, et in self.edge_types.items():
             batch = data.edges[name]
-            _, e = self._edge_residuals(et, batch, estimates)
+            _, e = self._edge_residuals(et, batch, estimates, name, data.plans)
             e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
             rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
             out[name] = rho[:, 0] * batch.active.astype(self.dtype)
@@ -277,7 +310,7 @@ class Problem:
 
         for name, et in self.edge_types.items():
             batch = data.edges[name]
-            states, e = self._edge_residuals(et, batch, estimates)
+            states, e = self._edge_residuals(et, batch, estimates, name, data.plans)
             Js = jax.vmap(self._edge_jac_fns[name])(states, batch.meas,
                                                     batch.param)
             if not isinstance(Js, (tuple, list)):
@@ -584,8 +617,18 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                 ls = marg_slots[0]
                 lt = et.vertex_types[ls].name
                 plan = bucket_by_segment(vidx[:, ls], counts[lt])
-                perm = np.minimum(plan.perm_src, E - 1)
+                # padding slots replicate the FIRST ROW OF THEIR OWN SLAB
+                # SEGMENT (not batch row 0): the padded row then shares its
+                # segment's landmark id, so per-slab broadcasts of landmark
+                # STATES are bit-identical to the row gather (inactive
+                # padding keeps W == 0 so no contribution changes)
+                perm = plan.perm_src.copy()
                 sentinel = plan.perm_src == E
+                off = 0
+                for nseg, dg in zip(plan.counts, plan.degrees):
+                    blk = perm[off:off + nseg * dg].reshape(nseg, dg)
+                    blk[:] = np.where(blk == E, blk[:, :1], blk)
+                    off += nseg * dg
                 for k, a in arrays.items():
                     a2 = a[perm].copy()
                     if k == "active":
