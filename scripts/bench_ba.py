@@ -22,8 +22,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import numpy as np
-
     from g2o_tpu.core.lm_fused import optimize_fused
     from g2o_tpu.core.solvers import SchurSolver
     from g2o_tpu.core.solvers.cgls import CGLSSolver
@@ -44,7 +42,6 @@ def main():
     build_s = time.perf_counter() - t0
 
     results = {}
-    import jax.numpy as jnp
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
 
     for tag, solver in (("schur", SchurSolver()),
@@ -57,13 +54,11 @@ def main():
         # CGLS and the implicit Schur path ride the compile-time bucketed
         # layout (scatter-free landmark reductions + one-hot MXU camera
         # matmuls); the explicit Schur pair path keeps the plain layout
+        # loaded EXACTLY as the reference's bal_example loads it (no robust
+        # kernel, unperturbed estimates) so per-iteration time and chi2
+        # compare 1:1 with baseline_measured.json "ladybug_ba"
         p = load_bal_problem(src, huber=0.0,
                              bucket_landmarks=(tag != "schur"))
-        rng = np.random.default_rng(1)
-        pts_t = "VERTEX_TRACKXYZ"
-        p.estimates[pts_t] = p.estimates[pts_t] + jnp.asarray(
-            rng.normal(scale=0.1, size=p.estimates[pts_t].shape),
-            dtype=p.dtype)
         # same solver object both calls -> the compiled runner is reused
         res = optimize_fused(p, solver, 2)          # warm-up/compile
         res = optimize_fused(p, solver, n_iters)
@@ -74,11 +69,22 @@ def main():
             "iterations": res["iterations"],
         }
 
+    best = min(results, key=lambda t: results[t]["sec_per_iter"])
+    vs_baseline = 0.0
+    ref_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "baseline_measured.json")
+    if os.path.exists(ref_path) and not path:
+        with open(ref_path) as fh:
+            ref = json.load(fh).get("ladybug_ba", {})
+        if ref.get("sec_per_lm_iter_pcg"):
+            # against the reference's faster config (PCG) on the same file
+            vs_baseline = (ref["sec_per_lm_iter_pcg"]
+                           / results[best]["sec_per_iter"])
     out = {
-        "metric": f"BA LM iterations/sec ({name}, Schur)",
-        "value": round(1.0 / results["schur"]["sec_per_iter"], 4),
+        "metric": f"BA LM iterations/sec ({name}, best={best})",
+        "value": round(1.0 / results[best]["sec_per_iter"], 4),
         "unit": "iter/s",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(vs_baseline, 4),
         "extra": {"dataset": name, "build_s": round(build_s, 2), **results},
     }
     print(json.dumps(out))
