@@ -33,13 +33,20 @@ from g2o_tpu.core.optimizer import (
 )
 
 
-def make_lm_iteration(problem, solve_fn, max_trials: int):
+def make_lm_iteration(problem, solve_fn, max_trials: int, *,
+                      solve_state_fn=None):
     """Build the single fused LM iteration function (unjitted).  Solver-owned
-    index arrays travel via ``aux`` (a pytree argument, not baked constants)."""
+    index arrays travel via ``aux`` (a pytree argument, not baked constants).
+
+    When the solver exposes the STATEFUL protocol
+    (``solve_state_fn(data, lin, lam, aux, state) -> (dx, state', stats)``),
+    the solver state — e.g. the reference PCG's carried residual floor
+    (``solvers/pcg/linear_solver_pcg.hpp:124-127``) — is threaded through
+    every trial and returned for the next iteration."""
     p = problem
     dtype = p.dtype
 
-    def one_iteration(data, estimates, lam, ni, aux):
+    def one_iteration(data, estimates, lam, ni, aux, sstate):
         lin = p.linearize_fn(data, estimates)
         chi0 = lin.chi2_robust
 
@@ -48,8 +55,11 @@ def make_lm_iteration(problem, solve_fn, max_trials: int):
             return jnp.logical_and(jnp.logical_not(good), trials < max_trials)
 
         def body(carry):
-            good, trials, lam, ni, est_out, chi_out = carry
-            dx = solve_fn(data, lin, lam, aux)
+            good, trials, lam, ni, est_out, chi_out, sstate = carry
+            if solve_state_fn is not None:
+                dx, sstate, _ = solve_state_fn(data, lin, lam, aux, sstate)
+            else:
+                dx = solve_fn(data, lin, lam, aux)
             cand = p.apply_update_fn(data, estimates, dx)
             chi_new, _ = p.chi2_fn(data, cand)
             scale = jnp.dot(dx, lam * dx + lin.b) + jnp.asarray(1e-3, dtype)
@@ -65,13 +75,14 @@ def make_lm_iteration(problem, solve_fn, max_trials: int):
             est_sel = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), cand, est_out)
             chi_sel = jnp.where(ok, chi_new, chi_out)
-            return (ok, trials + 1, lam_next, ni_next, est_sel, chi_sel)
+            return (ok, trials + 1, lam_next, ni_next, est_sel, chi_sel,
+                    sstate)
 
         init = (jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                lam, ni, estimates, chi0)
-        good, trials, lam_f, ni_f, est_f, chi_f = jax.lax.while_loop(
+                lam, ni, estimates, chi0, sstate)
+        good, trials, lam_f, ni_f, est_f, chi_f, sstate = jax.lax.while_loop(
             cond, body, init)
-        return est_f, chi0, chi_f, lam_f, ni_f, good, trials
+        return est_f, chi0, chi_f, lam_f, ni_f, good, trials, sstate
 
     return one_iteration
 
@@ -84,11 +95,13 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
     ``run(data, estimates, lam, ni, n_iters)`` producing
     ``(estimates, lam, ni, iters_done, chi_hist, trial_hist, chi_final)``
     with histories padded to the static ``max_iters``."""
-    one_iteration = make_lm_iteration(problem, solver._solve_fn, max_trials)
+    one_iteration = make_lm_iteration(
+        problem, solver._solve_fn, max_trials,
+        solve_state_fn=getattr(solver, "_solve_state_fn", None))
     dtype = problem.dtype
     gt = float(gain_threshold)
 
-    def run(data, estimates, lam, ni, n_iters, aux):
+    def run(data, estimates, lam, ni, n_iters, aux, sstate):
         chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
         trial_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
 
@@ -98,9 +111,10 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
                                    jnp.logical_not(stop))
 
         def body(carry):
-            it, stop, est, lam, ni, chi_prev, chi_hist, trial_hist = carry
-            est2, chi0, chi_f, lam2, ni2, good, trials = one_iteration(
-                data, est, lam, ni, aux)
+            (it, stop, est, lam, ni, chi_prev, chi_hist, trial_hist,
+             sstate) = carry
+            est2, chi0, chi_f, lam2, ni2, good, trials, sstate = \
+                one_iteration(data, est, lam, ni, aux, sstate)
             chi_hist = chi_hist.at[it].set(chi0)
             trial_hist = trial_hist.at[it].set(trials)
             # stop on failed iteration or sub-threshold relative gain
@@ -110,12 +124,13 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
                 jnp.logical_and(it > 0, gain < gt) if gt > 0
                 else jnp.asarray(False))
             return (it + 1, stop2, est2, lam2, ni2, chi_f,
-                    chi_hist, trial_hist)
+                    chi_hist, trial_hist, sstate)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
-                lam, ni, jnp.asarray(jnp.inf, dtype), chi_hist, trial_hist)
-        it, stop, est, lam_f, ni_f, chi_f, chi_hist, trial_hist = \
-            jax.lax.while_loop(cond, body, init)
+                lam, ni, jnp.asarray(jnp.inf, dtype), chi_hist, trial_hist,
+                sstate)
+        (it, stop, est, lam_f, ni_f, chi_f, chi_hist, trial_hist,
+         sstate) = jax.lax.while_loop(cond, body, init)
         return est, lam_f, ni_f, it, chi_hist, trial_hist, chi_f
 
     return jax.jit(run, donate_argnums=(1,))
@@ -147,6 +162,9 @@ def optimize_fused(problem, solver, max_iterations: int, *,
                           max_iters=history_cap,
                           gain_threshold=gain_threshold)
         cache[key] = run
+    sstate = getattr(solver, "state0", None)
+    if sstate is None or not hasattr(solver, "_solve_state_fn"):
+        sstate = jnp.zeros((), problem.dtype)   # placeholder (unused)
     t0 = time.perf_counter()
     est, lam, ni, iters, chi_hist, trial_hist, chi_f = run(
         problem.data, problem.estimates,
@@ -154,6 +172,7 @@ def optimize_fused(problem, solver, max_iterations: int, *,
         jnp.asarray(2.0, problem.dtype),
         jnp.asarray(max_iterations, jnp.int32),
         solver.aux,
+        sstate,
     )
     jax.block_until_ready(est)
     wall = time.perf_counter() - t0
@@ -250,9 +269,15 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
         self._lambda = None
         self._ni = 2.0
         one_iteration = make_lm_iteration(
-            optimizer.problem, optimizer.solver._solve_fn, self.max_trials)
+            optimizer.problem, optimizer.solver._solve_fn, self.max_trials,
+            solve_state_fn=getattr(optimizer.solver, "_solve_state_fn",
+                                   None))
         self._iter_jit = jax.jit(one_iteration)
         self._solver = optimizer.solver
+        self._sstate = getattr(optimizer.solver, "state0", None)
+        if self._sstate is None or not hasattr(optimizer.solver,
+                                               "_solve_state_fn"):
+            self._sstate = jnp.zeros((), optimizer.problem.dtype)
 
     def step(self, optimizer, iteration, stats):
         p = optimizer.problem
@@ -264,12 +289,14 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
                 self._lambda = float(self.tau * _max_abs_diag(p, lin))
 
         t0 = time.perf_counter()
-        est, chi0, chi_f, lam, ni, good, trials = self._iter_jit(
-            p.data, p.estimates,
-            jnp.asarray(self._lambda, p.dtype),
-            jnp.asarray(self._ni, p.dtype),
-            self._solver.aux,
-        )
+        est, chi0, chi_f, lam, ni, good, trials, self._sstate = \
+            self._iter_jit(
+                p.data, p.estimates,
+                jnp.asarray(self._lambda, p.dtype),
+                jnp.asarray(self._ni, p.dtype),
+                self._solver.aux,
+                self._sstate,
+            )
         jax.block_until_ready(est)
         stats.time_linearize = time.perf_counter() - t0
         stats.chi2 = float(chi0)

@@ -64,17 +64,32 @@ class ImplicitSchurSolver:
 
     def __init__(self, max_iter: int = 100, tol: float = 1e-8, *,
                  precond: str = "schur_jacobi", layout: str = "auto",
-                 onehot_max_segments: int = 8192, max_buckets: int = 10):
+                 onehot_max_segments: int = 8192, max_buckets: int = 10,
+                 matvec_precision: str = "auto",
+                 absolute_tolerance: bool = True):
         if layout not in ("auto", "rows", "bucketed"):
             raise ValueError(f"unknown layout {layout!r}")
         if precond not in ("schur_jacobi", "jacobi"):
             raise ValueError(f"unknown precond {precond!r}")
+        if matvec_precision not in ("auto", "default", "highest"):
+            raise ValueError(f"unknown matvec_precision {matvec_precision!r}")
         self.max_iter = int(max_iter)
         self.tol = float(tol)
         self.precond = precond
         self.layout = layout
         self.onehot_max_segments = int(onehot_max_segments)
         self.max_buckets = int(max_buckets)
+        # precision of the S·v one-hot matmuls INSIDE the CG loop.  "auto"
+        # uses the TPU's fast bf16 MXU passes (~1e-3 relative) when the
+        # eta-forcing tolerance is loose enough to absorb them (tol >= 1e-3;
+        # the setup, preconditioner, and back-substitution always run at
+        # HIGHEST) and exact f32 otherwise — measured 9.7 -> 3.15 ms per CG
+        # iteration at Venice scale together with the dims-major layout.
+        self.matvec_precision = matvec_precision
+        # reference-PCG absoluteTolerance semantics: carry half the final
+        # preconditioned residual into the next solve's stopping threshold
+        # (``solvers/pcg/linear_solver_pcg.h:55``, ``.hpp:124-127,149``)
+        self.absolute_tolerance = bool(absolute_tolerance)
         self.aux = ()
         self._solve_fn = None
         self._solve_jit = None
@@ -172,15 +187,28 @@ class ImplicitSchurSolver:
                                int(len(plan.perm_src)))
             self.aux = aux
 
-        def pose_rows_gather(vb_t, idx, n_pose):
+        if self.matvec_precision == "default":
+            MV = jax.lax.Precision.DEFAULT
+        elif self.matvec_precision == "highest":
+            MV = _HI
+        else:
+            # bf16 MXU passes (~1e-3 relative) are absorbed by eta-forcing
+            # CG when tol is loose; exact f32 otherwise (and always in f64)
+            MV = (jax.lax.Precision.DEFAULT
+                  if (self.tol >= 1e-3
+                      and np.dtype(dtype) == np.dtype(np.float32))
+                  else _HI)
+
+        def pose_rows_gather(vb_t, idx, n_pose, prec=_HI):
             if n_pose <= self.onehot_max_segments:
-                return _onehot_matmul_gather(idx, vb_t)
+                return _onehot_matmul_gather(idx, vb_t, precision=prec)
             return vb_t[jnp.minimum(idx, n_pose - 1)] * \
                 (idx < n_pose).astype(dtype)[:, None]
 
-        def pose_rows_scatter(idx, rows, n_pose):
+        def pose_rows_scatter(idx, rows, n_pose, prec=_HI):
             if n_pose <= self.onehot_max_segments:
-                return _onehot_matmul_scatter(idx, rows, n_pose)
+                return _onehot_matmul_scatter(idx, rows, n_pose,
+                                              precision=prec)
             return jnp.zeros((n_pose,) + rows.shape[1:],
                              dtype=rows.dtype).at[idx].add(rows)
 
@@ -214,9 +242,52 @@ class ImplicitSchurSolver:
                 k += n
             return jnp.concatenate(out, axis=0)
 
+        # ----- dims-major (transposed) CG-loop kernels ----- #
+        # Batched tiny-block einsums on (E, dp, dl) arrays run the MXU at
+        # ~1% utilisation (a 9x3 tile in a 128x128 systolic array per batch
+        # element); with the EDGE axis minormost every contraction is pure
+        # lane-parallel vector work instead.  Measured (Venice, 1x v5e):
+        # the full S·v drops 9.7 -> 3.2 ms per CG iteration.
+
+        def bucket_down_t(spec, Bt, ut):
+            """Σ_rows Bᵀu in dims-major: Bt (dp, dl, E), ut (dp, E) →
+            (dl, S_used) in bucket order."""
+            counts, degrees, _ = spec
+            z = jnp.einsum("ile,ie->le", Bt, ut)
+            out, off = [], 0
+            for n, d in zip(counts, degrees):
+                blk = z[:, off:off + n * d]
+                out.append(blk.reshape(blk.shape[0], n, d).sum(axis=2))
+                off += n * d
+            return jnp.concatenate(out, axis=1)
+
+        def bucket_up_t(spec, Bt, st):
+            """B s per row in dims-major: st (dl, S_used) → rows (dp, E)."""
+            counts, degrees, _ = spec
+            parts, off = [], 0
+            for n, d in zip(counts, degrees):
+                sb = st[:, off:off + n]
+                parts.append(jnp.broadcast_to(
+                    sb[:, :, None], sb.shape + (d,)).reshape(
+                    sb.shape[0], n * d))
+                off += n
+            se = jnp.concatenate(parts, axis=1)
+            return jnp.einsum("ile,le->ie", Bt, se)
+
+        # landmark types touched by exactly ONE observation edge type run
+        # the CG loop entirely in bucket order — no index op at all beside
+        # the camera one-hots (BAL and every standard BA graph)
+        lm_touch = {}
+        for name, ps, ls in obs_specs:
+            lt = p.edge_types[name].vertex_types[ls].name
+            lm_touch.setdefault(lt, []).append(name)
+        sole_obs = {name: (len(lm_touch[
+            p.edge_types[name].vertex_types[ls].name]) == 1)
+            for name, ps, ls in obs_specs}
+
         # ------------------------------------------------------------------ #
 
-        def solve_full(data, lin, lam, aux=()):
+        def solve_full(data, lin, lam, aux=(), carry=None):
             # per-landmark-type Dinv (batched closed-form inverses)
             Dinv = {t: inv_small(D)
                     for t, D in damped_diag(data, lin, lam, lm_types).items()}
@@ -252,6 +323,13 @@ class ImplicitSchurSolver:
                                        dtype=dtype)])
                         Bp[name] = Bz[aux[name]["perm"]]
                     Dinv_perm[name] = Dinv[lt][segp_of(name)]
+                # dims-major copies for the CG loop (one relayout per
+                # solve); trailing pad_edges_to_multiple rows beyond the
+                # slab-covered prefix are dropped (they carry W == 0)
+                Bpt = {name: Bp[name][:bspec[name][2]].transpose(1, 2, 0)
+                       for name in Bp}
+                DinvT_perm = {name: v.transpose(1, 2, 0)
+                              for name, v in Dinv_perm.items()}
 
             ball = p.split_tangent(lin.b)
             bp = {t: ball[t] for t in pose_types}
@@ -332,41 +410,61 @@ class ImplicitSchurSolver:
                             acc = h if acc is None else acc + h
                         if acc is not None:
                             out[ti] = out[ti].at[vidx[:, i]].add(acc)
-                # Schur term: − B Dinv B^T v via two segment reductions
-                tl = {t: jnp.zeros((p.counts[t],
-                                    p.vertex_types[t].tangent_dim),
-                                   dtype=dtype) for t in lm_types}
-                for name, ps, ls in obs_specs:
-                    et = p.edge_types[name]
-                    pt = et.vertex_types[ps].name
-                    lt = et.vertex_types[ls].name
-                    if bucketed:
+                # Schur term: − B Dinv B^T v.
+                # Landmark types with a single observation edge type run
+                # fully in BUCKET ORDER and dims-major layout — no segment
+                # index op at all; only the camera one-hots remain, at the
+                # matvec precision MV.
+                if bucketed:
+                    for name, ps, ls in obs_specs:
+                        if not sole_obs[name]:
+                            continue
+                        pt = p.edge_types[name].vertex_types[ps].name
                         u = pose_rows_gather(vb[pt], cam_of(name, ps),
-                                             p.counts[pt])
-                        part = bucket_down(bspec[name], Bp[name], u)
-                        tl[lt] = tl[lt].at[segp_of(name)].add(
-                            part, unique_indices=True)
-                    else:
-                        vidx = data.edges[name].vidx
-                        u = vb[pt][vidx[:, ps]]
-                        tl[lt] = tl[lt].at[vidx[:, ls]].add(
-                            jnp.einsum("edl,ed->el", B[name], u))
-                s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t])
-                      for t in lm_types}
-                for name, ps, ls in obs_specs:
-                    et = p.edge_types[name]
-                    pt = et.vertex_types[ps].name
-                    lt = et.vertex_types[ls].name
-                    if bucketed:
-                        rows = bucket_up(bspec[name], Bp[name],
-                                         s_[lt][segp_of(name)])
+                                             p.counts[pt], MV)
+                        t_ = bucket_down_t(bspec[name], Bpt[name], u.T)
+                        s_t = jnp.einsum("lke,ke->le",
+                                         DinvT_perm[name], t_)
+                        rows_t = bucket_up_t(bspec[name], Bpt[name], s_t)
                         out[pt] = out[pt] - pose_rows_scatter(
-                            cam_of(name, ps), rows, p.counts[pt])
-                    else:
-                        vidx = data.edges[name].vidx
-                        out[pt] = out[pt].at[vidx[:, ps]].add(
-                            -jnp.einsum("edl,el->ed", B[name],
-                                        s_[lt][vidx[:, ls]]))
+                            cam_of(name, ps), rows_t.T, p.counts[pt], MV)
+                rem = [spec for spec in obs_specs
+                       if not (bucketed and sole_obs[spec[0]])]
+                if rem:
+                    tl = {t: jnp.zeros((p.counts[t],
+                                        p.vertex_types[t].tangent_dim),
+                                       dtype=dtype) for t in lm_types}
+                    for name, ps, ls in rem:
+                        et = p.edge_types[name]
+                        pt = et.vertex_types[ps].name
+                        lt = et.vertex_types[ls].name
+                        if bucketed:
+                            u = pose_rows_gather(vb[pt], cam_of(name, ps),
+                                                 p.counts[pt])
+                            part = bucket_down(bspec[name], Bp[name], u)
+                            tl[lt] = tl[lt].at[segp_of(name)].add(
+                                part, unique_indices=True)
+                        else:
+                            vidx = data.edges[name].vidx
+                            u = vb[pt][vidx[:, ps]]
+                            tl[lt] = tl[lt].at[vidx[:, ls]].add(
+                                jnp.einsum("edl,ed->el", B[name], u))
+                    s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t])
+                          for t in lm_types}
+                    for name, ps, ls in rem:
+                        et = p.edge_types[name]
+                        pt = et.vertex_types[ps].name
+                        lt = et.vertex_types[ls].name
+                        if bucketed:
+                            rows = bucket_up(bspec[name], Bp[name],
+                                             s_[lt][segp_of(name)])
+                            out[pt] = out[pt] - pose_rows_scatter(
+                                cam_of(name, ps), rows, p.counts[pt])
+                        else:
+                            vidx = data.edges[name].vidx
+                            out[pt] = out[pt].at[vidx[:, ps]].add(
+                                -jnp.einsum("edl,el->ed", B[name],
+                                            s_[lt][vidx[:, ls]]))
                 return out
 
             def precond(rb):
@@ -377,7 +475,18 @@ class ImplicitSchurSolver:
             r0 = bschur
             z0 = precond(r0)
             rz0 = pdot(r0, z0)
-            thresh = tol * tol * pdot(bschur, bschur)
+            # termination: ||r||^2 <= max(tol^2 ||b||^2, carry), where
+            # ``carry`` is half the final ||r||^2 of the PREVIOUS solve —
+            # the reference PCG's absoluteTolerance residual continuation
+            # (``solvers/pcg/linear_solver_pcg.hpp:124-127,149``, applied
+            # there to the preconditioned norm).  Successive LM solves then
+            # only deepen by one halving each; without the carry, CG grinds
+            # the full budget once LM has converged and the relative
+            # criterion chases a vanishing rhs.
+            rhs2 = pdot(bschur, bschur)
+            thresh = tol * tol * rhs2
+            if carry is not None:
+                thresh = jnp.maximum(thresh, carry.astype(thresh.dtype))
 
             def cond(c):
                 return jnp.logical_and(c[5] < max_iter,
@@ -394,7 +503,7 @@ class ImplicitSchurSolver:
                 pv = tmap(lambda a, b_: a + (rz2 / rz) * b_, z, pv)
                 return (x, r, z, pv, rz2, it + 1)
 
-            dxp, r_f, _, _, _, cg_iters = jax.lax.while_loop(
+            dxp, r_f, _, _, rz_f, cg_iters = jax.lax.while_loop(
                 cond, body, (x0, r0, z0, z0, rz0, 0))
 
             # back-substitute landmarks: dxl = Dinv (bl - B^T dxp)
@@ -417,13 +526,19 @@ class ImplicitSchurSolver:
             dxl = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t] - wl[t])
                    for t in lm_types}
 
+            res2 = pdot(r_f, r_f)
             stats = {"cg_iterations": cg_iters,
-                     "residual2": pdot(r_f, r_f),
-                     "rhs2": pdot(bschur, bschur)}
+                     "residual2": res2,
+                     "rhs2": rhs2,
+                     "carry": 0.5 * res2}
             return p.join_tangent({**dxp, **dxl}), stats
 
         def solve(data, lin, lam, aux=()):
             return solve_full(data, lin, lam, aux)[0]
+
+        def solve_state(data, lin, lam, aux, state):
+            dx, st = solve_full(data, lin, lam, aux, carry=state)
+            return dx, st["carry"], st
 
         # diagnostic entry point: also returns CG iteration count and final
         # residual (the analogue of the reference's iterationsLinearSolver
@@ -432,7 +547,20 @@ class ImplicitSchurSolver:
         self._solve_full_jit = jax.jit(solve_full)
         self._solve_fn = solve
         self._solve_jit = jax.jit(solve)
+        if self.absolute_tolerance:
+            # stateful protocol: drivers thread the residual carry through
+            # their iteration loops (``lm_fused`` detects _solve_state_fn)
+            self._solve_state_fn = solve_state
+            self._solve_state_jit = jax.jit(solve_state)
+            self.state0 = jnp.asarray(-1.0, dtype)
+        self._host_state = None
         return self
 
     def solve(self, data, lin, lam=0.0):
+        if self.absolute_tolerance:
+            if self._host_state is None:
+                self._host_state = self.state0
+            dx, self._host_state, _ = self._solve_state_jit(
+                data, lin, lam, self.aux, self._host_state)
+            return dx
         return self._solve_jit(data, lin, lam, self.aux)

@@ -20,21 +20,26 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 
-def onehot_scatter_add(idx, rows, n_seg: int):
-    """Σ_i rows[i] into segment idx[i]: (N, ...) -> (n_seg, ...)."""
+def onehot_scatter_add(idx, rows, n_seg: int, precision=_HI):
+    """Σ_i rows[i] into segment idx[i]: (N, ...) -> (n_seg, ...).
+
+    ``precision`` defaults to exact f32 (HIGHEST); iterative-solver matvecs
+    may pass DEFAULT (bf16 MXU passes, ~1e-3 relative) — measured ~5x
+    faster per op at Venice scale."""
     flat = rows.reshape(rows.shape[0], -1)
     oh = jax.nn.one_hot(idx, n_seg, dtype=flat.dtype)
     out = jax.lax.dot_general(oh, flat, (((0,), (0,)), ((), ())),
-                              precision=_HI,
+                              precision=precision,
                               preferred_element_type=flat.dtype)
     return out.reshape((n_seg,) + rows.shape[1:])
 
 
-def onehot_gather(idx, table):
-    """table[idx]: (S, ...) -> (N, ...)."""
+def onehot_gather(idx, table, precision=_HI):
+    """table[idx]: (S, ...) -> (N, ...).  See ``onehot_scatter_add`` for
+    the ``precision`` contract."""
     flat = table.reshape(table.shape[0], -1)
     oh = jax.nn.one_hot(idx, table.shape[0], dtype=flat.dtype)
     out = jax.lax.dot_general(oh, flat, (((1,), (0,)), ((), ())),
-                              precision=_HI,
+                              precision=precision,
                               preferred_element_type=flat.dtype)
     return out.reshape((idx.shape[0],) + table.shape[1:])

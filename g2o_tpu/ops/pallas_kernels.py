@@ -8,6 +8,13 @@ complement (pair-product aggregation into unique camera-block pairs,
 ``g2o_tpu/core/solvers/schur.py``) and of H/b assembly into dense systolic
 work.  The grid is (segment tiles, row tiles) with the row axis innermost so
 each output tile stays resident in VMEM across the reduction.
+
+``gather_mxu``: the inverse lookup ``table[idx]`` as per-row-tile one-hot
+MXU matmuls with the whole (S, D) table resident in VMEM — the (N, S)
+one-hot mask only ever exists one VMEM tile at a time, so no HBM buffer of
+that shape is materialised regardless of how XLA schedules the surrounding
+loop body (the XLA ``dot(one_hot(idx), table)`` form relies on operand
+fusion that does not always fire inside ``lax.while_loop`` bodies).
 """
 
 from __future__ import annotations
