@@ -334,35 +334,65 @@ class Problem:
             We = jnp.einsum("ers,es->er", W, e)
 
             spec = self.bucket_specs.get(name)
+            if spec is not None:
+                # DIMS-MAJOR assembly for bucketed (BA) batches: the
+                # batched per-edge H-block einsums ((E, d, d) outputs from
+                # (E, r, d) operands) lower to MXU dots at ~1% utilisation
+                # — measured 43 of 93 ms of the Venice linearize.  With the
+                # edge axis minormost every contraction over the tiny r/s/d
+                # axes is lane-parallel vector work; the per-slab landmark
+                # reductions and the camera one-hot matmul both consume the
+                # (dd, E) layout directly (the one-hot dot contracts E, so
+                # no transpose back is needed).
+                Jt = tuple(J.transpose(1, 2, 0) for J in Js)     # (r, d, E)
+                Wt = W.transpose(1, 2, 0)                        # (r, s, E)
+                Wet = We.T                                       # (r, E)
+                segp = data.plans[name]["segp"]
+                nb = spec.n_rows
+                for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
+                    t = vt.name
+                    d = vt.tangent_dim
+                    WJ_t = jnp.einsum("rse,sfe->rfe", Wt, Jt[s])
+                    Hss_t = jnp.einsum("rde,rfe->dfe", Jt[s], WJ_t)
+                    Hss_t = Hss_t.reshape(d * d, -1)             # (dd, E)
+                    brows_t = -jnp.einsum("rde,re->de", Jt[s], Wet)
+                    if s == spec.lm_slot:
+                        def slab_sum(z):
+                            out, off = [], 0
+                            for n, dg in zip(spec.counts, spec.degrees):
+                                blk = z[:, off:off + n * dg]
+                                out.append(blk.reshape(
+                                    z.shape[0], n, dg).sum(axis=2))
+                                off += n * dg
+                            return jnp.concatenate(out, axis=1)
+                        b_blocks[t] = b_blocks[t].at[segp].add(
+                            slab_sum(brows_t[:, :nb]).T,
+                            unique_indices=True)
+                        diag[t] = diag[t].at[segp].add(
+                            slab_sum(Hss_t[:, :nb]).T.reshape(-1, d, d),
+                            unique_indices=True)
+                    elif self.counts[t] <= self.assembly_onehot_max:
+                        from g2o_tpu.ops.onehot import onehot_scatter_add_t
+
+                        idx = batch.vidx[:, s]
+                        b_blocks[t] = b_blocks[t] + onehot_scatter_add_t(
+                            idx, brows_t, self.counts[t])
+                        diag[t] = diag[t] + onehot_scatter_add_t(
+                            idx, Hss_t, self.counts[t]).reshape(-1, d, d)
+                    else:
+                        b_blocks[t] = b_blocks[t].at[batch.vidx[:, s]].add(
+                            brows_t.T)
+                        diag[t] = diag[t].at[batch.vidx[:, s]].add(
+                            Hss_t.T.reshape(-1, d, d))
+                jacs[name], weights[name], errors[name] = Js, W, e
+                continue
+
             for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
                 t = vt.name
                 brows = -jnp.einsum("erd,er->ed", J, We)
                 Hss = jnp.einsum("erd,ers,esf->edf", J, W, J)
-                if spec is not None and s == spec.lm_slot:
-                    # landmark side: dense per-slab reductions (rows are in
-                    # the compile-time bucketed layout) + one unique-index
-                    # scatter per array — no row-serialized scatter-add
-                    from g2o_tpu.ops.bucketed import bucket_reduce
-
-                    segp = data.plans[name]["segp"]
-                    nb = spec.n_rows
-                    b_blocks[t] = b_blocks[t].at[segp].add(
-                        bucket_reduce(spec, brows[:nb]), unique_indices=True)
-                    diag[t] = diag[t].at[segp].add(
-                        bucket_reduce(spec, Hss[:nb]), unique_indices=True)
-                elif (spec is not None
-                      and self.counts[t] <= self.assembly_onehot_max):
-                    # camera side: exact one-hot MXU reductions
-                    from g2o_tpu.ops.onehot import onehot_scatter_add
-
-                    idx = batch.vidx[:, s]
-                    b_blocks[t] = b_blocks[t] + onehot_scatter_add(
-                        idx, brows, self.counts[t])
-                    diag[t] = diag[t] + onehot_scatter_add(
-                        idx, Hss, self.counts[t])
-                else:
-                    b_blocks[t] = b_blocks[t].at[batch.vidx[:, s]].add(brows)
-                    diag[t] = diag[t].at[batch.vidx[:, s]].add(Hss)
+                b_blocks[t] = b_blocks[t].at[batch.vidx[:, s]].add(brows)
+                diag[t] = diag[t].at[batch.vidx[:, s]].add(Hss)
 
             jacs[name], weights[name], errors[name] = Js, W, e
 

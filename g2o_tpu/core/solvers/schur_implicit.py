@@ -291,11 +291,21 @@ class ImplicitSchurSolver:
             # per-landmark-type Dinv (batched closed-form inverses)
             Dinv = {t: inv_small(D)
                     for t, D in damped_diag(data, lin, lam, lm_types).items()}
-            # per-observation off-diagonal blocks B = Jp^T W Jl
-            B = {}
+            # per-observation off-diagonal blocks B = Jp^T W Jl, produced
+            # DIMS-MAJOR (edge axis minormost): the (E, dp, dl) batched
+            # tiny-matmul einsum runs the MXU at ~1% utilisation, while the
+            # two-step contraction over the tiny r/s axes with e minormost
+            # is lane-parallel vector work (see the linearize assembly
+            # fast path for the measurement)
+            B, Bt = {}, {}
             for name, ps, ls in obs_specs:
                 Js, W = lin.jacs[name], lin.weights[name]
-                B[name] = jnp.einsum("erd,ers,esf->edf", Js[ps], W, Js[ls])
+                Jpt = Js[ps].transpose(1, 2, 0)              # (r, dp, E)
+                Jlt = Js[ls].transpose(1, 2, 0)              # (r, dl, E)
+                Wt = W.transpose(1, 2, 0)                    # (r, s, E)
+                WJl = jnp.einsum("rse,sfe->rfe", Wt, Jlt)
+                Bt[name] = jnp.einsum("rde,rfe->dfe", Jpt, WJl)  # (dp,dl,E)
+                B[name] = Bt[name].transpose(2, 0, 1)
 
             if bucketed:
                 def segp_of(name):
@@ -323,10 +333,13 @@ class ImplicitSchurSolver:
                                        dtype=dtype)])
                         Bp[name] = Bz[aux[name]["perm"]]
                     Dinv_perm[name] = Dinv[lt][segp_of(name)]
-                # dims-major copies for the CG loop (one relayout per
-                # solve); trailing pad_edges_to_multiple rows beyond the
-                # slab-covered prefix are dropped (they carry W == 0)
-                Bpt = {name: Bp[name][:bspec[name][2]].transpose(1, 2, 0)
+                # dims-major copies for the CG loop; trailing
+                # pad_edges_to_multiple rows beyond the slab-covered prefix
+                # are dropped (they carry W == 0).  Compile-time bucketed
+                # batches reuse Bt directly — no relayout at all.
+                Bpt = {name: (Bt[name][:, :, :bspec[name][2]] if pre[name]
+                              else Bp[name][:bspec[name][2]]
+                              .transpose(1, 2, 0))
                        for name in Bp}
                 DinvT_perm = {name: v.transpose(1, 2, 0)
                               for name, v in Dinv_perm.items()}

@@ -43,3 +43,17 @@ def onehot_gather(idx, table, precision=_HI):
                               precision=precision,
                               preferred_element_type=flat.dtype)
     return out.reshape((idx.shape[0],) + table.shape[1:])
+
+
+def onehot_scatter_add_t(idx, rows_t, n_seg: int, precision=_HI):
+    """Dims-major segment sum: rows_t ``(D, N)`` → ``(n_seg, D)``.
+
+    The one-hot dot contracts the row axis directly
+    (``rows_t @ onehot(idx)``), so dims-major producers (see the
+    linearize assembly fast path) feed it without a relayout back to
+    row-major."""
+    oh = jax.nn.one_hot(idx, n_seg, dtype=rows_t.dtype)   # (N, n_seg)
+    out_t = jax.lax.dot_general(rows_t, oh, (((1,), (0,)), ((), ())),
+                                precision=precision,
+                                preferred_element_type=rows_t.dtype)
+    return out_t.T                                         # (n_seg, D)
