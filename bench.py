@@ -23,6 +23,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
+    import numpy as np
 
     from g2o_tpu.core.solvers import PCGSolver
     from g2o_tpu.sim.generators import create_sphere
@@ -58,7 +59,10 @@ def main():
     solver = PCGSolver(max_iter=50, tol=1e-1, precond="chunk", chunk_size=16)
 
     # warm-up run (compiles the fused device loop)
-    res = optimize_fused(p, solver, 2)
+    est0 = {t: np.array(v) for t, v in p.estimates.items()}
+    res = optimize_fused(p, solver, 2)   # warm-up/compile
+    p.set_estimates({t: jnp.asarray(v, dtype=p.dtype)
+                     for t, v in est0.items()})
     chi0 = res["chi2_per_iteration"][0]
 
     n_iter = 50

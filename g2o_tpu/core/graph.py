@@ -246,14 +246,19 @@ class Graph:
 
     def compile(self, *, level: int = 0, dtype=None,
                 pad_edges_to_multiple: int = 1,
-                bucket_landmarks: bool = False):
+                bucket_landmarks: bool = False,
+                static_kernels: bool = True):
         """Freeze into an immutable SoA :class:`Problem` for the given level
         (reference level filter: ``g2o/core/sparse_optimizer.cpp:232``).
         ``bucket_landmarks=True`` stores landmark-observation edge batches in
         the degree-bucketed layout (scatter-free H/b assembly + implicit
-        Schur — the TPU fast path for BA-scale problems)."""
+        Schur — the TPU fast path for BA-scale problems).
+        ``static_kernels=False`` keeps robust-kernel dispatch fully dynamic
+        (required when kernel ids are mutated after compile, e.g. the
+        capacity-padded incremental mode)."""
         from g2o_tpu.core.problem import compile_graph
 
         return compile_graph(self, level=level, dtype=dtype,
                              pad_edges_to_multiple=pad_edges_to_multiple,
-                             bucket_landmarks=bucket_landmarks)
+                             bucket_landmarks=bucket_landmarks,
+                             static_kernels=static_kernels)

@@ -208,7 +208,10 @@ class IncrementalOptimizer:
                            active=False, param_id=e.param_id)
                 edge_counts[e.etype.name] += 1
 
-        p = g.compile(pad_edges_to_multiple=self.edge_chunk)
+        # dynamic kernel dispatch: added edges may carry a different robust
+        # kernel than the placeholder rows they overwrite
+        p = g.compile(pad_edges_to_multiple=self.edge_chunk,
+                      static_kernels=False)
         # force at least one chunk of slack per present edge type
         self._problem = p
         # live counters: real (sorted) vertices come first per type only if

@@ -78,6 +78,12 @@ class LinearizedSystem(NamedTuple):
     diag: dict           # vertex-type name -> (N_t, D, D) Hessian diagonal blocks
     chi2_robust: jax.Array
     chi2: jax.Array
+    # per-edge precomputes for compile-time bucketed (BA) batches, shared
+    # with the implicit Schur solver so it never re-derives them per
+    # λ-trial: {"Bt": (dp, dl, E) dims-major Jpᵀ·W·Jl off-diagonal blocks,
+    # "Hll_bucket"/"bl_bucket": landmark diag blocks / gradient rows in
+    # BUCKET order (before the scatter back to natural order)}
+    extras: dict = {}
 
 
 def _seg_ids(offsets_t, vidx_col, d):
@@ -92,8 +98,15 @@ class Problem:
     def __init__(self, vertex_types, counts, edge_types, data: ProblemData,
                  estimates: dict, marginalized: dict, vid_index: dict,
                  type_bases: dict, total_dim: int, dtype,
-                 bucket_specs=None, assembly_onehot_max: int = 8192):
+                 bucket_specs=None, assembly_onehot_max: int = 8192,
+                 uniform_kernel=None):
         self.bucket_specs: dict = bucket_specs or {}
+        # edge name -> static robust-kernel id when every edge of the batch
+        # shares one kernel (the usual case), else None.  A batched
+        # ``vmap(lax.switch)`` evaluates ALL kernel branches and selects —
+        # measured ~14 ms of the Venice linearize; the static dispatch
+        # evaluates one.
+        self.uniform_kernel: dict = uniform_kernel or {}
         self.assembly_onehot_max = int(assembly_onehot_max)
         self.vertex_types: dict[str, VertexType] = vertex_types
         self.counts: dict[str, int] = counts
@@ -203,6 +216,14 @@ class Problem:
         )
         return states, res
 
+    def _robustify(self, name, batch, e2):
+        """(E, 3) robustification — static single-kernel dispatch when the
+        batch's kernel id is compile-time uniform (see ``uniform_kernel``)."""
+        uk = self.uniform_kernel.get(name)
+        if uk is not None:
+            return robust_mod.robustify(uk, e2, batch.delta)
+        return robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+
     def split_tangent(self, v):
         """Flat ``(T,)`` tangent vector → ``{type: (N_t, d_t)}`` blocks.
 
@@ -273,7 +294,7 @@ class Problem:
             batch = data.edges[name]
             _, e = self._edge_residuals(et, batch, estimates, name, data.plans)
             e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
-            rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+            rho = self._robustify(name, batch, e2)
             act = batch.active.astype(self.dtype)
             total_r = total_r + jnp.sum(rho[:, 0] * act)
             total_p = total_p + jnp.sum(e2 * act)
@@ -290,7 +311,7 @@ class Problem:
             batch = data.edges[name]
             _, e = self._edge_residuals(et, batch, estimates, name, data.plans)
             e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
-            rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+            rho = self._robustify(name, batch, e2)
             out[name] = rho[:, 0] * batch.active.astype(self.dtype)
         return out
 
@@ -304,7 +325,7 @@ class Problem:
                          dtype=self.dtype)
             for t, vt in self.vertex_types.items()
         }
-        jacs, weights, errors = {}, {}, {}
+        jacs, weights, errors, extras = {}, {}, {}, {}
         chi2_r = jnp.zeros((), dtype=self.dtype)
         chi2_p = jnp.zeros((), dtype=self.dtype)
 
@@ -323,7 +344,7 @@ class Problem:
                 for s, (J, vt) in enumerate(zip(Js, et.vertex_types))
             )
             e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
-            rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+            rho = self._robustify(name, batch, e2)
             act = batch.active.astype(self.dtype)
             chi2_r = chi2_r + jnp.sum(rho[:, 0] * act)
             chi2_p = chi2_p + jnp.sum(e2 * act)
@@ -343,19 +364,29 @@ class Problem:
                 # axes is lane-parallel vector work; the per-slab landmark
                 # reductions and the camera one-hot matmul both consume the
                 # (dd, E) layout directly (the one-hot dot contracts E, so
-                # no transpose back is needed).
+                # no transpose back is needed).  Contractions are written
+                # as explicit broadcast-multiply-reduce: the equivalent
+                # einsums ("rse,sfe->rfe") lower to E-batched tiny MXU dots
+                # at DEFAULT (bf16) precision — measured 13.8 vs 2.0 ms for
+                # the B blocks at Venice scale — while this form is pure
+                # lane-parallel VPU work, exact in f32.
                 Jt = tuple(J.transpose(1, 2, 0) for J in Js)     # (r, d, E)
                 Wt = W.transpose(1, 2, 0)                        # (r, s, E)
                 Wet = We.T                                       # (r, E)
                 segp = data.plans[name]["segp"]
                 nb = spec.n_rows
+                WJ_ts = []
                 for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
                     t = vt.name
                     d = vt.tangent_dim
-                    WJ_t = jnp.einsum("rse,sfe->rfe", Wt, Jt[s])
-                    Hss_t = jnp.einsum("rde,rfe->dfe", Jt[s], WJ_t)
-                    Hss_t = Hss_t.reshape(d * d, -1)             # (dd, E)
-                    brows_t = -jnp.einsum("rde,re->de", Jt[s], Wet)
+                    # WJ[r,f,e] = Σ_s W[r,s,e] J[s,f,e]
+                    WJ_t = jnp.sum(Wt[:, :, None, :] * Jt[s][None, :, :, :],
+                                   axis=1)
+                    WJ_ts.append(WJ_t)
+                    # Hss[d,f,e] = Σ_r J[r,d,e] WJ[r,f,e]
+                    Hss_t = jnp.sum(Jt[s][:, :, None, :] * WJ_t[:, None, :, :],
+                                    axis=0).reshape(d * d, -1)   # (dd, E)
+                    brows_t = -jnp.sum(Jt[s] * Wet[:, None, :], axis=0)
                     if s == spec.lm_slot:
                         def slab_sum(z):
                             out, off = [], 0
@@ -365,12 +396,16 @@ class Problem:
                                     z.shape[0], n, dg).sum(axis=2))
                                 off += n * dg
                             return jnp.concatenate(out, axis=1)
+                        bl_bucket = slab_sum(brows_t[:, :nb]).T  # (S_used, d)
+                        Hll_bucket = slab_sum(Hss_t[:, :nb]).T.reshape(
+                            -1, d, d)
+                        extras.setdefault(name, {})
+                        extras[name]["bl_bucket"] = bl_bucket
+                        extras[name]["Hll_bucket"] = Hll_bucket
                         b_blocks[t] = b_blocks[t].at[segp].add(
-                            slab_sum(brows_t[:, :nb]).T,
-                            unique_indices=True)
+                            bl_bucket, unique_indices=True)
                         diag[t] = diag[t].at[segp].add(
-                            slab_sum(Hss_t[:, :nb]).T.reshape(-1, d, d),
-                            unique_indices=True)
+                            Hll_bucket, unique_indices=True)
                     elif self.counts[t] <= self.assembly_onehot_max:
                         from g2o_tpu.ops.onehot import onehot_scatter_add_t
 
@@ -384,6 +419,15 @@ class Problem:
                             brows_t.T)
                         diag[t] = diag[t].at[batch.vidx[:, s]].add(
                             Hss_t.T.reshape(-1, d, d))
+                # off-diagonal B = Jpᵀ W Jl, dims-major, reusing W·Jl from
+                # the landmark Hss above — the implicit Schur solver's
+                # per-λ-trial re-derivation from lin.jacs measured 17.8 ms
+                # at Venice scale
+                ps, ls = spec.pose_slot, spec.lm_slot
+                extras.setdefault(name, {})
+                extras[name]["Bt"] = jnp.sum(
+                    Jt[ps][:, :, None, :] * WJ_ts[ls][:, None, :, :],
+                    axis=0)                                      # (dp, dl, E)
                 jacs[name], weights[name], errors[name] = Js, W, e
                 continue
 
@@ -397,7 +441,8 @@ class Problem:
             jacs[name], weights[name], errors[name] = Js, W, e
 
         b = self.join_tangent(b_blocks)
-        return LinearizedSystem(jacs, weights, errors, b, diag, chi2_r, chi2_p)
+        return LinearizedSystem(jacs, weights, errors, b, diag, chi2_r,
+                                chi2_p, extras)
 
     def hvp_fn(self, data: ProblemData, lin: LinearizedSystem, v):
         """Flat-vector H·v — thin wrapper over :meth:`hvp_blocks_fn` (the
@@ -406,7 +451,7 @@ class Problem:
             self.hvp_blocks_fn(data, lin, self.split_tangent(v)))
 
     def hvp_operator(self, data: ProblemData, lin: LinearizedSystem,
-                     *, onehot_max_segments: int = 0):
+                     *, onehot_max_segments: int = 0, precision=None):
         """Build the latency-optimal H·v closure for CG loops.
 
         Precomputes, once per linearization (loop-invariant, so it is
@@ -430,7 +475,8 @@ class Problem:
             if not isinstance(Js, (tuple, list)):
                 Js = (Js,)
             Jcat = jnp.concatenate(Js, axis=2)                 # (E, r, K)
-            WJ = jnp.einsum("ers,esk->erk", lin.weights[name], Jcat)
+            WJ = jnp.einsum("ers,esk->erk", lin.weights[name], Jcat,
+                            precision=precision)
             pre[name] = (Jcat, WJ)
 
         hi = jax.lax.Precision.HIGHEST
@@ -466,8 +512,10 @@ class Problem:
                     t, d, k = tnames[0], dims[0], len(dims)
                     rows = gather_rows(vb, t, vidx.reshape(E * k)).reshape(
                         E, k * d)
-                    z = jnp.einsum("erk,ek->er", WJ, rows)
-                    contrib = jnp.einsum("erk,er->ek", Jcat, z)
+                    z = jnp.einsum("erk,ek->er", WJ, rows,
+                                    precision=precision)
+                    contrib = jnp.einsum("erk,er->ek", Jcat, z,
+                                          precision=precision)
                     out[t] = scatter_rows(
                         out[t], t, vidx.reshape(E * k),
                         contrib.reshape(E * k, d))
@@ -475,8 +523,10 @@ class Problem:
                     rows = jnp.concatenate(
                         [gather_rows(vb, t, vidx[:, s])
                          for s, t in enumerate(tnames)], axis=1)
-                    z = jnp.einsum("erk,ek->er", WJ, rows)
-                    contrib = jnp.einsum("erk,er->ek", Jcat, z)
+                    z = jnp.einsum("erk,ek->er", WJ, rows,
+                                    precision=precision)
+                    contrib = jnp.einsum("erk,er->ek", Jcat, z,
+                                          precision=precision)
                     off = 0
                     for s, (t, d) in enumerate(zip(tnames, dims)):
                         out[t] = scatter_rows(out[t], t, vidx[:, s],
@@ -535,7 +585,8 @@ class Problem:
 
 def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                   pad_edges_to_multiple: int = 1,
-                  bucket_landmarks: bool = False) -> Problem:
+                  bucket_landmarks: bool = False,
+                  static_kernels: bool = True) -> Problem:
     """Build a :class:`Problem` from raw numpy blocks.
 
     ``vertex_blocks``: ``{VertexType: (vids (N,), estimates (N, rep),
@@ -589,6 +640,7 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     edge_types = {}
     bucket_specs = {}
     plans = {}
+    uniform_kernel = {}
     m = max(int(pad_edges_to_multiple), 1)
     for et, (vids, meas, info, kern, delt, act, par) in edge_blocks.items():
         name = et.name
@@ -682,6 +734,9 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         act = pad(arrays["active"]).copy()
         if n_pad:
             act[E:] = False
+        if static_kernels:
+            uks = np.unique(arrays["kernel"])
+            uniform_kernel[name] = int(uks[0]) if len(uks) == 1 else None
         edges[name] = EdgeBatchData(
             vidx=jnp.asarray(pad(arrays["vidx"])),
             meas=jnp.asarray(pad(arrays["meas"]), dtype=dtype),
@@ -701,12 +756,13 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     )
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
-                   bucket_specs=bucket_specs)
+                   bucket_specs=bucket_specs, uniform_kernel=uniform_kernel)
 
 
 def compile_graph(graph, *, level: int = 0, dtype=None,
                   pad_edges_to_multiple: int = 1,
-                  bucket_landmarks: bool = False) -> Problem:
+                  bucket_landmarks: bool = False,
+                  static_kernels: bool = True) -> Problem:
     """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
     :class:`Problem` — the analogue of ``initializeOptimization`` +
     ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
@@ -760,4 +816,5 @@ def compile_graph(graph, *, level: int = 0, dtype=None,
 
     return build_problem(vertex_blocks, edge_blocks, dtype=dtype,
                          pad_edges_to_multiple=pad_edges_to_multiple,
-                         bucket_landmarks=bucket_landmarks)
+                         bucket_landmarks=bucket_landmarks,
+                         static_kernels=static_kernels)

@@ -42,7 +42,8 @@ class PCGSolver:
 
     def __init__(self, max_iter: int = 100, tol: float = 1e-6,
                  abs_tol: float = 0.0, precond: str = "jacobi",
-                 chunk_size: int = 32, onehot_max_segments: int = 0):
+                 chunk_size: int = 32, onehot_max_segments: int = 0,
+                 absolute_tolerance: bool = True):
         self.max_iter = int(max_iter)
         self.tol = float(tol)
         self.abs_tol = float(abs_tol)
@@ -52,6 +53,12 @@ class PCGSolver:
         # one-hot MXU matmuls for vertex types of at most this many vertices
         # (see Problem.hvp_operator) — a large per-CG-iteration win on TPU
         self.onehot_max_segments = int(onehot_max_segments)
+        # reference-PCG absoluteTolerance residual continuation: floor each
+        # solve's stopping threshold by HALF the previous solve's final
+        # residual (``solvers/pcg/linear_solver_pcg.hpp:124-127,149``) —
+        # without it CG grinds the full iteration budget once LM has
+        # converged and the relative criterion chases a vanishing rhs
+        self.absolute_tolerance = bool(absolute_tolerance)
         self._solve_jit = None
         self.aux = ()
 
@@ -174,7 +181,7 @@ class PCGSolver:
 
         onehot_max = self.onehot_max_segments
 
-        def solve(data, lin, lam, aux=()):
+        def solve_full(data, lin, lam, aux=(), carry=None):
             # loop-invariant W·J precompute (hoisted out of the CG loop)
             hvp = p.hvp_operator(data, lin,
                                  onehot_max_segments=onehot_max)
@@ -196,13 +203,17 @@ class PCGSolver:
             p0 = z0
             rz0 = tdot(r0, z0)
             thresh = tol * tol * tdot(b, b)
+            if carry is not None:
+                # residual continuation: successive LM solves only deepen
+                # by one halving each (reference absoluteTolerance)
+                thresh = jnp.maximum(thresh, carry.astype(thresh.dtype))
 
-            def cond(carry):
-                _, r, _, _, rz, it = carry
+            def cond(c):
+                _, r, _, _, rz, it = c
                 return jnp.logical_and(it < max_iter, tdot(r, r) > thresh)
 
-            def body(carry):
-                x, r, z, pv, rz, it = carry
+            def body(c):
+                x, r, z, pv, rz, it = c
                 Ap = matvec(pv)
                 alpha = rz / tdot(pv, Ap)
                 x = tmap(lambda a, b_: a + alpha * b_, x, pv)
@@ -213,12 +224,34 @@ class PCGSolver:
                 pv = tmap(lambda a, b_: a + beta * b_, z, pv)
                 return (x, r, z, pv, rz_new, it + 1)
 
-            x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
-            return p.join_tangent(x)
+            x, r_f, _, _, _, cg_iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, p0, rz0, 0))
+            res2 = tdot(r_f, r_f)
+            stats = {"cg_iterations": cg_iters, "residual2": res2,
+                     "carry": 0.5 * res2}
+            return p.join_tangent(x), stats
+
+        def solve(data, lin, lam, aux=()):
+            return solve_full(data, lin, lam, aux)[0]
+
+        def solve_state(data, lin, lam, aux, state):
+            dx, st = solve_full(data, lin, lam, aux, carry=state)
+            return dx, st["carry"], st
 
         self._solve_fn = solve          # unjitted, for fusion into one step
         self._solve_jit = jax.jit(solve)
+        if self.absolute_tolerance:
+            self._solve_state_fn = solve_state
+            self._solve_state_jit = jax.jit(solve_state)
+            self.state0 = jnp.asarray(-1.0, dtype)
+        self._host_state = None
         return self
 
     def solve(self, data, lin, lam=0.0):
+        if self.absolute_tolerance:
+            if self._host_state is None:
+                self._host_state = self.state0
+            dx, self._host_state, _ = self._solve_state_jit(
+                data, lin, lam, self.aux, self._host_state)
+            return dx
         return self._solve_jit(data, lin, lam, self.aux)

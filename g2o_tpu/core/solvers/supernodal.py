@@ -616,7 +616,10 @@ class SupernodalCholeskySolver:
                                      aux["levels"], d)
             x = jnp.zeros_like(xperm).at[aux["perm"]].set(xperm)
             if n_refine:
-                hvp = p.hvp_operator(data, lin)
+                # exact-f32 H·v for the refinement residual: at DEFAULT
+                # precision TPU einsums run bf16 MXU passes (~1e-3
+                # relative), turning the correction into bf16 noise
+                hvp = p.hvp_operator(data, lin, precision=_HI)
                 fx = data.fixed[tname].astype(dtype)[:, None]
                 for _ in range(n_refine):
                     # r = b - (H + lam I) x  (identity rows on fixed slots)

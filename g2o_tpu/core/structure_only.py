@@ -47,7 +47,7 @@ def structure_only_refine(problem, n_iters: int = 10, *,
             batch = data.edges[name]
             states, e = p._edge_residuals(et, batch, estimates)
             e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
-            rho = robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
+            rho = p._robustify(name, batch, e2)
             act = batch.active.astype(p.dtype)
             W = batch.info * (rho[:, 1] * act)[:, None, None]
             J = jax.vmap(p._edge_jac_fns[name])(states, batch.meas,

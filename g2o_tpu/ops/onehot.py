@@ -45,6 +45,17 @@ def onehot_gather(idx, table, precision=_HI):
     return out.reshape((idx.shape[0],) + table.shape[1:])
 
 
+def onehot_gather_t(idx, table, precision=_HI):
+    """Dims-major gather: table ``(S, D)`` → ``(D, N)`` rows of
+    ``table[idx]`` with the row axis minormost, for consumers that keep the
+    edge axis on lanes (no relayout of the (D, N) output needed)."""
+    flat = table.reshape(table.shape[0], -1)               # (S, D)
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=flat.dtype)   # (N, S)
+    return jax.lax.dot_general(flat, oh, (((0,), (1,)), ((), ())),
+                               precision=precision,
+                               preferred_element_type=flat.dtype)
+
+
 def onehot_scatter_add_t(idx, rows_t, n_seg: int, precision=_HI):
     """Dims-major segment sum: rows_t ``(D, N)`` → ``(n_seg, D)``.
 

@@ -28,6 +28,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+    import jax.numpy as jnp
+    import numpy as np
+
     from g2o_tpu.core.lm_fused import optimize_fused
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
     from g2o_tpu.io.bal import load_bal_problem, make_synthetic_bal
@@ -54,7 +57,13 @@ def main():
     # ``solvers/eigen/linear_solver_pcg_eigen.h:184-188``); the trust
     # region absorbs the inexactness
     solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi")
+    est0 = {t: np.array(v) for t, v in p.estimates.items()}
     res = optimize_fused(p, solver, 2)           # warm-up/compile
+    # restore the initial estimates: the measured run (and its chi2
+    # trajectory, compared 1:1 with the reference's) starts from scratch
+    p.set_estimates({t: jnp.asarray(v, dtype=p.dtype)
+                     for t, v in est0.items()})
+    solver._host_state = None
     res = optimize_fused(p, solver, n_iters)
 
     sec_per_iter = res["wall_s"] / max(res["iterations"], 1)
