@@ -104,7 +104,20 @@ class IncrementalOptimizer:
             param=(b.param.at[i].set(jnp.asarray(par_row, dtype=p.dtype))
                    if rec.etype.param_dim else b.param),
         )
-        self._set_data(edges={**p.data.edges, name: new_batch})
+        new_plans = p.data.plans
+        fm = (new_plans.get(name) or {}).get("free_mask")
+        if fm is not None:
+            # refresh the fixed-vertex Jacobian multiplier for this row
+            # (placeholder rows were built against fixed placeholder slots)
+            row = jnp.asarray(
+                [0.0 if bool(p.data.fixed[p.vid_index[v][0]]
+                             [p.vid_index[v][1]]) else 1.0
+                 for v in rec.vids], dtype=p.dtype)
+            new_plans = {**new_plans,
+                         name: {**new_plans[name],
+                                "free_mask": fm.at[i].set(row)}}
+        self._set_data(edges={**p.data.edges, name: new_batch},
+                       plans=new_plans)
         self._live_edges[name] = i + 1
 
     def _init_fresh_through_edge(self, rec):

@@ -191,12 +191,15 @@ def optimize_fused(problem, solver, max_iterations: int, *,
 def make_gn_run(problem, solver, *, max_iters: int = 512):
     """Whole-run Gauss-Newton device loop (reference
     ``optimization_algorithm_gauss_newton.cpp:50``): linearize → solve(0) →
-    oplus, no trust region.  Stops early on non-finite chi2."""
+    oplus, no trust region.  Stops early on non-finite chi2.  Solvers with
+    the stateful protocol (reference-PCG residual carry) thread their state
+    across iterations exactly as in :func:`make_lm_run`."""
     solve_fn = solver._solve_fn
+    solve_state_fn = getattr(solver, "_solve_state_fn", None)
     p = problem
     dtype = p.dtype
 
-    def run(data, estimates, n_iters, aux):
+    def run(data, estimates, n_iters, aux, sstate):
         chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
 
         def cond(carry):
@@ -205,20 +208,25 @@ def make_gn_run(problem, solver, *, max_iters: int = 512):
                                    jnp.logical_not(stop))
 
         def body(carry):
-            it, stop, est, chi_hist = carry
+            it, stop, est, chi_hist, sstate = carry
             lin = p.linearize_fn(data, est)
-            dx = solve_fn(data, lin, jnp.asarray(0.0, dtype), aux)
+            if solve_state_fn is not None:
+                dx, sstate, _ = solve_state_fn(
+                    data, lin, jnp.asarray(0.0, dtype), aux, sstate)
+            else:
+                dx = solve_fn(data, lin, jnp.asarray(0.0, dtype), aux)
             new = p.apply_update_fn(data, est, dx)
             chi_new, _ = p.chi2_fn(data, new)
             ok = jnp.isfinite(chi_new)
             est2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), new, est)
             chi_hist = chi_hist.at[it].set(lin.chi2_robust)
-            return (it + 1, jnp.logical_not(ok), est2, chi_hist)
+            return (it + 1, jnp.logical_not(ok), est2, chi_hist, sstate)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
-                chi_hist)
-        it, stop, est, chi_hist = jax.lax.while_loop(cond, body, init)
+                chi_hist, sstate)
+        it, stop, est, chi_hist, sstate = jax.lax.while_loop(
+            cond, body, init)
         chi_f, _ = p.chi2_fn(data, est)
         return est, it, chi_hist, chi_f
 
@@ -236,10 +244,13 @@ def optimize_fused_gn(problem, solver, max_iterations: int, *,
     if run is None:
         run = make_gn_run(problem, solver, max_iters=history_cap)
         cache[key] = run
+    sstate = getattr(solver, "state0", None)
+    if sstate is None or not hasattr(solver, "_solve_state_fn"):
+        sstate = jnp.zeros((), problem.dtype)   # placeholder (unused)
     t0 = time.perf_counter()
     est, iters, chi_hist, chi_f = run(
         problem.data, problem.estimates,
-        jnp.asarray(max_iterations, jnp.int32), solver.aux)
+        jnp.asarray(max_iterations, jnp.int32), solver.aux, sstate)
     jax.block_until_ready(est)
     wall = time.perf_counter() - t0
     problem.set_estimates(est)

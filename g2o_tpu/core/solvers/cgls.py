@@ -49,13 +49,13 @@ class CGLSSolver:
         onehot_max = self.onehot_max_segments
 
         def slab_iter(spec, *arrays):
-            """Yield per-bucket (n, d) reshaped views of slab-ordered
-            arrays (compile-time bucketed batches, see
-            ``Problem.bucket_specs``)."""
+            """Yield per-bucket (d, n) reshaped views of slab-ordered
+            arrays (compile-time bucketed batches, DEGREE-MAJOR slabs —
+            see ``Problem.bucket_specs`` / ``ops.bucketed.BucketPlan``)."""
             off = 0
             for n, d in zip(spec.counts, spec.degrees):
                 yield n, d, tuple(
-                    a[off:off + n * d].reshape((n, d) + a.shape[1:])
+                    a[off:off + n * d].reshape((d, n) + a.shape[1:])
                     for a in arrays)
                 off += n * d
 
@@ -96,7 +96,7 @@ class CGLSSolver:
                         chunks, k = [], 0
                         for n, d, (Jb,) in slab_iter(spec, Js[s]):
                             chunks.append(jnp.einsum(
-                                "ndri,ni->ndr", Jb,
+                                "dnri,ni->dnr", Jb,
                                 v_used[k:k + n]).reshape(n * d, -1))
                             k += n
                         ys = jnp.concatenate(chunks, axis=0)
@@ -135,7 +135,7 @@ class CGLSSolver:
                         chunks = []
                         for n, d, (Jb, zb) in slab_iter(spec, Js[s][:nb],
                                                         z[:nb]):
-                            chunks.append(jnp.einsum("ndri,ndr->ni", Jb, zb))
+                            chunks.append(jnp.einsum("dnri,dnr->ni", Jb, zb))
                         part = jnp.concatenate(chunks, axis=0)
                         out[t] = out[t].at[data.plans[name]["segp"]].add(
                             part, unique_indices=True)

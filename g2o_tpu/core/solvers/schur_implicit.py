@@ -231,15 +231,15 @@ class ImplicitSchurSolver:
         def bucket_down(spec, B_pad, u_pad):
             """Per-bucket Σ_rows B^T u → per-segment (S_used, dl); the
             degree axis reduces inside the einsum (no materialised
-            intermediate)."""
+            intermediate).  Slabs are degree-major: (deg, n_seg)."""
             counts, degrees, _ = spec
             out, off = [], 0
             for n, d in zip(counts, degrees):
                 Bb = B_pad[off:off + n * d]
                 ub = u_pad[off:off + n * d]
-                Bb = Bb.reshape((n, d) + Bb.shape[1:])
-                ub = ub.reshape((n, d) + ub.shape[1:])
-                out.append(jnp.einsum("ndij,ndi->nj", Bb, ub))
+                Bb = Bb.reshape((d, n) + Bb.shape[1:])
+                ub = ub.reshape((d, n) + ub.shape[1:])
+                out.append(jnp.einsum("dnij,dni->nj", Bb, ub))
                 off += n * d
             return jnp.concatenate(out, axis=0)
 
@@ -250,9 +250,9 @@ class ImplicitSchurSolver:
             out, off, k = [], 0, 0
             for n, d in zip(counts, degrees):
                 Bb = B_pad[off:off + n * d]
-                Bb = Bb.reshape((n, d) + Bb.shape[1:])
+                Bb = Bb.reshape((d, n) + Bb.shape[1:])
                 sb = s_used[k:k + n]
-                yb = jnp.einsum("ndij,nj->ndi", Bb, sb)
+                yb = jnp.einsum("dnij,nj->dni", Bb, sb)
                 out.append(yb.reshape((n * d,) + yb.shape[2:]))
                 off += n * d
                 k += n
@@ -267,13 +267,14 @@ class ImplicitSchurSolver:
 
         def bucket_down_t(spec, Bt, ut):
             """Σ_rows Bᵀu in dims-major: Bt (dp, dl, E), ut (dp, E) →
-            (dl, S_used) in bucket order."""
+            (dl, S_used) in bucket order.  Degree-major slabs: the (dl,
+            deg, n_seg) view keeps the large segment axis on lanes."""
             counts, degrees, _ = spec
             z = jnp.einsum("ile,ie->le", Bt, ut)
             out, off = [], 0
             for n, d in zip(counts, degrees):
                 blk = z[:, off:off + n * d]
-                out.append(blk.reshape(blk.shape[0], n, d).sum(axis=2))
+                out.append(blk.reshape(blk.shape[0], d, n).sum(axis=1))
                 off += n * d
             return jnp.concatenate(out, axis=1)
 
@@ -284,7 +285,7 @@ class ImplicitSchurSolver:
             for n, d in zip(counts, degrees):
                 sb = st[:, off:off + n]
                 parts.append(jnp.broadcast_to(
-                    sb[:, :, None], sb.shape + (d,)).reshape(
+                    sb[:, None, :], (sb.shape[0], d, n)).reshape(
                     sb.shape[0], n * d))
                 off += n
             se = jnp.concatenate(parts, axis=1)
@@ -292,13 +293,14 @@ class ImplicitSchurSolver:
 
         def bucket_broadcast_t(spec, x):
             """Broadcast per-segment values ``(..., S_used)`` to padded row
-            layout ``(..., E)`` — pure reshapes, edge axis minormost."""
+            layout ``(..., E)`` — pure reshapes, edge axis minormost
+            (degree-major slabs)."""
             counts, degrees, _ = spec
             parts, off = [], 0
             for n, d in zip(counts, degrees):
                 xb = x[..., off:off + n]
                 parts.append(jnp.broadcast_to(
-                    xb[..., :, None], xb.shape + (d,)).reshape(
+                    xb[..., None, :], xb.shape[:-1] + (d, n)).reshape(
                     x.shape[:-1] + (n * d,)))
                 off += n
             return jnp.concatenate(parts, axis=-1)
@@ -473,8 +475,8 @@ class ImplicitSchurSolver:
                         Dp, off, k, rows = Dinv_perm[name], 0, 0, []
                         for n, d in zip(counts, degrees):
                             Bb = Bp[name][off:off + n * d]
-                            Bb = Bb.reshape((n, d) + Bb.shape[1:])
-                            Cb = jnp.einsum("ndij,njk,ndlk->ndil",
+                            Bb = Bb.reshape((d, n) + Bb.shape[1:])
+                            Cb = jnp.einsum("dnij,njk,dnlk->dnil",
                                             Bb, Dp[k:k + n], Bb,
                                             precision=_HI)
                             rows.append(Cb.reshape((n * d,) + Cb.shape[2:]))

@@ -38,6 +38,14 @@ class BucketPlan(NamedTuple):
     slab ``b`` holds ``counts[b] * degrees[b]`` slots covering
     ``counts[b]`` segments of padded degree ``degrees[b]``.
 
+    Within a slab, slots are DEGREE-MAJOR: slot ``j * counts[b] + i`` is
+    the ``j``-th padded row of segment ``i`` — the segment axis is
+    minormost, so a slab viewed as ``(deg, n_seg)`` (or ``(..., deg,
+    n_seg)`` for dims-major arrays) puts the large axis on TPU lanes.
+    The earlier segment-major order made every slab reshape a 4-6 wide
+    lane axis (tile efficiency ~5%); measured ~20 ms per Venice LM
+    iteration in materialised relayouts.
+
     ``seg_perm`` concatenates, slab by slab, the original segment id of
     every padded segment slot (each non-empty segment appears exactly
     once).  ``seg_perm_full`` additionally appends the ids of empty
@@ -116,7 +124,7 @@ def bucket_by_segment(seg_ids: np.ndarray, num_segments: int, *,
         idx = starts[sel][:, None] + col[None, :]           # (n, lvl)
         valid = col[None, :] < deg[segs][:, None]
         slab = np.where(valid, order[np.minimum(idx, E - 1)], E)
-        perm_chunks.append(slab.reshape(-1))
+        perm_chunks.append(slab.T.reshape(-1))              # degree-major
         seg_chunks.append(segs)
         degrees.append(int(lvl))
         counts.append(n)
@@ -147,8 +155,8 @@ def bucket_reduce(plan: BucketPlan, rows_padded, reduce_fn=None):
     out, off = [], 0
     for n, d in zip(plan.counts, plan.degrees):
         slab = rows_padded[off:off + n * d]
-        slab = slab.reshape((n, d) + slab.shape[1:])
-        out.append(slab.sum(axis=1) if reduce_fn is None else reduce_fn(slab))
+        slab = slab.reshape((d, n) + slab.shape[1:])
+        out.append(slab.sum(axis=0) if reduce_fn is None else reduce_fn(slab))
         off += n * d
     return jnp.concatenate(out, axis=0)
 
@@ -162,6 +170,6 @@ def bucket_broadcast(plan: BucketPlan, seg_vals):
     for n, d in zip(plan.counts, plan.degrees):
         v = seg_vals[off:off + n]
         out.append(jnp.broadcast_to(
-            v[:, None], (n, d) + v.shape[1:]).reshape((n * d,) + v.shape[1:]))
+            v[None], (d, n) + v.shape[1:]).reshape((n * d,) + v.shape[1:]))
         off += n
     return jnp.concatenate(out, axis=0)

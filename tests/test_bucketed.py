@@ -36,9 +36,10 @@ def test_bucket_broadcast_assigns_segment_values():
     bc = np.asarray(bucket_broadcast(plan, jnp.asarray(sv)))
     off, k = 0, 0
     for n, d in zip(plan.counts, plan.degrees):
-        blk = bc[off:off + n * d].reshape(n, d, 2)
+        # degree-major slabs: (d, n) with the segment axis minormost
+        blk = bc[off:off + n * d].reshape(d, n, 2)
         np.testing.assert_allclose(blk, np.broadcast_to(
-            sv[k:k + n][:, None, :], (n, d, 2)))
+            sv[k:k + n][None, :, :], (d, n, 2)))
         off += n * d
         k += n
 
@@ -130,3 +131,98 @@ def test_bucket_empty_segments():
     ref = np.zeros((12, 2))
     np.add.at(ref, seg, rows)
     np.testing.assert_allclose(red, ref[plan.seg_perm])
+
+
+def test_dm_path_schur_jacobi_and_fixed_landmarks():
+    """The fully dims-major implicit-Schur path (linearize-shared extras)
+    must match the rows layout under the schur_jacobi preconditioner, and
+    fixed landmarks must stay pinned (dx == 0) via the all-zero-block
+    detection that replaces the data.fixed gather."""
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    g, _ = create_ba_scene(n_cameras=7, n_points=90, pixel_noise=0.4,
+                           point_noise=0.25, seed=3)
+    # fix a couple of landmarks (their Jacobian slots are masked at
+    # linearize, so their extras Hll blocks are exactly zero)
+    lm_vids = [vid for vid, rec in g.vertices().items()
+               if rec.marginalized][:3]
+    for vid in lm_vids:
+        g.set_fixed(vid, True)
+
+    pb = g.compile(bucket_landmarks=True)
+    p0 = g.compile()
+    linb = pb.linearize_jit(pb.data, pb.estimates)
+    lin0 = p0.linearize_jit(p0.data, p0.estimates)
+    assert linb.extras, "bucketed compile must emit linearize extras"
+    (name,) = [n for n in linb.extras]
+    for key in ("Bt", "Hll_bucket", "bl_bucket"):
+        assert key in linb.extras[name]
+
+    lam = 5e-3
+    sb = ImplicitSchurSolver(max_iter=500, tol=1e-13,
+                             precond="schur_jacobi").setup(pb)
+    s0 = ImplicitSchurSolver(max_iter=500, tol=1e-13, layout="rows",
+                             precond="schur_jacobi").setup(p0)
+    dxb = np.asarray(sb._solve_jit(pb.data, linb, lam, sb.aux))
+    dx0 = np.asarray(s0._solve_jit(p0.data, lin0, lam, s0.aux))
+    assert np.linalg.norm(dxb - dx0) / np.linalg.norm(dx0) < 1e-8
+
+    # fixed landmark tangent slots must be exactly zero
+    blocks = pb.split_tangent(jnp.asarray(dxb))
+    for vid in lm_vids:
+        t, i = pb.vid_index[vid]
+        assert float(np.abs(np.asarray(blocks[t])[i]).max()) == 0.0
+
+
+def test_static_kernel_dispatch_matches_dynamic():
+    """Uniform-kernel batches dispatch statically (one branch); a
+    mixed-kernel batch must keep the dynamic vmap(switch) dispatch and
+    both must agree with the reference formulas."""
+    import g2o_tpu.types  # noqa: F401
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.types.slam2d import EdgeSE2, VertexSE2
+
+    rng = np.random.default_rng(0)
+
+    def build(kernels):
+        g = Graph()
+        for i in range(6):
+            g.add_vertex(i, VertexSE2, rng.standard_normal(3))
+        g.set_fixed(0, True)
+        for i, kern in enumerate(kernels):
+            g.add_edge(EdgeSE2, (i, i + 1), rng.standard_normal(3),
+                       np.eye(3), kernel=kern, delta=0.8)
+        return g
+
+    g_uni = build(["Huber"] * 5)
+    g_mix = build(["Huber", "Cauchy", "Huber", "None", "DCS"])
+    p_uni = g_uni.compile()
+    p_mix = g_mix.compile()
+    p_dyn = g_uni.compile(static_kernels=False)
+    assert list(p_uni.uniform_kernel.values()) == [1]      # HUBER id
+    assert list(p_mix.uniform_kernel.values()) == [None]
+    assert p_dyn.uniform_kernel == {}
+
+    # static vs dynamic dispatch: identical chi2 and gradient
+    lin_s = p_uni.linearize_jit(p_uni.data, p_uni.estimates)
+    lin_d = p_dyn.linearize_jit(p_dyn.data, p_dyn.estimates)
+    np.testing.assert_allclose(np.asarray(lin_s.b), np.asarray(lin_d.b),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(lin_s.chi2_robust),
+                               float(lin_d.chi2_robust), rtol=1e-12)
+
+    # mixed batch: per-edge kernels match scalar robustify
+    from g2o_tpu.ops import robust as robust_mod
+    lin_m = p_mix.linearize_jit(p_mix.data, p_mix.estimates)
+    batch = p_mix.data.edges["EDGE_SE2"]
+    _, e = p_mix._edge_residuals(p_mix.edge_types["EDGE_SE2"], batch,
+                                 p_mix.estimates)
+    e2 = np.einsum("er,ers,es->e", np.asarray(e), np.asarray(batch.info),
+                   np.asarray(e))
+    expected = sum(
+        float(robust_mod.robustify(int(k), jnp.asarray(z),
+                                   jnp.asarray(0.8))[0])
+        for k, z in zip(np.asarray(batch.kernel), e2))
+    np.testing.assert_allclose(float(lin_m.chi2_robust), expected,
+                               rtol=1e-10)
