@@ -66,6 +66,12 @@ class BucketedEdgeSpec(NamedTuple):
     counts: tuple
     degrees: tuple
     n_rows: int          # sum(counts[b] * degrees[b]) — slab-covered prefix
+    # True when the landmark type's internal vertex order IS the bucket
+    # segment order (build_problem reorders it when a single edge type
+    # buckets the type): ``segp == arange``, so every segment gather /
+    # scatter in linearize and the solvers becomes a static slice —
+    # 150k-row permutation ops cost ~2.4 ms EACH on TPU at Venice scale
+    seg_identity: bool = False
 
 
 class LinearizedSystem(NamedTuple):
@@ -188,7 +194,12 @@ class Problem:
         for s, vt in enumerate(et.vertex_types):
             t = vt.name
             if spec is not None and s == spec.lm_slot and plans is not None:
-                est_used = estimates[t][plans[name]["segp"]]
+                n_used = sum(spec.counts)
+                if spec.seg_identity:
+                    # bucket order == vertex order: a static slice
+                    est_used = estimates[t][:n_used]
+                else:
+                    est_used = estimates[t][plans[name]["segp"]]
                 rows, off = [], 0
                 for nseg, dg in zip(spec.counts, spec.degrees):
                     v = est_used[off:off + nseg]
@@ -412,10 +423,15 @@ class Problem:
                         extras.setdefault(name, {})
                         extras[name]["bl_bucket"] = bl_bucket
                         extras[name]["Hll_bucket"] = Hll_bucket
-                        b_blocks[t] = b_blocks[t].at[segp].add(
-                            bl_bucket, unique_indices=True)
-                        diag[t] = diag[t].at[segp].add(
-                            Hll_bucket, unique_indices=True)
+                        if spec.seg_identity:
+                            ns = bl_bucket.shape[0]
+                            b_blocks[t] = b_blocks[t].at[:ns].add(bl_bucket)
+                            diag[t] = diag[t].at[:ns].add(Hll_bucket)
+                        else:
+                            b_blocks[t] = b_blocks[t].at[segp].add(
+                                bl_bucket, unique_indices=True)
+                            diag[t] = diag[t].at[segp].add(
+                                Hll_bucket, unique_indices=True)
                     elif self.counts[t] <= self.assembly_onehot_max:
                         from g2o_tpu.ops.onehot import onehot_scatter_add_t
 
@@ -654,10 +670,12 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     plans = {}
     uniform_kernel = {}
     m = max(int(pad_edges_to_multiple), 1)
+
+    # ---- pass 1: raw per-edge arrays (vertex-id -> local-index) -------- #
+    raw = {}
     for et, (vids, meas, info, kern, delt, act, par) in edge_blocks.items():
         name = et.name
         edge_types[name] = et
-        E = len(vids)
 
         vidx_raw = np.asarray(vids, dtype=np.int64)
         vidx = np.empty_like(vidx_raw, dtype=np.int32)
@@ -680,7 +698,7 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                 f"{name}: parameter values have dim "
                 f"{par.shape[1] if par.ndim == 2 else '?'}, "
                 f"expected {et.param_dim}")
-        arrays = {
+        raw[name] = {
             "vidx": vidx,
             "meas": np.asarray(meas, dtype=np.float64),
             "info": np.asarray(info, dtype=np.float64),
@@ -689,6 +707,59 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
             "active": act,
             "param": par,
         }
+
+    def _bucket_lm_slot(et, E):
+        """Slot index of the single fully-marginalized endpoint of a
+        bucketable binary edge batch, or None."""
+        if not (bucket_landmarks and E > 0 and len(et.vertex_types) == 2):
+            return None
+        marg_slots = [
+            s for s, svt in enumerate(et.vertex_types)
+            if counts[svt.name] > 0 and bool(
+                np.asarray(marginalized[svt.name]).all())
+        ]
+        return marg_slots[0] if len(marg_slots) == 1 else None
+
+    # ---- pass 2: landmark types bucketed by exactly ONE edge type are
+    # REORDERED into bucket-segment order, so pass 3's plan comes out with
+    # ``segp == arange`` (seg_identity): every segment gather/scatter in
+    # linearize and the solvers becomes a static slice.  (Within-type
+    # vertex order is an internal layout choice; ``vid_index`` keeps the
+    # external id mapping.)
+    if bucket_landmarks:
+        from g2o_tpu.ops.bucketed import bucket_by_segment
+
+        lm_users: dict = {}
+        for name, et in edge_types.items():
+            ls = _bucket_lm_slot(et, len(raw[name]["vidx"]))
+            if ls is not None:
+                lm_users.setdefault(et.vertex_types[ls].name, []).append(
+                    (name, ls))
+        for lt, users in lm_users.items():
+            if len(users) != 1:
+                continue
+            name, ls = users[0]
+            plan = bucket_by_segment(raw[name]["vidx"][:, ls], counts[lt])
+            perm_v = plan.seg_perm_full            # new position -> old idx
+            inv = np.empty_like(perm_v)
+            inv[perm_v] = np.arange(len(perm_v), dtype=perm_v.dtype)
+            estimates[lt] = jnp.asarray(np.asarray(estimates[lt])[perm_v])
+            fixed_np[lt] = fixed_np[lt][perm_v]
+            fixed[lt] = jnp.asarray(fixed_np[lt])
+            marginalized[lt] = marginalized[lt][perm_v]
+            sorted_vids[lt] = sorted_vids[lt][perm_v]
+            for i, vid in enumerate(sorted_vids[lt]):
+                vid_index[int(vid)] = (lt, i)
+            for name2, et2 in edge_types.items():
+                for s2, svt2 in enumerate(et2.vertex_types):
+                    if svt2.name == lt:
+                        raw[name2]["vidx"][:, s2] = inv[
+                            raw[name2]["vidx"][:, s2]]
+
+    # ---- pass 3: bucket edge rows, pad, freeze to device arrays -------- #
+    for name, et in edge_types.items():
+        arrays = raw[name]
+        E = len(arrays["vidx"])
 
         # ---- compile-time landmark-bucketed layout --------------------- #
         # Binary edges with exactly one fully-marginalized slot get their
@@ -699,43 +770,41 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         # scatters (the TPU analogue of the reference's per-landmark Schur
         # column loop, ``g2o/core/block_solver.hpp:342``).  Padding rows
         # replicate row 0 with active=False (W == 0 kills contributions).
-        if bucket_landmarks and E > 0 and len(et.vertex_types) == 2:
-            marg_slots = [
-                s for s, svt in enumerate(et.vertex_types)
-                if counts[svt.name] > 0 and bool(
-                    np.asarray(marginalized[svt.name]).all())
-            ]
-            if len(marg_slots) == 1:
-                from g2o_tpu.ops.bucketed import bucket_by_segment
+        ls = _bucket_lm_slot(et, E)
+        if ls is not None:
+            from g2o_tpu.ops.bucketed import bucket_by_segment
 
-                ls = marg_slots[0]
-                lt = et.vertex_types[ls].name
-                plan = bucket_by_segment(vidx[:, ls], counts[lt])
-                # padding slots replicate the FIRST ROW OF THEIR OWN SLAB
-                # SEGMENT (not batch row 0): the padded row then shares its
-                # segment's landmark id, so per-slab broadcasts of landmark
-                # STATES are bit-identical to the row gather (inactive
-                # padding keeps W == 0 so no contribution changes)
-                perm = plan.perm_src.copy()
-                sentinel = plan.perm_src == E
-                off = 0
-                for nseg, dg in zip(plan.counts, plan.degrees):
-                    # degree-major slabs: (dg, nseg); a segment's first row
-                    # is its degree-0 slot
-                    blk = perm[off:off + nseg * dg].reshape(dg, nseg)
-                    blk[:] = np.where(blk == E, blk[:1, :], blk)
-                    off += nseg * dg
-                for k, a in arrays.items():
-                    a2 = a[perm].copy()
-                    if k == "active":
-                        a2[sentinel] = False
-                    arrays[k] = a2
-                bucket_specs[name] = BucketedEdgeSpec(
-                    pose_slot=1 - ls, lm_slot=ls,
-                    counts=plan.counts, degrees=plan.degrees,
-                    n_rows=int(len(plan.perm_src)))
-                plans[name] = {"segp": jnp.asarray(plan.seg_perm)}
-                E = int(len(plan.perm_src))
+            lt = et.vertex_types[ls].name
+            plan = bucket_by_segment(arrays["vidx"][:, ls], counts[lt])
+            # padding slots replicate the FIRST ROW OF THEIR OWN SLAB
+            # SEGMENT (not batch row 0): the padded row then shares its
+            # segment's landmark id, so per-slab broadcasts of landmark
+            # STATES are bit-identical to the row gather (inactive
+            # padding keeps W == 0 so no contribution changes)
+            perm = plan.perm_src.copy()
+            sentinel = plan.perm_src == E
+            off = 0
+            for nseg, dg in zip(plan.counts, plan.degrees):
+                # degree-major slabs: (dg, nseg); a segment's first row
+                # is its degree-0 slot
+                blk = perm[off:off + nseg * dg].reshape(dg, nseg)
+                blk[:] = np.where(blk == E, blk[:1, :], blk)
+                off += nseg * dg
+            for k, a in arrays.items():
+                a2 = a[perm].copy()
+                if k == "active":
+                    a2[sentinel] = False
+                arrays[k] = a2
+            seg_ident = bool(np.array_equal(
+                plan.seg_perm, np.arange(len(plan.seg_perm),
+                                         dtype=plan.seg_perm.dtype)))
+            bucket_specs[name] = BucketedEdgeSpec(
+                pose_slot=1 - ls, lm_slot=ls,
+                counts=plan.counts, degrees=plan.degrees,
+                n_rows=int(len(plan.perm_src)),
+                seg_identity=seg_ident)
+            plans[name] = {"segp": jnp.asarray(plan.seg_perm)}
+            E = int(len(plan.perm_src))
 
         n_pad = (-E) % m
 

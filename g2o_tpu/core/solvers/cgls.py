@@ -92,7 +92,10 @@ class CGLSSolver:
                 for s, vt in enumerate(et.vertex_types):
                     t = vt.name
                     if spec is not None and s == spec.lm_slot:
-                        v_used = vb[t][data.plans[name]["segp"]]
+                        if spec.seg_identity:
+                            v_used = vb[t][:sum(spec.counts)]
+                        else:
+                            v_used = vb[t][data.plans[name]["segp"]]
                         chunks, k = [], 0
                         for n, d, (Jb,) in slab_iter(spec, Js[s]):
                             chunks.append(jnp.einsum(
@@ -137,8 +140,12 @@ class CGLSSolver:
                                                         z[:nb]):
                             chunks.append(jnp.einsum("dnri,dnr->ni", Jb, zb))
                         part = jnp.concatenate(chunks, axis=0)
-                        out[t] = out[t].at[data.plans[name]["segp"]].add(
-                            part, unique_indices=True)
+                        if spec.seg_identity:
+                            out[t] = out[t].at[:part.shape[0]].add(part)
+                        else:
+                            out[t] = out[t].at[
+                                data.plans[name]["segp"]].add(
+                                part, unique_indices=True)
                     elif (spec is not None
                           and p.counts[t] <= onehot_max):
                         from g2o_tpu.ops.onehot import onehot_scatter_add

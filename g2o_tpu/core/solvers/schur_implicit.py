@@ -341,6 +341,30 @@ class ImplicitSchurSolver:
                         return data.edges[name].vidx[:bspec[name][2], ps]
                     return aux[name]["cam"]
 
+                def seg_ident(name):
+                    return (pre[name]
+                            and p.bucket_specs[name].seg_identity)
+
+                # bucket-order <-> natural-order landmark rows: static
+                # slices when the type was reordered into bucket order at
+                # compile time (seg_identity), else permutation ops
+                def seg_take(name, arr):
+                    if seg_ident(name):
+                        return arr[:sum(p.bucket_specs[name].counts)]
+                    return arr[segp_of(name)]
+
+                def seg_add(name, out, vals):
+                    if seg_ident(name):
+                        return out.at[:vals.shape[0]].add(vals)
+                    return out.at[segp_of(name)].add(vals,
+                                                     unique_indices=True)
+
+                def seg_set(name, out, vals):
+                    if seg_ident(name):
+                        return out.at[:vals.shape[0]].set(vals)
+                    return out.at[segp_of(name)].set(vals,
+                                                     unique_indices=True)
+
             # per-landmark-type Dinv (batched closed-form inverses) for
             # types NOT on the dims-major path
             Dinv = {t: inv_small(D)
@@ -406,7 +430,7 @@ class ImplicitSchurSolver:
                              jnp.zeros((1,) + B[name].shape[1:],
                                        dtype=dtype)])
                         Bp[name] = Bz[aux[name]["perm"]]
-                    Dinv_perm[name] = Dinv[lt][segp_of(name)]
+                    Dinv_perm[name] = seg_take(name, Dinv[lt])
                 # dims-major copies for the CG loop; trailing
                 # pad_edges_to_multiple rows beyond the slab-covered prefix
                 # are dropped (they carry W == 0).  Compile-time bucketed
@@ -439,7 +463,7 @@ class ImplicitSchurSolver:
                         cam_of(name, ps), rows_t, p.counts[pt])
                 elif bucketed:
                     rows = bucket_up(bspec[name], Bp[name],
-                                     y[lt][segp_of(name)])
+                                     seg_take(name, y[lt]))
                     bschur[pt] = bschur[pt] - pose_rows_scatter(
                         cam_of(name, ps), rows, p.counts[pt])
                 else:
@@ -563,8 +587,7 @@ class ImplicitSchurSolver:
                             u = pose_rows_gather(vb[pt], cam_of(name, ps),
                                                  p.counts[pt])
                             part = bucket_down(bspec[name], Bp[name], u)
-                            tl[lt] = tl[lt].at[segp_of(name)].add(
-                                part, unique_indices=True)
+                            tl[lt] = seg_add(name, tl[lt], part)
                         else:
                             vidx = data.edges[name].vidx
                             u = vb[pt][vidx[:, ps]]
@@ -578,7 +601,7 @@ class ImplicitSchurSolver:
                         lt = et.vertex_types[ls].name
                         if bucketed:
                             rows = bucket_up(bspec[name], Bp[name],
-                                             s_[lt][segp_of(name)])
+                                             seg_take(name, s_[lt]))
                             out[pt] = out[pt] - pose_rows_scatter(
                                 cam_of(name, ps), rows, p.counts[pt])
                         else:
@@ -644,15 +667,13 @@ class ImplicitSchurSolver:
                     dxl_b = jnp.einsum("nij,nj->ni", Dinv_b[name],
                                        bl_b[name] - t_.T)
                     d = p.vertex_types[lt].tangent_dim
-                    dxl[lt] = jnp.zeros(
-                        (p.counts[lt], d), dtype=dtype).at[
-                        segp_of(name)].set(dxl_b, unique_indices=True)
+                    dxl[lt] = seg_set(name, jnp.zeros(
+                        (p.counts[lt], d), dtype=dtype), dxl_b)
                 elif bucketed:
                     u = pose_rows_gather(dxp[pt], cam_of(name, ps),
                                          p.counts[pt])
                     part = bucket_down(bspec[name], Bp[name], u)
-                    wl[lt] = wl[lt].at[segp_of(name)].add(
-                        part, unique_indices=True)
+                    wl[lt] = seg_add(name, wl[lt], part)
                 else:
                     vidx = data.edges[name].vidx
                     wl[lt] = wl[lt].at[vidx[:, ls]].add(

@@ -40,24 +40,37 @@ def main():
         optimize_fused(p, solver, n_iters)
 
     xplanes = sorted(glob.glob(
-        os.path.join(TRACE_DIR, "**", "*.xplane.pb"), recursive=True),
+        os.path.join(TRACE_DIR, "**", "*.trace.json.gz"), recursive=True),
         key=os.path.getmtime)
-    print("xplane:", xplanes[-1], flush=True)
+    print("trace:", xplanes[-1], flush=True)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # aggregate XLA op durations straight from the Chrome trace (the
+    # tensorboard_plugin_profile converter is broken against this
+    # container's TF protobufs)
+    import collections
+    import re
 
-    for tool in ("hlo_stats", "framework_op_stats"):
-        try:
-            data, _ = raw_to_tool_data.xspace_to_tool_data(
-                [xplanes[-1]], tool, {})
-        except Exception as e:
-            print(f"{tool}: FAILED {e}", flush=True)
+    with gzip.open(xplanes[-1]) as fh:
+        tr = json.load(fh)
+    ev = [e for e in tr["traceEvents"] if e.get("ph") == "X"]
+    lanes = {}
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lanes[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    ops = [e for e in ev
+           if lanes.get((e["pid"], e.get("tid"))) == "XLA Ops"]
+    agg, cnt, ex = (collections.Counter(), collections.Counter(), {})
+    for e in ops:
+        if e["name"].startswith("while"):
             continue
-        out = f"/tmp/venice_{tool}.out"
-        mode = "wb" if isinstance(data, bytes) else "w"
-        with open(out, mode) as fh:
-            fh.write(data)
-        print(f"{tool}: wrote {out} ({len(data)} bytes)", flush=True)
+        agg[e["name"]] += e["dur"]
+        cnt[e["name"]] += 1
+        ex[e["name"]] = (e.get("args") or {}).get("long_name", "")[:130]
+    print(f"total leaf-op time: "
+          f"{sum(agg.values())/1e6:.3f} s over {sum(cnt.values())} ops")
+    for name, dur in agg.most_common(25):
+        print(f"{dur/1e3:8.1f} ms x{cnt[name]:<4} {name[:40]} | "
+              f"{ex[name]}", flush=True)
 
 
 if __name__ == "__main__":
