@@ -20,6 +20,22 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _use_pallas(n_rows: int, n_seg: int, d_flat: int) -> bool:
+    """Whether to route one-hot ops through the Pallas tile-local kernels
+    (``ops/pallas_kernels.py``: gather_t_mxu / segment_sum_t_mxu and the
+    edge-major twins).
+
+    MEASURED OFF (2026-08-19, 1× v5e, Venice shapes): the tile-local
+    kernels are numerically exact but ~10× SLOWER than the XLA dot form —
+    at 900k rows / 800 segments the VMEM budget caps the row tile at
+    ~1024, so each op runs ~880 grid steps whose per-step overhead
+    (~50 µs) dwarfs the compute (Venice LM iteration 0.038 → 0.20 s).
+    Re-enable only after restructuring the kernels to amortise grid
+    steps (in-kernel fori_loop over row sub-tiles, multi-output fusion of
+    the CG-loop gather+scatter pair)."""
+    return False
+
+
 def onehot_scatter_add(idx, rows, n_seg: int, precision=_HI):
     """Σ_i rows[i] into segment idx[i]: (N, ...) -> (n_seg, ...).
 
@@ -27,6 +43,11 @@ def onehot_scatter_add(idx, rows, n_seg: int, precision=_HI):
     may pass DEFAULT (bf16 MXU passes, ~1e-3 relative) — measured ~5x
     faster per op at Venice scale."""
     flat = rows.reshape(rows.shape[0], -1)
+    if _use_pallas(flat.shape[0], n_seg, flat.shape[1]):
+        from g2o_tpu.ops.pallas_kernels import segment_sum_rows_mxu
+
+        out = segment_sum_rows_mxu(idx, flat, n_seg, precision=precision)
+        return out.reshape((n_seg,) + rows.shape[1:])
     oh = jax.nn.one_hot(idx, n_seg, dtype=flat.dtype)
     out = jax.lax.dot_general(oh, flat, (((0,), (0,)), ((), ())),
                               precision=precision,
@@ -38,6 +59,11 @@ def onehot_gather(idx, table, precision=_HI):
     """table[idx]: (S, ...) -> (N, ...).  See ``onehot_scatter_add`` for
     the ``precision`` contract."""
     flat = table.reshape(table.shape[0], -1)
+    if _use_pallas(idx.shape[0], flat.shape[0], flat.shape[1]):
+        from g2o_tpu.ops.pallas_kernels import gather_mxu_rows
+
+        out = gather_mxu_rows(idx, flat, precision=precision)
+        return out.reshape((idx.shape[0],) + table.shape[1:])
     oh = jax.nn.one_hot(idx, table.shape[0], dtype=flat.dtype)
     out = jax.lax.dot_general(oh, flat, (((1,), (0,)), ((), ())),
                               precision=precision,
@@ -50,6 +76,10 @@ def onehot_gather_t(idx, table, precision=_HI):
     ``table[idx]`` with the row axis minormost, for consumers that keep the
     edge axis on lanes (no relayout of the (D, N) output needed)."""
     flat = table.reshape(table.shape[0], -1)               # (S, D)
+    if _use_pallas(idx.shape[0], flat.shape[0], flat.shape[1]):
+        from g2o_tpu.ops.pallas_kernels import gather_t_mxu
+
+        return gather_t_mxu(idx, flat, precision=precision)
     oh = jax.nn.one_hot(idx, table.shape[0], dtype=flat.dtype)   # (N, S)
     return jax.lax.dot_general(flat, oh, (((0,), (1,)), ((), ())),
                                precision=precision,
@@ -63,6 +93,10 @@ def onehot_scatter_add_t(idx, rows_t, n_seg: int, precision=_HI):
     (``rows_t @ onehot(idx)``), so dims-major producers (see the
     linearize assembly fast path) feed it without a relayout back to
     row-major."""
+    if _use_pallas(rows_t.shape[1], n_seg, rows_t.shape[0]):
+        from g2o_tpu.ops.pallas_kernels import segment_sum_t_mxu
+
+        return segment_sum_t_mxu(idx, rows_t, n_seg, precision=precision)
     oh = jax.nn.one_hot(idx, n_seg, dtype=rows_t.dtype)   # (N, n_seg)
     out_t = jax.lax.dot_general(rows_t, oh, (((1,), (0,)), ((), ())),
                                 precision=precision,

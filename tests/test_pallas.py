@@ -25,3 +25,42 @@ def test_segment_sum_mxu_empty_segments():
     out = segment_sum_mxu(vals, seg, 5, interpret=True)
     np.testing.assert_allclose(np.asarray(out[0]), 10.0)
     np.testing.assert_allclose(np.asarray(out[1:]), 0.0)
+
+
+@pytest.mark.parametrize("dims_major", [True, False])
+def test_onehot_kernels_match_xla(dims_major):
+    """The tile-local one-hot gather/segment-sum kernels must match the
+    XLA dot forms exactly in f32 (interpret mode; on TPU they replace the
+    XLA form for big batches via onehot._use_pallas)."""
+    from g2o_tpu.ops.pallas_kernels import (gather_mxu_rows, gather_t_mxu,
+                                            segment_sum_rows_mxu,
+                                            segment_sum_t_mxu)
+
+    rng = np.random.default_rng(0)
+    N, S, D = 700, 37, 5
+    idx = jnp.asarray(rng.integers(0, S + 3, size=N).astype(np.int32))
+    # ids >= S are out of range: gathers yield zero rows, scatters drop
+    table = jnp.asarray(rng.standard_normal((S, D)), dtype=jnp.float32)
+    rows = jnp.asarray(rng.standard_normal((N, D)), dtype=jnp.float32)
+
+    hi = jax.lax.Precision.HIGHEST
+    valid = (np.asarray(idx) < S)
+    ref_gather = np.where(valid[:, None], np.asarray(table)
+                          [np.minimum(np.asarray(idx), S - 1)], 0.0)
+    ref_scatter = np.zeros((S, D), np.float32)
+    np.add.at(ref_scatter, np.asarray(idx)[valid], np.asarray(rows)[valid])
+
+    if dims_major:
+        g = np.asarray(gather_t_mxu(idx, table, precision=hi,
+                                    interpret=True))
+        np.testing.assert_allclose(g.T, ref_gather, atol=1e-6)
+        s = np.asarray(segment_sum_t_mxu(idx, rows.T, S, precision=hi,
+                                         interpret=True))
+        np.testing.assert_allclose(s, ref_scatter, atol=1e-4)
+    else:
+        g = np.asarray(gather_mxu_rows(idx, table, precision=hi,
+                                       interpret=True))
+        np.testing.assert_allclose(g, ref_gather, atol=1e-6)
+        s = np.asarray(segment_sum_rows_mxu(idx, rows, S, precision=hi,
+                                            interpret=True))
+        np.testing.assert_allclose(s, ref_scatter, atol=1e-4)
