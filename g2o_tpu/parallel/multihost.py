@@ -90,8 +90,15 @@ def shard_problem_data_global(data: ProblemData, mesh: Mesh) -> ProblemData:
         x = np.asarray(x)
         if jax.process_count() == 1:
             return jax.device_put(x, edge_sh)
-        # each process holds the full array here; hand JAX our slice
-        return jax.make_array_from_process_local_data(edge_sh, x)
+        # every process holds the full (globally identical) edge arrays;
+        # hand JAX only this process's contiguous row slice — the edge axis
+        # is sharded over (hosts, edges) with the host axis outermost, so
+        # process p owns rows [p*per, (p+1)*per)
+        nproc, pid = jax.process_count(), jax.process_index()
+        per = x.shape[0] // nproc
+        local = x[pid * per:(pid + 1) * per]
+        return jax.make_array_from_process_local_data(
+            edge_sh, local, global_shape=x.shape)
 
     def shard_batch(b: EdgeBatchData) -> EdgeBatchData:
         return EdgeBatchData(*[put_edges(x) for x in b])
