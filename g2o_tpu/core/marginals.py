@@ -83,6 +83,101 @@ def _sparse_cov_blocks(problem, locals_, *, lam, estimates):
     return np.asarray(run(p.data, lin, aux, kcols))
 
 
+def _schur_marginals(problem, spans, *, lam, estimates):
+    """Diagonal covariance blocks via the reduced camera system — the
+    BA-scale path the reference reaches through CHOLMOD ``solveBlocks``
+    on the factor (``solvers/cholmod/linear_solver_cholmod.h:160-230``)
+    plus the Takahashi recursion
+    (``core/marginal_covariance_cholesky.h:92``).
+
+    With ``H = [[A, B], [B^T, D]]`` (poses / marginalized landmarks) and
+    Schur complement ``S = A - B D^-1 B^T``:
+
+    * pose blocks:      ``Cov_pp = (S^-1)[p, p]`` — batched triangular
+      solves on unit columns of the (already dense, MXU-factorized) reduced
+      matrix;
+    * landmark blocks:  ``Cov_jj = D_j^-1 + Y_j^T S^-1 Y_j`` with
+      ``Y_j = (B D^-1)[:, j]`` assembled from the per-observation blocks —
+      one scatter + one batched solve for ALL requested landmarks.
+
+    Memory is O(Tp^2 + k·Tp·dl): no T×T dense Hessian is ever formed."""
+    from g2o_tpu.core.solvers.schur import SchurSolver
+
+    p = problem
+    solver = SchurSolver().setup(p)
+    lay = solver._layout
+    aux = solver.aux
+    marg = lay["marg"]
+    Tp, dl = lay["Tp"], lay["dl"]
+    dp = lay["dp"]
+    dtype = p.dtype
+
+    pose_req, lm_req = [], []     # (span position, reduced coordinate)
+    for m, (vid, t, i, d, fx) in enumerate(spans):
+        if marg[t]:
+            lm_req.append((m, lay["lm_base"][t] + i))
+        else:
+            pose_req.append((m, lay["pose_base"][t] + i * d, d))
+
+    lin = p.linearize_jit(p.data, estimates)
+    kl = len(lm_req)
+    lm_idx = jnp.asarray([j for _, j in lm_req], dtype=jnp.int32)
+    pose_cols_np = np.concatenate(
+        [np.arange(o, o + d) for _, o, d in pose_req]).astype(np.int32) \
+        if pose_req else np.zeros(0, np.int32)
+    pose_cols = jnp.asarray(pose_cols_np)
+    kp = len(pose_cols_np)
+    hi = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def run(data, lin, aux):
+        Hschur, _, B, Dinv = solver._reduced_parts_fn(data, lin,
+                                                      jnp.asarray(lam, dtype),
+                                                      aux)
+        L, lower = jax.scipy.linalg.cho_factor(Hschur, lower=True)
+
+        # pose covariances: S^-1 unit columns
+        rhs = jnp.zeros((Tp, kp), dtype=dtype)
+        rhs = rhs.at[pose_cols, jnp.arange(kp)].set(1.0)
+        Xp = jax.scipy.linalg.cho_solve((L, lower), rhs)     # (Tp, kp)
+        pose_cov = Xp[pose_cols, :]                          # (kp, kp)
+
+        # landmark covariances: Y_j = scatter of B_e Dinv_j over the
+        # observations of each requested landmark
+        BD = jnp.einsum("edl,elm->edm", B, Dinv[aux["obs_lm"]],
+                        precision=hi)                        # (Eo, dp, dl)
+        cam_idx2 = aux["obs_cam"][:, None] + jnp.arange(dp)[None, :]
+        # map landmark linear index -> requested slot (kl == dumped)
+        slot_of = jnp.full((lay["NL"],), kl, dtype=jnp.int32)
+        slot_of = slot_of.at[lm_idx].set(jnp.arange(kl, dtype=jnp.int32))
+        s = slot_of[aux["obs_lm"]]                           # (Eo,)
+        Y = jnp.zeros((kl + 1, Tp, dl), dtype=dtype)
+        Y = Y.at[s[:, None], cam_idx2].add(BD)
+        Y = Y[:kl]                                           # (kl, Tp, dl)
+        U = jax.scipy.linalg.cho_solve(
+            (L, lower),
+            Y.transpose(1, 0, 2).reshape(Tp, kl * dl)
+        ).reshape(Tp, kl, dl).transpose(1, 0, 2)             # (kl, Tp, dl)
+        extra = jnp.einsum("ktd,kte->kde", Y, U, precision=hi)
+        lm_cov = Dinv[lm_idx] + extra                        # (kl, dl, dl)
+        return pose_cov, lm_cov
+
+    pose_cov, lm_cov = run(p.data, lin, aux)
+    pose_cov, lm_cov = np.asarray(pose_cov), np.asarray(lm_cov)
+
+    out = {}
+    col = 0
+    for (m, o, d) in pose_req:
+        vid, _, _, _, is_fixed = spans[m]
+        out[vid] = (np.zeros((d, d)) if is_fixed
+                    else pose_cov[col:col + d, col:col + d])
+        col += d
+    for r, (m, _) in enumerate(lm_req):
+        vid, _, _, d, is_fixed = spans[m]
+        out[vid] = np.zeros((d, d)) if is_fixed else lm_cov[r][:d, :d]
+    return out
+
+
 def _dense_inverse_block(problem, cols, *, lam, estimates):
     """(k, k) block of H^-1 for the given flat column indices."""
     p = problem
@@ -114,12 +209,20 @@ def compute_marginals(problem, vertex_ids, *, lam: float = 0.0,
     spans = _spans_for(p, vertex_ids)
 
     if method == "auto":
-        method = ("sparse" if _sparse_applicable(p)
-                  and p.total_dim * p.total_dim > 32_000_000 else "dense")
+        if any(np.asarray(m).any() for m in p.marginalized.values()):
+            method = "schur"
+        elif (_sparse_applicable(p)
+              and p.total_dim * p.total_dim > 32_000_000):
+            method = "sparse"
+        else:
+            method = "dense"
     if method == "sparse" and not _sparse_applicable(p):
         raise NotImplementedError(
             "sparse marginals require a single uniform vertex type and "
             "binary edges")
+
+    if method == "schur":
+        return _schur_marginals(p, spans, lam=lam, estimates=estimates)
 
     out = {}
     if method == "sparse":

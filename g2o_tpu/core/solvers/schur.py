@@ -292,7 +292,11 @@ class SchurSolver:
                 + jnp.diag(aux["pose_fixed_flat"])
             return H
 
-        def solve(data, lin, lam, aux):
+        def reduced_parts(data, lin, lam, aux):
+            """(Hschur, bschur, B, Dinv) — the dense reduced camera system
+            plus the per-observation off-diagonal blocks and landmark block
+            inverses.  Shared by the linear solve and by Schur-based marginal
+            covariance recovery (``core/marginals.py``)."""
             B = build_B(data, lin)                        # (Eo, dp, dl)
             Dinv = inv_small(landmark_diag(lin, lam, aux))
 
@@ -329,6 +333,13 @@ class SchurSolver:
             cols = (aux["uniq_col"][:, None]
                     + jnp.arange(dp)[None, :])[:, None, :]
             Hschur = Hpp.at[rows, cols].add(-Mu)
+            return Hschur, bschur, B, Dinv
+
+        def solve(data, lin, lam, aux):
+            Hschur, bschur, B, Dinv = reduced_parts(data, lin, lam, aux)
+            lm_idx2 = aux["lm_goff"][:, None] + jnp.arange(dl)[None, :]
+            bl = lin.b[lm_idx2]                           # (NL, dl)
+            cam_idx2 = aux["obs_cam"][:, None] + jnp.arange(dp)[None, :]
 
             if self.use_cholesky:
                 L, lower = jax.scipy.linalg.cho_factor(Hschur, lower=True)
@@ -349,6 +360,11 @@ class SchurSolver:
 
         self._solve_fn = solve          # unjitted, for fusion into one step
         self._solve_jit = jax.jit(solve)
+        self._reduced_parts_fn = reduced_parts   # for marginals
+        # layout facts marginals needs to map vertex ids into the reduced
+        # (pose-flat / landmark-linear) coordinates
+        self._layout = dict(pose_base=pose_base, lm_base=lm_base, Tp=Tp,
+                            NL=NL, dp=dp, dl=dl, marg=marg)
         return self
 
     def solve(self, data, lin, lam=0.0):

@@ -159,3 +159,54 @@ def test_sparse_marginals_match_dense():
     cd = compute_cross_marginals(p, vids[1], vids[4], method="dense")
     cs = compute_cross_marginals(p, vids[1], vids[4], method="sparse")
     np.testing.assert_allclose(cs, cd, rtol=1e-8, atol=1e-10)
+
+
+def test_schur_marginals_match_dense_ba():
+    """Schur-based marginal recovery on a BA scene (cameras + marginalized
+    points): camera blocks from the reduced system S^-1, landmark blocks via
+    Cov_jj = D_j^-1 + Y_j^T S^-1 Y_j — must equal the dense H^-1 blocks."""
+    import numpy as np
+
+    from g2o_tpu.core.marginals import compute_marginals
+    from g2o_tpu.sim.generators import create_ba_scene
+
+    g, truth = create_ba_scene(n_cameras=6, n_points=40, pixel_noise=0.5,
+                               point_noise=0.2, seed=11)
+    p = g.compile()
+    vids = sorted(p.vid_index)
+    req = vids[:3] + vids[-4:]          # a few cameras + a few points
+    lam = 1e-5
+    md = compute_marginals(p, req, method="dense", lam=lam)
+    ms = compute_marginals(p, req, method="schur", lam=lam)
+    for v in req:
+        np.testing.assert_allclose(ms[v], md[v], rtol=1e-7, atol=1e-10)
+    # auto picks schur when marginalized vertices exist
+    ma = compute_marginals(p, req[:2], lam=lam)
+    for v in req[:2]:
+        np.testing.assert_allclose(ma[v], md[v], rtol=1e-7, atol=1e-10)
+
+
+def test_schur_marginals_multitype_pose_landmark():
+    """Multi-type (SE2 poses + PointXY landmarks) graph — the case the
+    round-1 sparse path rejected.  Schur marginals must match dense H^-1
+    for both vertex families."""
+    import numpy as np
+
+    from g2o_tpu.core.marginals import compute_marginals
+    from g2o_tpu.sim.generators import create_simulator2d
+
+    g = create_simulator2d(n_poses=25, n_landmarks=12,
+                           sensors=("odometry", "pointxy"), seed=5)
+    # marginalize every landmark (dim-2 vertices)
+    for vid, rec in g.vertices().items():
+        if len(np.asarray(rec.estimate)) == 2:
+            g.set_marginalized(vid, True)
+    p = g.compile()
+    pose_vids = [v for v in p.vid_index if len(p.get_estimate(v)) == 3]
+    lm_vids = [v for v in p.vid_index if len(p.get_estimate(v)) == 2]
+    req = pose_vids[:3] + lm_vids[:3] + pose_vids[-2:]
+    lam = 1e-6
+    md = compute_marginals(p, req, method="dense", lam=lam)
+    ms = compute_marginals(p, req, method="schur", lam=lam)
+    for v in req:
+        np.testing.assert_allclose(ms[v], md[v], rtol=1e-7, atol=1e-10)
