@@ -1,43 +1,87 @@
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints ONE JSON line with the headline metric plus
+per-config results for EVERY north-star config (BASELINE.json).
 
-Headline config (BASELINE.json): LM iterations/sec on the sphere2500 SE3
-pose graph (50 nodes/lap x 50 laps, the reference ``create_sphere`` dataset)
-with robust Huber kernels.  ``vs_baseline`` compares against the reference
-g2o's measured per-LM-iteration wall time on this machine's CPU when a
-measurement file exists (``baseline_measured.json``, produced by
-``scripts/measure_reference.py``); otherwise it is reported as 0.
+Headline (``value``/``vs_baseline``): LM iterations/sec on sphere2500
+(reference ``create_sphere`` dataset, Huber kernels) vs the reference g2o's
+measured per-LM-iteration wall time on this machine's CPU
+(``baseline_measured.json``, recipe ``scripts/measure_reference.md``).
+
+``extra.configs`` carries the same treatment for manhattan3500 (reference
+lm_var), Ladybug-scale BA and Venice-scale BA (reference ``bal_example``
+PCG), each with sec/iter, chi2 trajectory anchors, time-to-reference-chi2,
+and an MFU estimate from the analytic FLOP model
+(``g2o_tpu/utils/flops.py`` — algorithmic FLOPs, conservative).  Stats
+schema mirrors the reference's ``ba_benchmark`` dump
+(``g2o/examples/ba/ba_benchmark.cpp:126-136``).
 """
 
+import io
 import json
 import os
 import sys
 import time
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
-def main():
-    import jax
 
-    # persistent compilation cache: the expensive first compile of the fused
-    # runner is reused across bench invocations on this machine
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _ref():
+    path = os.path.join(_HERE, "baseline_measured.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            return json.load(fh)
+    return {}
 
+
+def _time_to_chi2(res, sec_per_iter, target):
+    chis = res["chi2_per_iteration"] + [res["chi2_final"]]
+    return next((round(i * sec_per_iter, 4)
+                 for i, c in enumerate(chis) if c <= target), None)
+
+
+def _run(p, solver, n_iters, mfu_device):
+    """Warm-up + timed run from the original estimates; returns stats."""
     import jax.numpy as jnp
     import numpy as np
 
+    from g2o_tpu.core.lm_fused import optimize_fused
+    from g2o_tpu.utils.flops import mfu_report
+
+    est0 = {t: np.array(v) for t, v in p.estimates.items()}
+    optimize_fused(p, solver, 2)                 # warm-up/compile
+    p.set_estimates({t: jnp.asarray(v, dtype=p.dtype)
+                     for t, v in est0.items()})
+    solver._host_state = None
+    res = optimize_fused(p, solver, n_iters)
+    sec_per_iter = res["wall_s"] / max(res["iterations"], 1)
+    out = {
+        "sec_per_iter": round(sec_per_iter, 6),
+        "iters_per_sec": round(res["iterations"] / res["wall_s"], 4),
+        "iterations": res["iterations"],
+        "chi2_initial": res["chi2_per_iteration"][0],
+        "chi2_final": res["chi2_final"],
+        "cg_iterations_total": int(sum(res.get("cg_per_iteration", []))),
+        "levenberg_trials_total": int(sum(res["trials_per_iteration"])),
+    }
+    mfu = mfu_report(p, solver, res, mfu_device)
+    if mfu:
+        out["mfu"] = {k: (round(v, 6) if k.startswith("mfu") else
+                          round(v / 1e12, 4))
+                      for k, v in mfu.items()}
+        out["mfu"]["_units"] = "TFLOP totals / TFLOP-per-s / ratio"
+    return res, sec_per_iter, out
+
+
+def bench_sphere(dev):
+    import jax.numpy as jnp
+
+    import g2o_tpu.types  # noqa: F401  (register tags)
     from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.io import g2o_format
     from g2o_tpu.sim.generators import create_sphere
 
     t0 = time.perf_counter()
-    # prefer the dataset produced by the REFERENCE's own create_sphere
-    # binary (vendored in data/) so chi2 values compare 1:1 with the
-    # measured baseline; fall back to our generator
-    ref_sphere = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "data", "sphere2500.g2o")
+    ref_sphere = os.path.join(_HERE, "data", "sphere2500.g2o")
     if os.path.exists(ref_sphere):
-        import g2o_tpu.types  # register tags
-        from g2o_tpu.io import g2o_format
-
         g = g2o_format.load(ref_sphere)
         dataset = "sphere2500 (reference create_sphere)"
     else:
@@ -45,68 +89,133 @@ def main():
         dataset = "sphere2500 (synthetic)"
     g.set_robust_kernel("Huber", 1.0)
     build_s = time.perf_counter() - t0
-
-    from g2o_tpu.core.lm_fused import optimize_fused
-
     p = g.compile()
-    # chunked block-tridiagonal preconditioner: captures the trajectory
-    # chain, and with the invert-once formulation its per-CG-iteration
-    # apply is a single batched einsum — measured best time-to-target on
-    # 1x v5e (0.52 s vs 0.74 s block-Jacobi).  tol=0.1 is eta-forcing: LM
-    # only needs a descent direction, not an exact solve; the sweep at
-    # tol in {1e-6, 3e-2, 1e-1} reaches the identical final chi2 with
-    # time-to-reference-chi2 0.51 -> 0.47 s at tol=0.1.
+    # chunked block-tridiagonal preconditioner + eta-forcing tol (sweep
+    # notes: ROADMAP.md round-1 item 1) — best measured time-to-target
     solver = PCGSolver(max_iter=50, tol=1e-1, precond="chunk", chunk_size=16)
+    res, sec_per_iter, out = _run(p, solver, 50, dev)
 
-    # warm-up run (compiles the fused device loop)
-    est0 = {t: np.array(v) for t, v in p.estimates.items()}
-    res = optimize_fused(p, solver, 2)   # warm-up/compile
-    p.set_estimates({t: jnp.asarray(v, dtype=p.dtype)
-                     for t, v in est0.items()})
-    chi0 = res["chi2_per_iteration"][0]
+    ref = _ref().get("sphere2500", {})
+    vs = (ref.get("sec_per_lm_iter", 0) / sec_per_iter
+          if ref.get("sec_per_lm_iter") else 0.0)
+    tt = None
+    if ref.get("chi2_after_50_iters") and "reference" in dataset:
+        tt = _time_to_chi2(res, sec_per_iter,
+                           ref["chi2_after_50_iters"] * 1.01)
+    out.update(dataset=dataset, build_s=round(build_s, 2),
+               solver="PCG chunk16 tol=0.1 (fused LM)",
+               vs_baseline=round(vs, 4), time_to_reference_chi2_s=tt,
+               reference_sec_per_iter=ref.get("sec_per_lm_iter"))
+    return out
 
-    n_iter = 50
-    res = optimize_fused(p, solver, n_iter)
-    wall = res["wall_s"]
-    chi1 = res["chi2_final"]
 
-    iters_per_sec = res["iterations"] / wall
-    sec_per_iter = wall / res["iterations"]
+def bench_manhattan(dev):
+    import g2o_tpu.types  # noqa: F401
+    from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.sim.generators import create_manhattan
 
-    vs_baseline = 0.0
-    time_to_ref_chi2 = None
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "baseline_measured.json")
-    if os.path.exists(ref_path):
-        with open(ref_path) as fh:
-            ref = json.load(fh)
-        ref_sec = ref.get("sphere2500", {}).get("sec_per_lm_iter")
-        if ref_sec:
-            vs_baseline = ref_sec / sec_per_iter  # >1 == faster than reference
-        # time-to-chi2-convergence: first iteration at or below the
-        # reference's 50-iteration chi2 (+1%), in our wall-clock
-        ref_chi2 = ref.get("sphere2500", {}).get("chi2_after_50_iters")
-        if ref_chi2 and "reference" in dataset:
-            target = ref_chi2 * 1.01
-            chis = res["chi2_per_iteration"] + [chi1]
-            for i, c in enumerate(chis):
-                if c <= target:
-                    time_to_ref_chi2 = round(i * sec_per_iter, 3)
-                    break
+    t0 = time.perf_counter()
+    g = create_manhattan(n_poses=3500, seed=0)
+    p = g.compile()
+    build_s = time.perf_counter() - t0
+    # two-level Schwarz preconditioner (chunk solves + coarse chunk-graph
+    # correction): the coarse grid propagates loop-closure information,
+    # measured the best time-to-reference-chi2 on this graph
+    solver = PCGSolver(max_iter=100, tol=1e-2, precond="chunk2",
+                       chunk_size=32)
+    res, sec_per_iter, out = _run(p, solver, 60, dev)
 
+    ref = _ref().get("manhattan3500", {})
+    vs = vs_tt = 0.0
+    tt = None
+    if ref.get("lm_var_chi2_after_30_iters"):
+        tt = _time_to_chi2(res, sec_per_iter,
+                           ref["lm_var_chi2_after_30_iters"] * 1.01)
+        ref_tt = 30 * ref.get("lm_var_sec_per_iter", 0.01)
+        if tt:
+            vs_tt = ref_tt / tt
+    if ref.get("lm_var_sec_per_iter"):
+        vs = ref["lm_var_sec_per_iter"] / sec_per_iter
+    out.update(dataset="manhattan3500 (create_manhattan seed=0)",
+               build_s=round(build_s, 2),
+               solver="PCG chunk2(32) tol=1e-2 (fused LM)",
+               vs_baseline=round(vs, 4),
+               time_to_reference_chi2_s=tt,
+               vs_baseline_time_to_chi2=round(vs_tt, 4),
+               reference_sec_per_iter=ref.get("lm_var_sec_per_iter"),
+               reference_chi2_after_30_iters=ref.get(
+                   "lm_var_chi2_after_30_iters"))
+    return out
+
+
+def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
+               label):
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+    from g2o_tpu.io.bal import load_bal_problem, make_synthetic_bal
+
+    t0 = time.perf_counter()
+    text = make_synthetic_bal(n_cameras=n_cams, n_points=n_pts,
+                              n_obs_per_point=n_obs_per_point,
+                              pixel_noise=1.0, seed=0)
+    # loaded EXACTLY as the reference's bal_example loads it (no robust
+    # kernel, unperturbed estimates): chi2 and per-iteration time compare
+    # 1:1 with baseline_measured.json
+    p = load_bal_problem(io.StringIO(text), huber=0.0, bucket_landmarks=True)
+    build_s = time.perf_counter() - t0
+    solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi")
+    res, sec_per_iter, out = _run(p, solver, n_iters, dev)
+
+    ref = _ref().get(ref_key, {})
+    vs = (ref.get("sec_per_lm_iter_pcg", 0) / sec_per_iter
+          if ref.get("sec_per_lm_iter_pcg") else 0.0)
+    tt = None
+    if ref.get("chi2_after_10_iters"):
+        tt = _time_to_chi2(res, sec_per_iter,
+                           ref["chi2_after_10_iters"] * 1.01)
+    out.update(dataset=label, build_s=round(build_s, 1),
+               n_observations=p.num_edges,
+               solver="implicit Schur CG tol=1e-2 (fused LM, bucketed)",
+               vs_baseline=round(vs, 4), time_to_reference_chi2_s=tt,
+               reference_sec_per_iter=ref.get("sec_per_lm_iter_pcg"),
+               reference_chi2_after_10_iters=ref.get("chi2_after_10_iters"))
+    return out
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    dev = jax.devices()[0]
+
+    configs = {}
+    errors = {}
+    runners = [
+        ("sphere2500", lambda: bench_sphere(dev)),
+        ("manhattan3500", lambda: bench_manhattan(dev)),
+        ("ladybug_ba", lambda: _bench_bal(
+            dev, 49, 7000, 5, 10, "ladybug_ba", "synthetic-ladybug49")),
+        ("venice_ba", lambda: _bench_bal(
+            dev, 800, 150_000, 6, 10, "venice_ba",
+            "synthetic-venice800 (see BASELINE.md synthetic caveat)")),
+    ]
+    for name, fn in runners:
+        try:
+            configs[name] = fn()
+        except Exception as e:          # noqa: BLE001 — report, keep going
+            errors[name] = f"{type(e).__name__}: {e}"
+
+    head = configs.get("sphere2500", {})
     result = {
-        "metric": f"LM iterations/sec, {dataset} (SE3+Huber, PCG)",
-        "value": round(iters_per_sec, 4),
+        "metric": "LM iterations/sec, sphere2500 (SE3+Huber, PCG) "
+                  "[+3 configs in extra.configs]",
+        "value": head.get("iters_per_sec", 0.0),
         "unit": "iter/s",
-        "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline": head.get("vs_baseline", 0.0),
         "extra": {
-            "sec_per_iter": round(sec_per_iter, 6),
-            "chi2_initial": float(chi0),
-            "chi2_final": float(chi1),
-            "time_to_reference_chi2_s": time_to_ref_chi2,
-            "build_s": round(build_s, 3),
-            "device": str(jax.devices()[0]),
-            "dtype": str(jnp.asarray(p.estimates[next(iter(p.estimates))]).dtype),
+            "device": str(dev),
+            "configs": configs,
+            **({"errors": errors} if errors else {}),
         },
     }
     print(json.dumps(result))

@@ -55,9 +55,10 @@ def make_lm_iteration(problem, solve_fn, max_trials: int, *,
             return jnp.logical_and(jnp.logical_not(good), trials < max_trials)
 
         def body(carry):
-            good, trials, lam, ni, est_out, chi_out, sstate = carry
+            good, trials, lam, ni, est_out, chi_out, sstate, cg = carry
             if solve_state_fn is not None:
-                dx, sstate, _ = solve_state_fn(data, lin, lam, aux, sstate)
+                dx, sstate, st = solve_state_fn(data, lin, lam, aux, sstate)
+                cg = cg + jnp.asarray(st.get("cg_iterations", 0), jnp.int32)
             else:
                 dx = solve_fn(data, lin, lam, aux)
             cand = p.apply_update_fn(data, estimates, dx)
@@ -76,13 +77,15 @@ def make_lm_iteration(problem, solve_fn, max_trials: int, *,
                 lambda new, old: jnp.where(ok, new, old), cand, est_out)
             chi_sel = jnp.where(ok, chi_new, chi_out)
             return (ok, trials + 1, lam_next, ni_next, est_sel, chi_sel,
-                    sstate)
+                    sstate, cg)
 
         init = (jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                lam, ni, estimates, chi0, sstate)
-        good, trials, lam_f, ni_f, est_f, chi_f, sstate = jax.lax.while_loop(
-            cond, body, init)
-        return est_f, chi0, chi_f, lam_f, ni_f, good, trials, sstate
+                lam, ni, estimates, chi0, sstate,
+                jnp.asarray(0, jnp.int32))
+        (good, trials, lam_f, ni_f, est_f, chi_f, sstate,
+         cg_total) = jax.lax.while_loop(cond, body, init)
+        return (est_f, chi0, chi_f, lam_f, ni_f, good, trials, sstate,
+                cg_total)
 
     return one_iteration
 
@@ -104,6 +107,7 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
     def run(data, estimates, lam, ni, n_iters, aux, sstate):
         chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
         trial_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
+        cg_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
 
         def cond(carry):
             it, stop = carry[0], carry[1]
@@ -112,11 +116,12 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
 
         def body(carry):
             (it, stop, est, lam, ni, chi_prev, chi_hist, trial_hist,
-             sstate) = carry
-            est2, chi0, chi_f, lam2, ni2, good, trials, sstate = \
-                one_iteration(data, est, lam, ni, aux, sstate)
+             cg_hist, sstate) = carry
+            (est2, chi0, chi_f, lam2, ni2, good, trials, sstate,
+             cg_total) = one_iteration(data, est, lam, ni, aux, sstate)
             chi_hist = chi_hist.at[it].set(chi0)
             trial_hist = trial_hist.at[it].set(trials)
+            cg_hist = cg_hist.at[it].set(cg_total)
             # stop on failed iteration or sub-threshold relative gain
             gain = (chi_prev - chi_f) / jnp.maximum(chi_prev, 1e-30)
             stop2 = jnp.logical_or(
@@ -124,14 +129,14 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
                 jnp.logical_and(it > 0, gain < gt) if gt > 0
                 else jnp.asarray(False))
             return (it + 1, stop2, est2, lam2, ni2, chi_f,
-                    chi_hist, trial_hist, sstate)
+                    chi_hist, trial_hist, cg_hist, sstate)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
                 lam, ni, jnp.asarray(jnp.inf, dtype), chi_hist, trial_hist,
-                sstate)
-        (it, stop, est, lam_f, ni_f, chi_f, chi_hist, trial_hist,
+                cg_hist, sstate)
+        (it, stop, est, lam_f, ni_f, chi_f, chi_hist, trial_hist, cg_hist,
          sstate) = jax.lax.while_loop(cond, body, init)
-        return est, lam_f, ni_f, it, chi_hist, trial_hist, chi_f
+        return est, lam_f, ni_f, it, chi_hist, trial_hist, cg_hist, chi_f
 
     return jax.jit(run, donate_argnums=(1,))
 
@@ -166,7 +171,7 @@ def optimize_fused(problem, solver, max_iterations: int, *,
     if sstate is None or not hasattr(solver, "_solve_state_fn"):
         sstate = jnp.zeros((), problem.dtype)   # placeholder (unused)
     t0 = time.perf_counter()
-    est, lam, ni, iters, chi_hist, trial_hist, chi_f = run(
+    est, lam, ni, iters, chi_hist, trial_hist, cg_hist, chi_f = run(
         problem.data, problem.estimates,
         jnp.asarray(lam0, problem.dtype),
         jnp.asarray(2.0, problem.dtype),
@@ -183,6 +188,7 @@ def optimize_fused(problem, solver, max_iterations: int, *,
         "wall_s": wall,
         "chi2_per_iteration": np.asarray(chi_hist)[:n].tolist(),
         "trials_per_iteration": np.asarray(trial_hist)[:n].tolist(),
+        "cg_per_iteration": np.asarray(cg_hist)[:n].tolist(),
         "chi2_final": float(chi_f),
         "lambda_final": float(lam),
     }
@@ -300,8 +306,8 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
                 self._lambda = float(self.tau * _max_abs_diag(p, lin))
 
         t0 = time.perf_counter()
-        est, chi0, chi_f, lam, ni, good, trials, self._sstate = \
-            self._iter_jit(
+        (est, chi0, chi_f, lam, ni, good, trials, self._sstate,
+         cg_total) = self._iter_jit(
                 p.data, p.estimates,
                 jnp.asarray(self._lambda, p.dtype),
                 jnp.asarray(self._ni, p.dtype),
@@ -315,6 +321,7 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
         self._ni = float(ni)
         stats.lambda_value = self._lambda
         stats.levenberg_iterations = int(trials)
+        stats.iterations_linear_solver = int(cg_total)
         self._levenberg_iters = int(trials)
         if not bool(good):
             return False

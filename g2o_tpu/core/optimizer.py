@@ -53,6 +53,7 @@ class BatchStatistics:
     time_iteration: float = 0.0
     levenberg_iterations: int = 0
     lambda_value: float = 0.0
+    iterations_linear_solver: int = 0
 
     def as_dict(self):
         return dataclasses.asdict(self)

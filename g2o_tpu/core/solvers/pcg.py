@@ -24,6 +24,16 @@ Preconditioners:
   so capturing it cuts CG iterations several-fold while costing a single
   MXU-friendly batched factorization.  Falls back to Jacobi for problems
   without a single uniform vertex type.
+* ``"chunk2"`` — two-level additive Schwarz: the chunk solves above are
+  upgraded to capture ALL intra-chunk couplings (nearby loop closures, not
+  just the odometry chain), and a COARSE correction solves the chunk-graph
+  system ``(Rᵀ(H+λI)R)⁻¹`` exactly — ``R`` aggregates each chunk's vertices
+  per tangent dim.  The coarse grid is what propagates information across
+  loop closures between distant poses, which neither Jacobi nor the
+  tridiagonal chunks can do; on loopy 2D pose graphs (manhattan worlds) it
+  cuts CG iterations several-fold again.  Both levels are batched dense
+  MXU work (one ``(nc, cd, cd)`` Cholesky + one ``(nc·d)²`` coarse factor
+  per λ-trial, pure einsums per CG application).
 
 The CG recurrence runs entirely on device inside ``lax.while_loop``; only the
 final update vector returns to the host."""
@@ -67,7 +77,8 @@ class PCGSolver:
     def _setup_chunk_precond(self, problem):
         """Host-side index maps for the chunked tridiagonal preconditioner.
         Returns None when the problem shape doesn't fit (multi-type)."""
-        if self.precond != "chunk" or len(problem.vertex_types) != 1:
+        if (self.precond not in ("chunk", "chunk2")
+                or len(problem.vertex_types) != 1):
             return None
         (tname,) = problem.vertex_types
         d = problem.vertex_types[tname].tangent_dim
@@ -79,6 +90,8 @@ class PCGSolver:
         # chain off-diagonal sources: edges between consecutive local ids
         # WITHIN the same chunk, per edge type (slot order both ways)
         chain = {}
+        intra = {}
+        coarse = {}
         for name, et in problem.edge_types.items():
             if et.num_slots != 2:
                 continue
@@ -89,15 +102,27 @@ class PCGSolver:
             hi = np.maximum(vidx[:, 0], vidx[:, 1])
             consecutive = (hi == lo + 1) & (lo // c == hi // c)
             idx = np.nonzero(consecutive)[0]
-            if len(idx) == 0:
-                continue
-            # orientation: True when slot0 is the lower index
-            fwd = vidx[idx, 0] < vidx[idx, 1]
-            chain[name] = (jnp.asarray(idx.astype(np.int32)),
-                           jnp.asarray(fwd),
-                           jnp.asarray(lo[idx].astype(np.int32)))
+            if len(idx) > 0:
+                # orientation: True when slot0 is the lower index
+                fwd = vidx[idx, 0] < vidx[idx, 1]
+                chain[name] = (jnp.asarray(idx.astype(np.int32)),
+                               jnp.asarray(fwd),
+                               jnp.asarray(lo[idx].astype(np.int32)))
+            if self.precond == "chunk2":
+                # ALL intra-chunk couplings (nearby loop closures included)
+                same = (vidx[:, 0] // c) == (vidx[:, 1] // c)
+                ii = np.nonzero(same)[0]
+                if len(ii) > 0:
+                    intra[name] = (
+                        jnp.asarray(ii.astype(np.int32)),
+                        jnp.asarray((vidx[ii, 0] // c).astype(np.int32)),
+                        jnp.asarray((vidx[ii, 0] % c).astype(np.int32)),
+                        jnp.asarray((vidx[ii, 1] % c).astype(np.int32)))
+                # coarse chunk-graph scatter targets for EVERY edge
+                seg = (vidx[:, 0] // c) * nc + (vidx[:, 1] // c)
+                coarse[name] = jnp.asarray(seg.astype(np.int32))
         return dict(tname=tname, d=d, n=n, c=c, nc=nc, n_pad=n_pad,
-                    chain=chain)
+                    chain=chain, intra=intra, coarse=coarse)
 
     def setup(self, problem):
         max_iter, tol = self.max_iter, self.tol
@@ -128,8 +153,17 @@ class PCGSolver:
             n, nc, n_pad = chunk_cfg["n"], chunk_cfg["nc"], chunk_cfg["n_pad"]
             cd = c * d
             chain = chunk_cfg["chain"]
+            intra = chunk_cfg["intra"]
+            coarse = chunk_cfg["coarse"]
+            two_level = self.precond == "chunk2"
+            # coarse system size, padded to 96-col panels so the blocked
+            # HIGHEST-precision Cholesky kernels stay inside the f32-safe
+            # XLA expander range (see solvers/supernodal.py:_SAFE_XLA_DIM)
+            ncd = nc * d
+            panel = 96
+            ncd_pad = -(-ncd // panel) * panel
 
-            def build_precond(data, lin, lam):
+            def build_chunk_blocks(data, lin, lam):
                 eye = jnp.eye(d, dtype=dtype)
                 D = lin.diag[tname] + lam * eye
                 fx = data.fixed[tname].astype(dtype)[:, None, None]
@@ -141,19 +175,28 @@ class PCGSolver:
                 M = jnp.zeros((nc, c, c, d, d), dtype=dtype)
                 ar = jnp.arange(n_pad)
                 M = M.at[ar // c, ar % c, ar % c].set(D)
-                # chain off-diagonals (both fixed-masked ends)
-                for name, (idx, fwd, lo) in chain.items():
-                    Js, W = lin.jacs[name], lin.weights[name]
-                    Hab = jnp.einsum("erd,ers,esf->edf",
-                                     Js[0][idx], W[idx], Js[1][idx])
-                    # orient as block (lo, lo+1)
-                    O = jnp.where(fwd[:, None, None], Hab,
-                                  jnp.swapaxes(Hab, -1, -2))
-                    ci = lo // c
-                    li = lo % c
-                    M = M.at[ci, li, li + 1].add(O)
-                    M = M.at[ci, li + 1, li].add(
-                        jnp.swapaxes(O, -1, -2))
+                if two_level:
+                    # ALL intra-chunk couplings (subsumes the chain)
+                    for name, (idx, ci, l0, l1) in intra.items():
+                        Js, W = lin.jacs[name], lin.weights[name]
+                        Hab = jnp.einsum("erd,ers,esf->edf",
+                                         Js[0][idx], W[idx], Js[1][idx])
+                        M = M.at[ci, l0, l1].add(Hab)
+                        M = M.at[ci, l1, l0].add(jnp.swapaxes(Hab, -1, -2))
+                else:
+                    # chain off-diagonals (both fixed-masked ends)
+                    for name, (idx, fwd, lo) in chain.items():
+                        Js, W = lin.jacs[name], lin.weights[name]
+                        Hab = jnp.einsum("erd,ers,esf->edf",
+                                         Js[0][idx], W[idx], Js[1][idx])
+                        # orient as block (lo, lo+1)
+                        O = jnp.where(fwd[:, None, None], Hab,
+                                      jnp.swapaxes(Hab, -1, -2))
+                        ci = lo // c
+                        li = lo % c
+                        M = M.at[ci, li, li + 1].add(O)
+                        M = M.at[ci, li + 1, li].add(
+                            jnp.swapaxes(O, -1, -2))
                 Md = M.transpose(0, 1, 3, 2, 4).reshape(nc, cd, cd)
                 # invert ONCE per lambda-trial so each CG application is a
                 # single batched einsum (a cho_solve per application costs
@@ -163,14 +206,78 @@ class PCGSolver:
                                          (nc, cd, cd))
                 return jax.scipy.linalg.cho_solve((Lc, True), eye_c)
 
+            def build_coarse_inverse(data, lin, lam):
+                # Hc = Rᵀ(H+λI)R over non-fixed vertices: vertex diagonals
+                # aggregate onto coarse diagonal blocks, every edge block
+                # onto its (chunk_a, chunk_b) coarse entry + its transpose
+                from g2o_tpu.core.solvers.supernodal import (
+                    _chol_batched, _solve_lower_batched, _solve_upper_batched)
+                eye = jnp.eye(d, dtype=dtype)
+                fx = data.fixed[tname].astype(dtype)[:, None, None]
+                Dm = (lin.diag[tname] + lam * eye) * (1.0 - fx)
+                cv = jnp.arange(n, dtype=jnp.int32) // c
+                Dc = jax.ops.segment_sum(Dm, cv, num_segments=nc)
+                S = jnp.zeros((nc * nc, d, d), dtype=dtype)
+                for name, seg in coarse.items():
+                    Js, W = lin.jacs[name], lin.weights[name]
+                    Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1])
+                    S = S + jax.ops.segment_sum(Hab, seg,
+                                                num_segments=nc * nc)
+                S = S.reshape(nc, nc, d, d)
+                Hc = S + jnp.swapaxes(S, 0, 1).transpose(0, 1, 3, 2)
+                di = jnp.arange(nc)
+                Hc = Hc.at[di, di].add(Dc)
+                # chunks whose vertices are ALL fixed (or padding) would be
+                # singular — give them a unit block
+                cnt = jax.ops.segment_sum(1.0 - fx[:, 0, 0], cv,
+                                          num_segments=nc)
+                empty = (cnt == 0)[:, None, None].astype(dtype)
+                Hc = Hc.at[di, di].set(
+                    Hc[di, di] * (1.0 - empty) + eye * empty)
+                Hd = Hc.transpose(0, 2, 1, 3).reshape(ncd, ncd)
+                if ncd_pad > ncd:
+                    pad = ncd_pad - ncd
+                    Hd = jnp.pad(Hd, ((0, pad), (0, pad)))
+                    Hd = Hd.at[jnp.arange(ncd, ncd_pad),
+                               jnp.arange(ncd, ncd_pad)].set(1.0)
+                L = _chol_batched(Hd[None], panel)
+                eye_p = jnp.eye(ncd_pad, dtype=dtype)[None]
+                Y = _solve_lower_batched(L, eye_p, panel)
+                return _solve_upper_batched(L, Y, panel)[0]
+
+            if two_level:
+                def build_precond(data, lin, lam):
+                    return (build_chunk_blocks(data, lin, lam),
+                            build_coarse_inverse(data, lin, lam))
+            else:
+                build_precond = build_chunk_blocks
+
             def apply_precond(data, Minv, rb):
+                if two_level:
+                    Minv, Cinv = Minv
                 rv = rb[tname]                               # (n, d)
                 if n_pad > n:
                     rv = jnp.concatenate(
                         [rv, jnp.zeros((n_pad - n, d), dtype=dtype)], axis=0)
                 rc = rv.reshape(nc, cd)
                 y = jnp.einsum("cij,cj->ci", Minv, rc)
-                return {tname: y.reshape(n_pad, d)[:n]}
+                z = y.reshape(n_pad, d)[:n]
+                if two_level:
+                    fm = data.fixed[tname].astype(dtype)[:, None]
+                    rm = rb[tname] * (1.0 - fm)
+                    if n_pad > n:
+                        rm = jnp.concatenate(
+                            [rm, jnp.zeros((n_pad - n, d), dtype=dtype)],
+                            axis=0)
+                    rcoarse = rm.reshape(nc, c, d).sum(axis=1).reshape(ncd)
+                    if ncd_pad > ncd:
+                        rcoarse = jnp.pad(rcoarse, (0, ncd_pad - ncd))
+                    yc = jnp.einsum("ij,j->i", Cinv, rcoarse,
+                                    precision=jax.lax.Precision.HIGHEST)
+                    zc = yc[:ncd].reshape(nc, d)
+                    z = z + (1.0 - fm) * jnp.repeat(
+                        zc, c, axis=0)[:n]
+                return {tname: z}
 
         else:
             build_precond = build_precond_jacobi
