@@ -119,6 +119,7 @@ class IncrementalOptimizer:
         self._set_data(edges={**p.data.edges, name: new_batch},
                        plans=new_plans)
         self._live_edges[name] = i + 1
+        self._edges_dirty = True
 
     def _init_fresh_through_edge(self, rec):
         """Initialise endpoints first seen through this edge from the other
@@ -264,6 +265,20 @@ class IncrementalOptimizer:
         if self._problem is None:
             self._compile()
         self._opt.problem = self._problem
+        solver = self._opt.solver
+        if (getattr(solver, "precond", None) in ("chunk", "chunk2")
+                and getattr(self, "_edges_dirty", False)):
+            # chunk preconditioners hold host-side edge→chunk index maps
+            # built at setup; rows overwritten since then would feed real
+            # blocks through stale placeholder indices — rebuild the maps
+            solver.setup(self._problem, force=True)
+        self._edges_dirty = False
+        if getattr(solver, "precond_mode", None) == "frozen":
+            # warm start: ONE preconditioner build per update; all LM
+            # iterations/λ-trials of this update reuse it (the TPU
+            # analogue of the reference's cross-update factor reuse,
+            # ``g2o_incremental/linear_solver_cholmod_online.h``)
+            solver.refresh_precond(self._problem)
         return self._opt.optimize(iterations)
 
     def get_estimate(self, vid):
