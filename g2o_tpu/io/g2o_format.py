@@ -172,7 +172,9 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
             # best-effort tag recovery: length-based
             vals = g._parameters[pid]
             tag = {7: "PARAMS_SE3OFFSET", 3: "PARAMS_SE2OFFSET",
-                   4: "PARAMS_CAMERAPARAMETERS"}.get(len(vals), "PARAMS_UNKNOWN")
+                   11: "PARAMS_CAMERACALIB",
+                   4: "PARAMS_CAMERAPARAMETERS"}.get(len(vals),
+                                                     "PARAMS_UNKNOWN")
             fh.write(f"{tag} {pid} {_fmt(vals)}\n")
         for vid in sorted(g.vertices()):
             rec = g.vertices()[vid]
