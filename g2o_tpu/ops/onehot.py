@@ -21,18 +21,33 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _use_pallas(n_rows: int, n_seg: int, d_flat: int) -> bool:
-    """Whether to route one-hot ops through the Pallas tile-local kernels
-    (``ops/pallas_kernels.py``: gather_t_mxu / segment_sum_t_mxu and the
-    edge-major twins).
+    """Whether to route one-hot ops through the Pallas kernels
+    (``ops/pallas_kernels.py``).
 
-    MEASURED OFF (2026-08-19, 1× v5e, Venice shapes): the tile-local
-    kernels are numerically exact but ~10× SLOWER than the XLA dot form —
-    at 900k rows / 800 segments the VMEM budget caps the row tile at
-    ~1024, so each op runs ~880 grid steps whose per-step overhead
-    (~50 µs) dwarfs the compute (Venice LM iteration 0.038 → 0.20 s).
-    Re-enable only after restructuring the kernels to amortise grid
-    steps (in-kernel fori_loop over row sub-tiles, multi-output fusion of
-    the CG-loop gather+scatter pair)."""
+    MEASURED OFF — twice.  Round 1 (2026-08-19, 1× v5e, Venice shapes):
+    the gridded kernels were ~10× slower (per-grid-step overhead over
+    ~880 row tiles).  Round 2 (2026-08-20): the restructured v2 kernels
+    (ONE grid step, in-kernel double-buffered HBM→VMEM DMA loop,
+    relayout-free (S, block) one-hot orientation) removed that overhead
+    — and still LOSE to the XLA dot form on every shape, measured by
+    while-loop marginal cost with a non-narrowing consumer
+    (``scripts/probe_pallas2.py``, 900k rows / 800 segments):
+
+    =========  ==========  ===========  ===========
+    op          XLA dot     pallas v1    pallas v2
+    =========  ==========  ===========  ===========
+    scatter d9    1.3-1.4 ms   3.8-5.4 ms   4.7-5.1 ms
+    gather  d9    0.70 ms      1.1-3.4 ms   1.4-1.7 ms
+    gather  d81   2.5 ms       4.9 ms       4.9 ms
+    =========  ==========  ===========  ===========
+
+    The cost is the narrow-N one-hot MXU product itself (9/128 lanes
+    useful), which XLA's operand-fused dot already executes optimally;
+    a hand kernel re-does the same math with extra DMA orchestration.
+    Beating it requires a different ALGORITHM (camera-sorted runs +
+    static boundary reductions), which conflicts with the landmark-
+    bucketed edge order the CG path needs.  Kernels are kept as
+    reference implementations + for platforms with slower XLA fusion."""
     return False
 
 

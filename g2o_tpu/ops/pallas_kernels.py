@@ -219,6 +219,198 @@ def segment_sum_rows_mxu(idx, rows, n_seg: int, *, precision=None,
     )(idx.astype(jnp.int32)[:, None], rows)
 
 
+# --------------------------------------------------------------------- #
+# v2: single-grid-step kernels with an IN-KERNEL double-buffered DMA loop
+# over row sub-tiles.  Round 1's gridded kernels paid ~50 µs of grid-step
+# overhead per tile on this platform (~880 tiles at Venice scale → 10×
+# slower than the XLA dot form, see ops/onehot._use_pallas).  Here the
+# whole reduction is ONE grid step: row tiles are DMA'd HBM→VMEM by hand
+# (double-buffered, overlapping the one-hot MXU product of the previous
+# tile), and the (S, D) accumulator stays VMEM-resident throughout.
+# --------------------------------------------------------------------- #
+
+
+# Only the DIMS-MAJOR (D, N) variants exist in v2: Mosaic HBM memref
+# slices must be 128-aligned along the minor (lane) dimension, so an
+# edge-major (N, 9) tile slice cannot be DMA'd without padding the rows
+# to 128 lanes (14× the bandwidth).  Dims-major keeps the big N axis on
+# lanes — tile slices are aligned, and it is also the layout the
+# production bucketed path uses (``ops/onehot`` ``*_t`` functions).
+# The index array rides along in HBM as (1, N) and is DMA'd per tile.
+
+
+def _mk_segsum2_kernel(block: int, n_tiles: int, precision, d: int):
+    def kernel(idx_hbm, rows_hbm, out_ref):
+        def body(vbuf, ibuf, sems, isems):
+            def get_dma(slot, t):
+                return pltpu.make_async_copy(
+                    rows_hbm.at[:, pl.ds(t * block, block)],
+                    vbuf.at[slot], sems.at[slot])
+
+            def idx_dma(slot, t):
+                return pltpu.make_async_copy(
+                    idx_hbm.at[:, pl.ds(t * block, block)],
+                    ibuf.at[slot], isems.at[slot])
+
+            get_dma(0, 0).start()
+            idx_dma(0, 0).start()
+            out_ref[:] = jnp.zeros_like(out_ref)
+            S = out_ref.shape[0]
+
+            def loop(t, carry):
+                cur = jax.lax.rem(t, 2)
+                nxt = jax.lax.rem(t + 1, 2)
+
+                @pl.when(t + 1 < n_tiles)
+                def _():
+                    get_dma(nxt, t + 1).start()
+                    idx_dma(nxt, t + 1).start()
+
+                get_dma(cur, t).wait()
+                idx_dma(cur, t).wait()
+                idx = ibuf[cur]                          # (1, block), lanes
+                # one-hot in (S, block) orientation: the compare broadcasts
+                # along lanes — no sublane/lane relayout of idx
+                rows_s = jax.lax.broadcasted_iota(jnp.int32, (S, block), 0)
+                oh = jnp.equal(rows_s, idx).astype(out_ref.dtype)
+                vals = vbuf[cur]                         # (d, block)
+                out_ref[:] += jax.lax.dot_general(
+                    oh, vals, (((1,), (1,)), ((), ())),
+                    preferred_element_type=out_ref.dtype,
+                    precision=precision)
+                return carry
+
+            jax.lax.fori_loop(0, n_tiles, loop, 0)
+
+        pl.run_scoped(body,
+                      vbuf=pltpu.VMEM((2, d, block), out_ref.dtype),
+                      ibuf=pltpu.VMEM((2, 1, block), jnp.int32),
+                      sems=pltpu.SemaphoreType.DMA((2,)),
+                      isems=pltpu.SemaphoreType.DMA((2,)))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "precision", "block",
+                                             "interpret"))
+def segment_sum_t_mxu2(idx, rows_t, n_seg: int, *, precision=None,
+                       block: int = 2048, interpret: bool = False):
+    """Dims-major (D, N) → (n_seg, D) segment sum, v2 (single grid step,
+    in-kernel double-buffered DMA loop over row tiles).  D is padded to the
+    8-sublane granularity Mosaic requires of HBM memref slices."""
+    d, n = rows_t.shape
+    d_pad = -(-d // 8) * 8
+    n_pad = (-n) % block
+    if n_pad:
+        idx = jnp.concatenate([idx, jnp.full((n_pad,), n_seg, idx.dtype)])
+    if n_pad or d_pad > d:
+        rows_t = jnp.pad(rows_t, ((0, d_pad - d), (0, n_pad)))
+    n_tiles = (n + n_pad) // block
+    out = pl.pallas_call(
+        _mk_segsum2_kernel(block, n_tiles, precision, d_pad),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # idx (1, N) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),     # rows (D, N) in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_seg, d_pad), rows_t.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32)[None, :], rows_t)
+    return out[:, :d]
+
+
+def _mk_gather2_kernel(block: int, n_tiles: int, precision):
+    def kernel(idx_hbm, table_ref, out_hbm):
+        def body(obuf, ibuf, sems, isems):
+            S = table_ref.shape[0]
+
+            def out_dma(slot, t):
+                return pltpu.make_async_copy(
+                    obuf.at[slot], out_hbm.at[:, pl.ds(t * block, block)],
+                    sems.at[slot])
+
+            def idx_dma(slot, t):
+                return pltpu.make_async_copy(
+                    idx_hbm.at[:, pl.ds(t * block, block)],
+                    ibuf.at[slot], isems.at[slot])
+
+            idx_dma(0, 0).start()
+
+            def loop(t, carry):
+                cur = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < n_tiles)
+                def _():
+                    idx_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+                # wait for the output DMA that used this slot 2 tiles ago
+                @pl.when(t >= 2)
+                def _():
+                    out_dma(cur, t - 2).wait()
+
+                idx_dma(cur, t).wait()
+                idx = ibuf[cur]                          # (1, block)
+                rows_s = jax.lax.broadcasted_iota(jnp.int32, (S, block), 0)
+                oh = jnp.equal(rows_s, idx).astype(table_ref.dtype)
+                # (d, S) @ (S, block): N=block on lanes — the widest MXU
+                # orientation available for a (S, d) table
+                obuf[cur] = jax.lax.dot_general(
+                    table_ref[:], oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=table_ref.dtype,
+                    precision=precision)
+                out_dma(cur, t).start()
+                return carry
+
+            jax.lax.fori_loop(0, n_tiles, loop, 0)
+
+            @pl.when(n_tiles >= 2)
+            def _():
+                out_dma(jax.lax.rem(n_tiles, 2), n_tiles - 2).wait()
+
+            @pl.when(n_tiles >= 1)
+            def _():
+                out_dma(jax.lax.rem(n_tiles + 1, 2), n_tiles - 1).wait()
+
+        d = table_ref.shape[1]
+        pl.run_scoped(body,
+                      obuf=pltpu.VMEM((2, d, block), table_ref.dtype),
+                      ibuf=pltpu.VMEM((2, 1, block), jnp.int32),
+                      sems=pltpu.SemaphoreType.DMA((2,)),
+                      isems=pltpu.SemaphoreType.DMA((2,)))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "block",
+                                             "interpret"))
+def gather_t_mxu2(idx, table, *, precision=None, block: int = 2048,
+                  interpret: bool = False):
+    """Dims-major gather ``table[idx]`` → (D, N), v2 (single grid step,
+    in-kernel DMA loop; output tiles DMA'd back to HBM double-buffered).
+    D is padded to the 8-sublane granularity Mosaic requires of HBM
+    memref slices."""
+    S, d = table.shape
+    d_pad = -(-d // 8) * 8
+    if d_pad > d:
+        table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
+    n = idx.shape[0]
+    n_pad = (-n) % block
+    if n_pad:
+        idx = jnp.concatenate([idx, jnp.full((n_pad,), S, idx.dtype)])
+    n_tiles = (n + n_pad) // block
+    out = pl.pallas_call(
+        _mk_gather2_kernel(block, n_tiles, precision),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((d_pad, n + n_pad), table.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32)[None, :], table)
+    return out[:d, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("num_segments", "block_n",
                                              "block_s", "interpret"))
 def segment_sum_mxu(values, seg_ids, num_segments: int, *,
