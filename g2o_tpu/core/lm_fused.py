@@ -42,12 +42,20 @@ def make_lm_iteration(problem, solve_fn, max_trials: int, *,
     (``solve_state_fn(data, lin, lam, aux, state) -> (dx, state', stats)``),
     the solver state — e.g. the reference PCG's carried residual floor
     (``solvers/pcg/linear_solver_pcg.hpp:124-127``) — is threaded through
-    every trial and returned for the next iteration."""
+    every trial and returned for the next iteration.
+
+    The candidate chi2 is evaluated by LINEARIZING the candidate (the
+    residuals come with the jacfwd pass anyway), and the accepted
+    candidate's linearization is RETURNED so the next iteration starts
+    from it — eliminating the duplicate residual pass per accepted trial
+    (the reference pays it too: computeActiveErrors after update,
+    ``optimization_algorithm_levenberg.cpp:114``, then linearizeOplus
+    again in the next buildSystem).  A rejected trial wastes its
+    Jacobians, but LM trial acceptance is the common case."""
     p = problem
     dtype = p.dtype
 
-    def one_iteration(data, estimates, lam, ni, aux, sstate):
-        lin = p.linearize_fn(data, estimates)
+    def one_iteration(data, estimates, lam, ni, aux, sstate, lin):
         chi0 = lin.chi2_robust
 
         def cond(carry):
@@ -55,14 +63,16 @@ def make_lm_iteration(problem, solve_fn, max_trials: int, *,
             return jnp.logical_and(jnp.logical_not(good), trials < max_trials)
 
         def body(carry):
-            good, trials, lam, ni, est_out, chi_out, sstate, cg = carry
+            good, trials, lam, ni, est_out, lin_out, chi_out, sstate, cg = \
+                carry
             if solve_state_fn is not None:
                 dx, sstate, st = solve_state_fn(data, lin, lam, aux, sstate)
                 cg = cg + jnp.asarray(st.get("cg_iterations", 0), jnp.int32)
             else:
                 dx = solve_fn(data, lin, lam, aux)
             cand = p.apply_update_fn(data, estimates, dx)
-            chi_new, _ = p.chi2_fn(data, cand)
+            lin_cand = p.linearize_fn(data, cand)
+            chi_new = lin_cand.chi2_robust
             scale = jnp.dot(dx, lam * dx + lin.b) + jnp.asarray(1e-3, dtype)
             rho = (chi0 - chi_new) / scale
             ok = jnp.logical_and(
@@ -76,16 +86,20 @@ def make_lm_iteration(problem, solve_fn, max_trials: int, *,
             est_sel = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), cand, est_out)
             chi_sel = jnp.where(ok, chi_new, chi_out)
-            return (ok, trials + 1, lam_next, ni_next, est_sel, chi_sel,
-                    sstate, cg)
+            # no where-select on lin_cand: the loop EXITS on accept, so the
+            # carried value is the accepted candidate's linearization; on a
+            # fully-failed iteration ``good`` is False and the caller must
+            # not reuse it (the run loop stops)
+            return (ok, trials + 1, lam_next, ni_next, est_sel, lin_cand,
+                    chi_sel, sstate, cg)
 
         init = (jnp.asarray(False), jnp.asarray(0, jnp.int32),
-                lam, ni, estimates, chi0, sstate,
+                lam, ni, estimates, lin, chi0, sstate,
                 jnp.asarray(0, jnp.int32))
-        (good, trials, lam_f, ni_f, est_f, chi_f, sstate,
+        (good, trials, lam_f, ni_f, est_f, lin_f, chi_f, sstate,
          cg_total) = jax.lax.while_loop(cond, body, init)
         return (est_f, chi0, chi_f, lam_f, ni_f, good, trials, sstate,
-                cg_total)
+                cg_total, lin_f)
 
     return one_iteration
 
@@ -108,6 +122,7 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
         chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
         trial_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
         cg_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
+        lin0 = problem.linearize_fn(data, estimates)
 
         def cond(carry):
             it, stop = carry[0], carry[1]
@@ -116,9 +131,10 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
 
         def body(carry):
             (it, stop, est, lam, ni, chi_prev, chi_hist, trial_hist,
-             cg_hist, sstate) = carry
+             cg_hist, sstate, lin) = carry
             (est2, chi0, chi_f, lam2, ni2, good, trials, sstate,
-             cg_total) = one_iteration(data, est, lam, ni, aux, sstate)
+             cg_total, lin2) = one_iteration(data, est, lam, ni, aux,
+                                             sstate, lin)
             chi_hist = chi_hist.at[it].set(chi0)
             trial_hist = trial_hist.at[it].set(trials)
             cg_hist = cg_hist.at[it].set(cg_total)
@@ -129,13 +145,13 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
                 jnp.logical_and(it > 0, gain < gt) if gt > 0
                 else jnp.asarray(False))
             return (it + 1, stop2, est2, lam2, ni2, chi_f,
-                    chi_hist, trial_hist, cg_hist, sstate)
+                    chi_hist, trial_hist, cg_hist, sstate, lin2)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
                 lam, ni, jnp.asarray(jnp.inf, dtype), chi_hist, trial_hist,
-                cg_hist, sstate)
+                cg_hist, sstate, lin0)
         (it, stop, est, lam_f, ni_f, chi_f, chi_hist, trial_hist, cg_hist,
-         sstate) = jax.lax.while_loop(cond, body, init)
+         sstate, _) = jax.lax.while_loop(cond, body, init)
         return est, lam_f, ni_f, it, chi_hist, trial_hist, cg_hist, chi_f
 
     return jax.jit(run, donate_argnums=(1,))
@@ -207,6 +223,7 @@ def make_gn_run(problem, solver, *, max_iters: int = 512):
 
     def run(data, estimates, n_iters, aux, sstate):
         chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
+        lin0 = p.linearize_fn(data, estimates)
 
         def cond(carry):
             it, stop = carry[0], carry[1]
@@ -214,27 +231,30 @@ def make_gn_run(problem, solver, *, max_iters: int = 512):
                                    jnp.logical_not(stop))
 
         def body(carry):
-            it, stop, est, chi_hist, sstate = carry
-            lin = p.linearize_fn(data, est)
+            it, stop, est, chi_hist, sstate, lin = carry
             if solve_state_fn is not None:
                 dx, sstate, _ = solve_state_fn(
                     data, lin, jnp.asarray(0.0, dtype), aux, sstate)
             else:
                 dx = solve_fn(data, lin, jnp.asarray(0.0, dtype), aux)
             new = p.apply_update_fn(data, est, dx)
-            chi_new, _ = p.chi2_fn(data, new)
+            # chi2 of the step comes with the NEXT linearization (carried)
+            lin_new = p.linearize_fn(data, new)
+            chi_new = lin_new.chi2_robust
             ok = jnp.isfinite(chi_new)
             est2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), new, est)
+            lin2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), lin_new, lin)
             chi_hist = chi_hist.at[it].set(lin.chi2_robust)
-            return (it + 1, jnp.logical_not(ok), est2, chi_hist, sstate)
+            return (it + 1, jnp.logical_not(ok), est2, chi_hist, sstate,
+                    lin2)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
-                chi_hist, sstate)
-        it, stop, est, chi_hist, sstate = jax.lax.while_loop(
+                chi_hist, sstate, lin0)
+        it, stop, est, chi_hist, sstate, lin_f = jax.lax.while_loop(
             cond, body, init)
-        chi_f, _ = p.chi2_fn(data, est)
-        return est, it, chi_hist, chi_f
+        return est, it, chi_hist, lin_f.chi2_robust
 
     return jax.jit(run, donate_argnums=(1,))
 
@@ -291,6 +311,7 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
                                    None))
         self._iter_jit = jax.jit(one_iteration)
         self._solver = optimizer.solver
+        self._lin = None       # carried linearization (device pytree)
         self._sstate = getattr(optimizer.solver, "state0", None)
         if self._sstate is None or not hasattr(optimizer.solver,
                                                "_solve_state_fn"):
@@ -298,21 +319,24 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
 
     def step(self, optimizer, iteration, stats):
         p = optimizer.problem
+        if self._lin is None:
+            self._lin = p.linearize_jit(p.data, p.estimates)
         if self._lambda is None:
             if self.initial_lambda > 0:
                 self._lambda = float(self.initial_lambda)
             else:
-                lin = p.linearize_jit(p.data, p.estimates)
-                self._lambda = float(self.tau * _max_abs_diag(p, lin))
+                self._lambda = float(
+                    self.tau * _max_abs_diag(p, self._lin))
 
         t0 = time.perf_counter()
         (est, chi0, chi_f, lam, ni, good, trials, self._sstate,
-         cg_total) = self._iter_jit(
+         cg_total, self._lin) = self._iter_jit(
                 p.data, p.estimates,
                 jnp.asarray(self._lambda, p.dtype),
                 jnp.asarray(self._ni, p.dtype),
                 self._solver.aux,
                 self._sstate,
+                self._lin,
             )
         jax.block_until_ready(est)
         stats.time_linearize = time.perf_counter() - t0
@@ -324,6 +348,9 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
         stats.iterations_linear_solver = int(cg_total)
         self._levenberg_iters = int(trials)
         if not bool(good):
+            # the carried lin is the REJECTED candidate's — drop it so a
+            # retried step relinearizes the (unchanged) estimates
+            self._lin = None
             return False
         p.set_estimates(est)
         optimizer.current_chi2 = float(chi_f)
