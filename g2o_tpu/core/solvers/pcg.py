@@ -144,7 +144,9 @@ class PCGSolver:
         # that mutate edge index arrays (incremental adds) pass force=True.
         if getattr(self, "_setup_for", None) is problem and not force:
             return self
-        self._setup_for = problem
+        # invalidate BEFORE building: an exception mid-setup must not leave
+        # a half-built solver whose next setup() call no-ops
+        self._setup_for = None
         max_iter, tol = self.max_iter, self.tol
         chunk_cfg = self._setup_chunk_precond(problem)
         dtype = problem.dtype
@@ -202,8 +204,12 @@ class PCGSolver:
                     # the (chunk·c, c) grid — exact f32 on the MXU
                     for name, (idx, ci, l0, l1) in intra.items():
                         Js, W = lin.jacs[name], lin.weights[name]
+                        # HIGHEST: these blocks feed the chunk Cholesky —
+                        # bf16 MXU off-diagonal error (~1e-3 rel) can turn
+                        # near-singular chunk blocks indefinite → NaN
                         Hab = jnp.einsum("erd,ers,esf->edf",
-                                         Js[0][idx], W[idx], Js[1][idx])
+                                         Js[0][idx], W[idx], Js[1][idx],
+                                         precision=jax.lax.Precision.HIGHEST)
                         Ei = Hab.shape[0]
                         rowid = jnp.concatenate([ci * c + l0, ci * c + l1])
                         colid = jnp.concatenate([l1, l0])
@@ -225,7 +231,8 @@ class PCGSolver:
                     for name, (idx, fwd, lo) in chain.items():
                         Js, W = lin.jacs[name], lin.weights[name]
                         Hab = jnp.einsum("erd,ers,esf->edf",
-                                         Js[0][idx], W[idx], Js[1][idx])
+                                         Js[0][idx], W[idx], Js[1][idx],
+                                         precision=jax.lax.Precision.HIGHEST)
                         # orient as block (lo, lo+1)
                         O = jnp.where(fwd[:, None, None], Hab,
                                       jnp.swapaxes(Hab, -1, -2))
@@ -260,7 +267,8 @@ class PCGSolver:
                 S = jnp.zeros((nc, d * d, nc), dtype=dtype)
                 for name, seg in coarse.items():
                     Js, W = lin.jacs[name], lin.weights[name]
-                    Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1])
+                    Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1],
+                                     precision=jax.lax.Precision.HIGHEST)
                     E = Hab.shape[0]
                     oha = jax.nn.one_hot(seg // nc, nc, dtype=dtype)
                     ohb = jax.nn.one_hot(seg % nc, nc, dtype=dtype)
@@ -431,6 +439,7 @@ class PCGSolver:
             self._build_precond_jit = jax.jit(build_precond)
             self._problem_ref = problem
             self.refresh_precond(problem)
+        self._setup_for = problem
         return self
 
     def refresh_precond(self, problem=None, lam: float | None = None):
