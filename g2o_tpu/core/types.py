@@ -83,6 +83,12 @@ class EdgeType:
     meas_from_vector: Optional[Callable] = None
     tags: Sequence[str] = ()
     meas_io_dim: Optional[int] = None  # numbers in the .g2o line (default meas_dim)
+    # optional information-matrix transforms between the on-disk and the
+    # stored (error-space) coordinates, ``(info, measurement) -> info`` —
+    # the analogue of EdgeSE3Euler's Euler<->quat info conversion
+    # (``types/slam3d_addons/edge_se3_euler.cpp:58-104``)
+    info_from_io: Optional[Callable] = None
+    info_to_io: Optional[Callable] = None
     num_params: int = 1  # how many parameter ids this edge references
     # (their value vectors are concatenated into the param argument;
     # analogue of Edge::numParameters, ``g2o/core/optimizable_graph.h``)

@@ -30,8 +30,16 @@ PARAM_TAGS = {
     "PARAMS_SE3OFFSET": 7,
     "PARAMS_SE2OFFSET": 3,
     "PARAMS_CAMERACALIB": 7 + 4,       # offset + fx fy cx cy
+    # offset + fx fy cx cy + baseline (ParameterStereoCamera,
+    # ``types/slam3d/parameter_stereo_camera.cpp:43-69``, tag registration
+    # ``types/slam3d/types_slam3d.cpp:48``)
+    "PARAMS_STEREOCAMERACALIB": 7 + 4 + 1,
     "PARAMS_CAMERAPARAMETERS": 4,      # focal_length cx cy baseline (sba)
 }
+# the deprecated slam3d library's prefixed param spellings
+# (``types/deprecated/slam3d/types_slam3d.cpp:43,49``)
+PARAM_TAGS["DEPRECATED_PARAMS_SE3OFFSET"] = PARAM_TAGS["PARAMS_SE3OFFSET"]
+PARAM_TAGS["DEPRECATED_PARAMS_CAMERACALIB"] = PARAM_TAGS["PARAMS_CAMERACALIB"]
 
 # sensor-data payload tags attached verbatim to the preceding vertex
 # (reference ``g2o/types/data``: RobotLaser / RawLaser readings)
@@ -138,6 +146,8 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
                         f"line {lineno}: expected {ninfo} information entries"
                     )
                 info = upper_triangular_to_full(vals, r)
+                if et.info_from_io is not None:
+                    info = np.asarray(et.info_from_io(info, meas))
                 g.add_edge(et, vids, meas, info, param_id=param_id)
                 continue
             raise ValueError(f"line {lineno}: unknown tag {tag!r}")
@@ -173,6 +183,7 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
             vals = g._parameters[pid]
             tag = {7: "PARAMS_SE3OFFSET", 3: "PARAMS_SE2OFFSET",
                    11: "PARAMS_CAMERACALIB",
+                   12: "PARAMS_STEREOCAMERACALIB",
                    4: "PARAMS_CAMERAPARAMETERS"}.get(len(vals),
                                                      "PARAMS_UNKNOWN")
             fh.write(f"{tag} {pid} {_fmt(vals)}\n")
@@ -202,7 +213,10 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
             if e.etype.param_dim:
                 parts.append(" ".join(str(p) for p in e.param_id))
             parts.append(_fmt(meas))
-            parts.append(_fmt(full_to_upper_triangular(np.asarray(e.information))))
+            info = np.asarray(e.information)
+            if e.etype.info_to_io is not None:
+                info = np.asarray(e.etype.info_to_io(info, e.measurement))
+            parts.append(_fmt(full_to_upper_triangular(info)))
             fh.write(" ".join(parts) + "\n")
     finally:
         if close:

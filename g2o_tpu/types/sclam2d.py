@@ -4,8 +4,8 @@
   offset alongside the trajectory; error =
   ``(Z^-1 * ((x1*O)^-1 * x2 * O)).toVector()``
   (``edge_se2_sensor_calib.h:45-54``).
-* ``VERTEX_ODOM_DIFF_PARAMS``: 3 calibration params (k_l, k_r, baseline).
-* ``EDGE_SE2_ODOM_DIFF_CALIB``: differential-drive odometry calibration;
+* ``VERTEX_ODOM_DIFFERENTIAL``: 3 calibration params (k_l, k_r, baseline).
+* ``EDGE_SE2_ODOM_DIFFERENTIAL_CALIB``: differential-drive odometry calib;
   measurement is a (vl, vr, dt) velocity triple; the calibrated velocities
   convert to a motion increment via the ICC construction
   (``odometry_measurement.cpp:95-117``) and the error is the SE2 difference
@@ -21,12 +21,14 @@ from g2o_tpu.ops import lie
 from g2o_tpu.types.slam2d import VertexSE2
 
 
+# reference tag registration: ``types/sclam2d/types_sclam2d.cpp:43``; the
+# pre-round-3 invented spelling stays as a read alias
 VertexOdomDifferentialParams = register_vertex(VertexType(
-    name="VERTEX_ODOM_DIFF_PARAMS",
+    name="VERTEX_ODOM_DIFFERENTIAL",
     rep_dim=3,
     tangent_dim=3,
     oplus=lambda x, d: x + d,
-    tags=("VERTEX_ODOM_DIFF_PARAMS",),
+    tags=("VERTEX_ODOM_DIFFERENTIAL", "VERTEX_ODOM_DIFF_PARAMS"),
 ))
 
 
@@ -77,11 +79,12 @@ def _edge_se2_odom_diff_calib_residual(states, meas, param):
     return lie.se2_compose(lie.se2_inverse(motion), delta)
 
 
+# reference tag registration: ``types/sclam2d/types_sclam2d.cpp:45``
 EdgeSE2OdomDifferentialCalib = register_edge(EdgeType(
-    name="EDGE_SE2_ODOM_DIFF_CALIB",
+    name="EDGE_SE2_ODOM_DIFFERENTIAL_CALIB",
     vertex_types=(VertexSE2, VertexSE2, VertexOdomDifferentialParams),
     residual_dim=3,
     residual=_edge_se2_odom_diff_calib_residual,
     meas_dim=3,
-    tags=("EDGE_SE2_ODOM_DIFF_CALIB",),
+    tags=("EDGE_SE2_ODOM_DIFFERENTIAL_CALIB", "EDGE_SE2_ODOM_DIFF_CALIB"),
 ))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from g2o_tpu.core.types import EdgeType, VertexType, register_edge, register_vertex
 from g2o_tpu.ops import lie
-from g2o_tpu.types.slam2d import VertexSE2
+from g2o_tpu.types.slam2d import VertexPointXY, VertexSE2
 
 
 VertexSegment2D = register_vertex(VertexType(
@@ -162,4 +162,23 @@ EdgeLine2D = register_edge(EdgeType(
     residual=_edge_line2d_residual,
     meas_dim=2,
     tags=("EDGE_LINE2D",),
+))
+
+
+def _edge_line2d_pointxy_residual(states, meas, param):
+    # point-on-line scalar error: n(theta)·p − rho − z
+    # (reference ``slam2d_addons/edge_line2d_pointxy.h:48-52``)
+    l, p = states
+    theta, rho = l[..., 0], l[..., 1]
+    pred = (jnp.cos(theta) * p[..., 0] + jnp.sin(theta) * p[..., 1]) - rho
+    return (pred - meas[..., 0])[..., None]
+
+
+EdgeLine2DPointXY = register_edge(EdgeType(
+    name="EDGE_LINE2D_POINTXY",
+    vertex_types=(VertexLine2D, VertexPointXY),
+    residual_dim=1,
+    residual=_edge_line2d_pointxy_residual,
+    meas_dim=1,
+    tags=("EDGE_LINE2D_POINTXY",),
 ))

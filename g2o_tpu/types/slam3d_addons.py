@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from g2o_tpu.core.types import EdgeType, VertexType, register_edge, register_vertex
 from g2o_tpu.ops import lie
@@ -214,4 +215,129 @@ EdgeSE3PlaneCalib = register_edge(EdgeType(
     residual=_edge_se3_plane_calib_residual,
     meas_dim=4,
     tags=("EDGE_SE3_PLANE_CALIB",),
+))
+
+
+def _edge_se3_calib_residual(states, meas, param):
+    """Reference ``EdgeSE3Calib::computeError``
+    (``slam3d_addons/edge_se3_calib.cpp:40-46``):
+    error = toVectorMQT(Z^-1 * C^-1 * X1^-1 * X2 * C)."""
+    x1, x2, calib = states
+    delta = lie.se3_compose(
+        lie.se3_compose(lie.se3_inverse(calib),
+                        lie.se3_compose(lie.se3_inverse(x1), x2)),
+        calib)
+    return lie.se3_to_mqt(lie.se3_compose(lie.se3_inverse(meas), delta))
+
+
+EdgeSE3Calib = register_edge(EdgeType(
+    name="EDGE_SE3_CALIB",
+    vertex_types=(VertexSE3, VertexSE3, VertexSE3),
+    residual_dim=6,
+    residual=_edge_se3_calib_residual,
+    meas_dim=7,
+    tags=("EDGE_SE3_CALIB",),
+))
+
+
+# ---- Euler-serialized SE3 (VERTEX3 / EDGE3) ------------------------------
+# Same SE3 state and MQT error as VERTEX_SE3:QUAT / EDGE_SE3:QUAT, but the
+# .g2o line carries [tx ty tz roll pitch yaw] and the information matrix in
+# Euler coordinates (``slam3d_addons/vertex_se3_euler.cpp:38-55``,
+# ``edge_se3_euler.cpp:58-104``; tags ``types_slam3d_addons.cpp:38-39``).
+
+def euler_to_quat(rpy):
+    """RPY -> quaternion (x, y, z, w) (``isometry3d_mappings.cpp:60-75``)."""
+    r, p, y = rpy
+    sr, cr = np.sin(r / 2), np.cos(r / 2)
+    sp, cp = np.sin(p / 2), np.cos(p / 2)
+    sy, cy = np.sin(y / 2), np.cos(y / 2)
+    return np.array([
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+        cr * cp * cy + sr * sp * sy,
+    ])
+
+
+def quat_to_euler(q):
+    """Quaternion (x, y, z, w) -> RPY (``isometry3d_mappings.cpp:48-58``)."""
+    q1, q2, q3, q0 = q  # x, y, z, w
+    roll = np.arctan2(2 * (q0 * q1 + q2 * q3), 1 - 2 * (q1 * q1 + q2 * q2))
+    pitch = np.arcsin(np.clip(2 * (q0 * q2 - q3 * q1), -1.0, 1.0))
+    yaw = np.arctan2(2 * (q0 * q3 + q1 * q2), 1 - 2 * (q2 * q2 + q3 * q3))
+    return np.array([roll, pitch, yaw])
+
+
+def et_to_qt(v6):
+    """[t, rpy] -> [t, quat-xyzw] (``fromVectorET``)."""
+    v6 = np.asarray(v6, dtype=float)
+    return np.concatenate([v6[:3], euler_to_quat(v6[3:6])])
+
+
+def qt_to_et(x7):
+    """[t, quat-xyzw] -> [t, rpy] (``toVectorET``)."""
+    x7 = np.asarray(x7, dtype=float)
+    q = x7[3:7] / np.linalg.norm(x7[3:7])
+    return np.concatenate([x7[:3], quat_to_euler(q)])
+
+
+def _jac_qt_euler(x7, delta=1e-6):
+    """Numeric 6x6 Jacobian d(ET)/d(QT[0:6]) at the measurement — the
+    *intended* ``jac_quat3_euler3`` (``edge_se3_euler.cpp:37-55``; the
+    reference's loop writes every column into ``J.col(3)``, an upstream
+    bug we do not reproduce)."""
+    x7 = np.asarray(x7, dtype=float)
+    J = np.zeros((6, 6))
+    for i in range(6):
+        ta, tb = x7.copy(), x7.copy()
+        ta[i] -= delta
+        tb[i] += delta
+        # renormalize the quaternion exactly as fromVectorQT's consumer does
+        ea = qt_to_et(ta)
+        eb = qt_to_et(tb)
+        J[:, i] = (eb - ea) / (2 * delta)
+    return J
+
+
+def _edge3_info_from_io(info_euler, meas7):
+    J = _jac_qt_euler(meas7)
+    return J.T @ np.asarray(info_euler) @ J
+
+
+def _edge3_info_to_io(info_qt, meas7):
+    J = np.linalg.inv(_jac_qt_euler(meas7))
+    return J.T @ np.asarray(info_qt) @ J
+
+
+VertexSE3Euler = register_vertex(VertexType(
+    name="VERTEX3",
+    rep_dim=7,
+    tangent_dim=6,
+    oplus=VertexSE3.oplus,
+    to_vector=qt_to_et,
+    from_vector=et_to_qt,
+    io_dim=6,
+    tags=("VERTEX3",),
+))
+
+
+def _edge3_residual(states, meas, param):
+    xi, xj = states
+    delta = lie.se3_compose(lie.se3_inverse(xi), xj)
+    return lie.se3_to_mqt(lie.se3_compose(lie.se3_inverse(meas), delta))
+
+
+EdgeSE3Euler = register_edge(EdgeType(
+    name="EDGE3",
+    vertex_types=(VertexSE3Euler, VertexSE3Euler),
+    residual_dim=6,
+    residual=_edge3_residual,
+    meas_dim=7,
+    meas_to_vector=qt_to_et,
+    meas_from_vector=et_to_qt,
+    meas_io_dim=6,
+    info_from_io=_edge3_info_from_io,
+    info_to_io=_edge3_info_to_io,
+    tags=("EDGE3",),
 ))
