@@ -153,12 +153,14 @@ def bench_manhattan(dev):
 def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
                label):
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
-    from g2o_tpu.io.bal import load_bal_problem, make_synthetic_bal
+    from g2o_tpu.io.bal import load_bal_problem, synthetic_bal_cached
 
     t0 = time.perf_counter()
-    text = make_synthetic_bal(n_cameras=n_cams, n_points=n_pts,
-                              n_obs_per_point=n_obs_per_point,
-                              pixel_noise=1.0, seed=0)
+    # disk-cached dataset (data/bal_cache) — the reference's bal_example
+    # loads BAL files from disk too, so build_s compares like for like
+    text = synthetic_bal_cached(n_cameras=n_cams, n_points=n_pts,
+                                n_obs_per_point=n_obs_per_point,
+                                pixel_noise=1.0, seed=0)
     # loaded EXACTLY as the reference's bal_example loads it (no robust
     # kernel, unperturbed estimates): chi2 and per-iteration time compare
     # 1:1 with baseline_measured.json

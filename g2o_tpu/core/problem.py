@@ -92,6 +92,11 @@ class LinearizedSystem(NamedTuple):
     extras: dict = {}
 
 
+def _np_dtype(dtype):
+    """jnp dtype spec -> numpy dtype (host staging before device_put)."""
+    return np.dtype(jnp.dtype(dtype))
+
+
 def _seg_ids(offsets_t, vidx_col, d):
     """(E,) vertex indices -> (E, d) flat tangent indices."""
     base = offsets_t[vidx_col]
@@ -642,9 +647,13 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         mg = np.asarray(mg, dtype=bool)[order]
         n = len(vids)
         counts[t] = n
-        estimates[t] = jnp.asarray(est, dtype=dtype)
+        # host-side until the single batched device_put below: each
+        # device transfer over the remote-TPU tunnel pays ~0.5-2 s of
+        # round-trip latency regardless of size, so the build stages
+        # everything in numpy and ships ONE pytree
+        estimates[t] = est.astype(_np_dtype(dtype))
         fixed_np[t] = fx
-        fixed[t] = jnp.asarray(fx)
+        fixed[t] = fx
         marginalized[t] = mg
         sorted_vids[t] = vids
         for i, vid in enumerate(vids):
@@ -662,7 +671,7 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         for o in offs:
             fixed_flat[o:o + d] = 1.0
 
-    offsets = {t: jnp.asarray(o) for t, o in offsets_np.items()}
+    offsets = dict(offsets_np)
 
     edges = {}
     edge_types = {}
@@ -743,9 +752,9 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
             perm_v = plan.seg_perm_full            # new position -> old idx
             inv = np.empty_like(perm_v)
             inv[perm_v] = np.arange(len(perm_v), dtype=perm_v.dtype)
-            estimates[lt] = jnp.asarray(np.asarray(estimates[lt])[perm_v])
+            estimates[lt] = np.asarray(estimates[lt])[perm_v]
             fixed_np[lt] = fixed_np[lt][perm_v]
-            fixed[lt] = jnp.asarray(fixed_np[lt])
+            fixed[lt] = fixed_np[lt]
             marginalized[lt] = marginalized[lt][perm_v]
             sorted_vids[lt] = sorted_vids[lt][perm_v]
             for i, vid in enumerate(sorted_vids[lt]):
@@ -803,7 +812,7 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                 counts=plan.counts, degrees=plan.degrees,
                 n_rows=int(len(plan.perm_src)),
                 seg_identity=seg_ident)
-            plans[name] = {"segp": jnp.asarray(plan.seg_perm)}
+            plans[name] = {"segp": plan.seg_perm}
             E = int(len(plan.perm_src))
 
         n_pad = (-E) % m
@@ -829,25 +838,31 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         free = np.empty(vidx_pad.shape, dtype=np.float64)
         for s, svt in enumerate(et.vertex_types):
             free[:, s] = 1.0 - fixed_np[svt.name][vidx_pad[:, s]]
-        plans.setdefault(name, {})["free_mask"] = jnp.asarray(free,
-                                                              dtype=dtype)
+        plans.setdefault(name, {})["free_mask"] = free.astype(
+            _np_dtype(dtype))
+        nd = _np_dtype(dtype)
         edges[name] = EdgeBatchData(
-            vidx=jnp.asarray(vidx_pad),
-            meas=jnp.asarray(pad(arrays["meas"]), dtype=dtype),
-            info=jnp.asarray(pad(arrays["info"]), dtype=dtype),
-            kernel=jnp.asarray(pad(arrays["kernel"])),
-            delta=jnp.asarray(pad(arrays["delta"]), dtype=dtype),
-            active=jnp.asarray(act),
-            param=jnp.asarray(pad(arrays["param"]), dtype=dtype),
+            vidx=vidx_pad,
+            meas=pad(arrays["meas"]).astype(nd),
+            info=pad(arrays["info"]).astype(nd),
+            kernel=pad(arrays["kernel"]),
+            delta=pad(arrays["delta"]).astype(nd),
+            active=act,
+            param=pad(arrays["param"]).astype(nd),
         )
 
     data = ProblemData(
         edges=edges,
         fixed=fixed,
         offsets=offsets,
-        fixed_flat=jnp.asarray(fixed_flat, dtype=dtype),
+        fixed_flat=fixed_flat.astype(_np_dtype(dtype)),
         plans=plans,
     )
+    # ONE batched transfer of the whole problem pytree: per-array
+    # device_put over the remote-TPU tunnel pays round-trip latency per
+    # call (measured 46 s for the ~20 arrays of a Ladybug-scale build in a
+    # cold process); jax.device_put on the full pytree batches them
+    data, estimates = jax.device_put((data, estimates))
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
                    bucket_specs=bucket_specs, uniform_kernel=uniform_kernel)

@@ -54,6 +54,7 @@ class PCGSolver:
                  abs_tol: float = 0.0, precond: str = "jacobi",
                  chunk_size: int = 32, onehot_max_segments: int = 0,
                  absolute_tolerance: bool = True,
+                 carry_factor: float = 0.5,
                  precond_mode: str = "per_solve"):
         if precond_mode not in ("per_solve", "frozen"):
             raise ValueError(f"unknown precond_mode {precond_mode!r}")
@@ -81,6 +82,12 @@ class PCGSolver:
         # without it CG grinds the full iteration budget once LM has
         # converged and the relative criterion chases a vanishing rhs
         self.absolute_tolerance = bool(absolute_tolerance)
+        # continuation strength: next solve's threshold floor =
+        # carry_factor * this solve's final residual² (reference uses 0.5,
+        # ``linear_solver_pcg.hpp:149``).  Smaller = deeper late solves;
+        # measured (scripts/probe_manhattan3.py): 0.5 plateaus manhattan LM
+        # at chi2 9192 where near-exact solves reach the reference 9146.5
+        self.carry_factor = float(carry_factor)
         self._solve_jit = None
         self.aux = ()
 
@@ -148,6 +155,7 @@ class PCGSolver:
         # a half-built solver whose next setup() call no-ops
         self._setup_for = None
         max_iter, tol = self.max_iter, self.tol
+        carry_factor = self.carry_factor
         chunk_cfg = self._setup_chunk_precond(problem)
         dtype = problem.dtype
         p = problem
@@ -418,7 +426,7 @@ class PCGSolver:
                 cond, body, (x0, r0, z0, p0, rz0, 0))
             res2 = tdot(r_f, r_f)
             stats = {"cg_iterations": cg_iters, "residual2": res2,
-                     "carry": 0.5 * res2}
+                     "carry": carry_factor * res2}
             return p.join_tangent(x), stats
 
         def solve(data, lin, lam, aux=()):

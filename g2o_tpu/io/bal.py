@@ -142,6 +142,42 @@ def save_bal(g: Graph, path, estimates_by_vid=None):
         fh.write("\n".join(lines) + "\n")
 
 
+def synthetic_bal_cached(n_cameras=49, n_points=7000, n_obs_per_point=6,
+                         pixel_noise=1.0, seed=0, cache_dir=None):
+    """Text of :func:`make_synthetic_bal`, disk-cached (gzip).
+
+    Generation costs ~22 s at Venice scale (the 120M-key camera-selection
+    argsort dominates); the reference pays none of it — ``bal_example``
+    loads BAL files from disk (``examples/bal/bal_example.cpp:300``) — so
+    the benchmark datasets are generated once and committed under
+    ``data/bal_cache/``.  Falls back to /tmp, then to fresh generation."""
+    import gzip
+    import os
+
+    fname = (f"bal-C{n_cameras}-P{n_points}-K{n_obs_per_point}"
+             f"-N{pixel_noise:g}-S{seed}.txt.gz")
+    repo_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "data", "bal_cache")
+    for d in ([cache_dir] if cache_dir else []) + [repo_dir, "/tmp/bal_cache"]:
+        path = os.path.join(d, fname)
+        if os.path.exists(path):
+            with gzip.open(path, "rt") as fh:
+                return fh.read()
+    text = make_synthetic_bal(n_cameras=n_cameras, n_points=n_points,
+                              n_obs_per_point=n_obs_per_point,
+                              pixel_noise=pixel_noise, seed=seed)
+    for d in ([cache_dir] if cache_dir else []) + [repo_dir, "/tmp/bal_cache"]:
+        try:
+            os.makedirs(d, exist_ok=True)
+            with gzip.open(os.path.join(d, fname), "wt") as fh:
+                fh.write(text)
+            break
+        except OSError:
+            continue
+    return text
+
+
 def make_synthetic_bal(n_cameras=49, n_points=7000, n_obs_per_point=6,
                        pixel_noise=1.0, seed=0):
     """Ladybug-like synthetic BAL problem (no dataset download in this

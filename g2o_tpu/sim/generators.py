@@ -502,6 +502,10 @@ def create_simulator3d(n_poses: int = 100, n_landmarks: int = 80,
     * ``"odometry"``  — consecutive SE3 edges (SensorOdometry3D)
     * ``"pose"``      — SE3 edges to spatially-close earlier poses
                         (SensorPose3D)
+    * ``"pose_offset"`` — EDGE_SE3_OFFSET edges to close earlier poses
+                        through two SE3 offset params (SensorPose3DOffset)
+    * ``"se3prior"``  — unary EDGE_SE3_PRIOR global pose measurements
+                        through an SE3 offset param (SensorSE3Prior)
     * ``"trackxyz"``  — XYZ landmark observations through an SE3 offset
                         parameter (SensorPointXYZ / EDGE_SE3_TRACKXYZ)
     * ``"depth"``     — [u/w, v/w, z] camera observations
@@ -517,7 +521,7 @@ def create_simulator3d(n_poses: int = 100, n_landmarks: int = 80,
     returned estimates (measurement-model consistency check)."""
     from g2o_tpu.types.slam3d import (
         EdgeSE3, EdgeSE3PointXYZ, EdgeSE3PointXYZDepth,
-        EdgeSE3PointXYZDisparity, VertexSE3, VertexPointXYZ,
+        EdgeSE3PointXYZDisparity, EdgeSE3Prior, VertexSE3, VertexPointXYZ,
     )
 
     rng = np.random.default_rng(seed)
@@ -576,6 +580,46 @@ def create_simulator3d(n_poses: int = 100, n_landmarks: int = 80,
                     t = _se3_mul(_se3_inv(gt[j]), gt[i])
                     g.add_edge(EdgeSE3, [j, i], noisy_se3(t), info_odo)
                     break
+
+    if "pose_offset" in sensors:
+        # SensorPose3DOffset (``sensor_pose3d_offset.cpp:35-117``):
+        # EDGE_SE3_OFFSET observations of spatially-close earlier poses
+        # through TWO SE3 offset parameters; information
+        # diag(100,100,100,1e4,1e4,1e3) as the reference ctor sets, noise a
+        # right-multiplied MQT perturbation (``addNoise``, :57-62)
+        from g2o_tpu.types.slam3d import EdgeSE3Offset
+
+        off1 = np.array([0.1, -0.05, 0.2, 0, 0, 0, 1.0])
+        off2 = np.array([-0.02, 0.08, 0.1, 0, 0, 0, 1.0])
+        pid1, pid2 = 300000, 300001
+        g.add_parameter(pid1, off1)
+        g.add_parameter(pid2, off2)
+        info_po = np.diag([100.0, 100, 100, 1e4, 1e4, 1e3])
+        steps_to_ignore = 8     # reference _stepsToIgnore=10 scaled down
+        for i in range(n_poses):
+            for j in range(i - steps_to_ignore):
+                if np.linalg.norm(gt[i][:3] - gt[j][:3]) < sensor_range / 3:
+                    # measurementFromState: (x_j*O1)^-1 * (x_i*O2)
+                    t = _se3_mul(_se3_inv(_se3_mul(gt[j], off1)),
+                                 _se3_mul(gt[i], off2))
+                    g.add_edge(EdgeSE3Offset, [j, i], noisy_se3(t), info_po,
+                               param_id=(pid1, pid2))
+                    break
+
+    if "se3prior" in sensors:
+        # SensorSE3Prior (``sensor_se3_prior.cpp:33-81``): unary
+        # EDGE_SE3_PRIOR on the trajectory through an SE3 offset parameter
+        # (a GPS/mocap-style global pose measurement); information
+        # identity*1000 with (2,2)=10 as the reference ctor sets
+        prior_pid = 300002
+        prior_off = np.array([0.05, 0.0, -0.1, 0, 0, 0, 1.0])
+        g.add_parameter(prior_pid, prior_off)
+        info_prior = np.diag([1000.0, 1000, 10, 1000, 1000, 1000])
+        for i in range(n_poses):
+            # measurementFromState: x_i * O
+            t = _se3_mul(gt[i], prior_off)
+            g.add_edge(EdgeSE3Prior, [i], noisy_se3(t), info_prior,
+                       param_id=prior_pid)
 
     vid_next = n_poses
     seen = set()

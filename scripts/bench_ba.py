@@ -25,7 +25,7 @@ def main():
     from g2o_tpu.core.lm_fused import optimize_fused
     from g2o_tpu.core.solvers import SchurSolver
     from g2o_tpu.core.solvers.cgls import CGLSSolver
-    from g2o_tpu.io.bal import load_bal_problem, make_synthetic_bal
+    from g2o_tpu.io.bal import load_bal_problem, synthetic_bal_cached
 
     path = sys.argv[1] if len(sys.argv) > 1 else None
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -35,7 +35,7 @@ def main():
         src = path
         name = path
     else:
-        src = io.StringIO(make_synthetic_bal(
+        src = io.StringIO(synthetic_bal_cached(
             n_cameras=49, n_points=7000, n_obs_per_point=5,
             pixel_noise=1.0, seed=0))
         name = "synthetic-ladybug49"

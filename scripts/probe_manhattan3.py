@@ -1,79 +1,40 @@
-"""Probe 3: manhattan3500 cost split + CG-cap sweep.
-
-skeleton (max_iter=1) isolates the per-LM-iteration fixed cost
-(linearize + precond build + 1 CG iter + apply + chi2); cap sweeps bound
-the spiky solves seen at tol=1e-2.
-
-Usage: python scripts/probe_manhattan3.py
-"""
-
-import json
-import os
-import sys
-import time
-
+"""Sweep CG depth/continuation configs for the manhattan bench config
+(CPU f64): find one that reaches chi2 <= 9146.5 by iter <= 60 at minimal
+total CG work."""
+import sys, os, json, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import g2o_tpu.types  # noqa
+from g2o_tpu.core.solvers import PCGSolver
+from g2o_tpu.core.lm_fused import optimize_fused
+from g2o_tpu.sim.generators import create_manhattan
 
+g = create_manhattan(n_poses=3500, seed=0)
+TARGET = 9146.503719
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    import numpy as np
-
-    import g2o_tpu.types  # noqa: F401
-    from g2o_tpu.core.lm_fused import optimize_fused
-    from g2o_tpu.core.solvers import PCGSolver
-    from g2o_tpu.sim.generators import create_manhattan
-
-    g = create_manhattan(n_poses=3500, seed=0)
+configs = [
+    ("cap64_tol1e4_cf.05", dict(max_iter=64, tol=1e-4, carry_factor=0.05)),
+    ("cap64_tol1e4_cf.5", dict(max_iter=64, tol=1e-4, carry_factor=0.5)),
+    ("cap48_tol1e3_cf.05", dict(max_iter=48, tol=1e-3, carry_factor=0.05)),
+    ("cap32_tol1e3_cf.1", dict(max_iter=32, tol=1e-3, carry_factor=0.1)),
+    ("cap128_tol1e6_cf.01", dict(max_iter=128, tol=1e-6, carry_factor=0.01)),
+    ("cap48_tol1e2_cf.02", dict(max_iter=48, tol=1e-2, carry_factor=0.02)),
+]
+for name, kw in configs:
     p = g.compile()
-    est0 = {t: np.array(v) for t, v in p.estimates.items()}
-
-    def reset():
-        p.set_estimates({t: jnp.asarray(v, dtype=p.dtype)
-                         for t, v in est0.items()})
-
-    configs = [
-        ("skeleton_chunk2_16_cap1", dict(max_iter=1, tol=1e-2,
-                                         precond="chunk2", chunk_size=16)),
-        ("skeleton_jacobi_cap1", dict(max_iter=1, tol=1e-2,
-                                      precond="jacobi")),
-        ("chunk2_16_cap16", dict(max_iter=16, tol=1e-2, precond="chunk2",
-                                 chunk_size=16)),
-        ("chunk2_16_cap24", dict(max_iter=24, tol=1e-2, precond="chunk2",
-                                 chunk_size=16)),
-        ("chunk2_16_cap32", dict(max_iter=32, tol=1e-2, precond="chunk2",
-                                 chunk_size=16)),
-        ("jacobi_cap32", dict(max_iter=32, tol=1e-2, precond="jacobi")),
-    ]
-    for name, kw in configs:
-        solver = PCGSolver(**kw)
-        reset()
-        t0 = time.perf_counter()
-        optimize_fused(p, solver, 2)   # warm-up/compile
-        compile_s = time.perf_counter() - t0
-        reset()
-        res = optimize_fused(p, solver, 60)
-        sec_per_iter = res["wall_s"] / max(res["iterations"], 1)
-        chis = res["chi2_per_iteration"] + [res["chi2_final"]]
-        tt = next((round(i * sec_per_iter, 4)
-                   for i, c in enumerate(chis) if c <= 9146.503719 * 1.01),
-                  None)
-        cg = res.get("cg_per_iteration", [])
-        print(json.dumps({
-            "config": name,
-            "sec_per_iter": round(sec_per_iter, 6),
-            "chi2_final": res["chi2_final"],
-            "chi2_at_30": chis[30] if len(chis) > 30 else None,
-            "time_to_ref_lm_chi2_s": tt,
-            "cg_total": int(sum(cg)),
-            "trials_total": int(sum(res["trials_per_iteration"])),
-            "compile_s": round(compile_s, 1),
-        }), flush=True)
-
-
-if __name__ == "__main__":
-    main()
+    solver = PCGSolver(precond="chunk2", chunk_size=16, **kw)
+    t0 = time.time()
+    res = optimize_fused(p, solver, 60)
+    traj = [float(c) for c in res["chi2_per_iteration"]] + [float(res["chi2_final"])]
+    cross = next((i for i, c in enumerate(traj) if c <= TARGET), None)
+    cg = res.get("cg_per_iteration", [])
+    print(name, json.dumps({
+        "chi2_final": traj[-1],
+        "chi2_at_30": traj[30],
+        "cross_iter": cross,
+        "cg_total": int(sum(cg)),
+        "cg_to_cross": int(sum(cg[:cross])) if cross and cg else None,
+        "wall_s": round(time.time() - t0, 1)}), flush=True)
+print("DONE")

@@ -24,13 +24,13 @@ def main():
 
     from g2o_tpu.core.lm_fused import optimize_fused
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
-    from g2o_tpu.io.bal import load_bal_problem, make_synthetic_bal
+    from g2o_tpu.io.bal import load_bal_problem, synthetic_bal_cached
 
     n_cams = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 150_000
     n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
-    text = make_synthetic_bal(n_cameras=n_cams, n_points=n_pts,
+    text = synthetic_bal_cached(n_cameras=n_cams, n_points=n_pts,
                               n_obs_per_point=6, pixel_noise=1.0, seed=0)
     p = load_bal_problem(io.StringIO(text), huber=0.0, bucket_landmarks=True)
     solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi")

@@ -23,7 +23,8 @@ from g2o_tpu.sim.generators import create_simulator2d, create_simulator3d
 
 SENSORS_2D = ["pose", "pointxy", "bearing", "pointxy_offset", "segment",
               "segment_line", "segment_pointline", "line2d"]
-SENSORS_3D = ["pose", "trackxyz", "depth", "disparity", "line3d", "plane"]
+SENSORS_3D = ["pose", "pose_offset", "se3prior", "trackxyz", "depth",
+              "disparity", "line3d", "plane"]
 
 
 def _chi2(g):
