@@ -40,9 +40,13 @@ def _spans_for(problem, vertex_ids):
 
 
 def _sparse_applicable(problem) -> bool:
-    if len(problem.vertex_types) != 1:
-        return False
+    """Binary edges only; mixed vertex types are fine (the direct solver
+    pads blocks to the max tangent dim)."""
     return all(et.num_slots <= 2 for et in problem.edge_types.values())
+
+
+def _uniform_type(problem) -> bool:
+    return len(problem.vertex_types) == 1
 
 
 def _sparse_cov_blocks(problem, locals_, *, lam, estimates):
@@ -81,6 +85,38 @@ def _sparse_cov_blocks(problem, locals_, *, lam, estimates):
         return jax.vmap(one)(kcols)
 
     return np.asarray(run(p.data, lin, aux, kcols))
+
+
+def _takahashi_cov_blocks(problem, *, lam, estimates):
+    """ALL diagonal covariance blocks ``(n, d, d)`` (original vertex
+    order) via ONE numeric factorization + ONE reverse level-scheduled
+    Takahashi sweep — ``O(Σ_j |struct(j)|²)`` total, vs one
+    forward/backward solve pair per requested vertex for the per-column
+    path.  The batched formulation of the reference's ``computeCovariance``
+    over ``MarginalCovarianceCholesky::computeEntry``
+    (``marginal_covariance_cholesky.h:85-96``)."""
+    from g2o_tpu.core.solvers.sparse_chol import (
+        SparseCholeskySolver,
+        build_takahashi_schedule,
+        selected_inverse,
+    )
+
+    p = problem
+    solver = SparseCholeskySolver().setup(p)
+    pairs = jnp.asarray(build_takahashi_schedule(solver._sym))
+    n = solver._n_blocks
+    inv = jnp.asarray(solver._sym["inv"].astype(np.int64))
+    lin = p.linearize_jit(p.data, estimates)
+    dtype = p.dtype
+
+    @jax.jit
+    def run(data, lin, aux, pairs, inv):
+        blocks = solver._factor_fn(data, lin, jnp.asarray(lam, dtype), aux)
+        Sigma = selected_inverse(blocks, aux, pairs, n)
+        return Sigma[:n][inv]     # (n, dmax, dmax), global original order
+
+    cov = np.asarray(run(p.data, lin, solver.aux, pairs, inv))
+    return cov, solver._type_base
 
 
 def _schur_marginals(problem, spans, *, lam, estimates):
@@ -225,7 +261,26 @@ def compute_marginals(problem, vertex_ids, *, lam: float = 0.0,
         return _schur_marginals(p, spans, lam=lam, estimates=estimates)
 
     out = {}
+    if method == "takahashi":
+        if not _sparse_applicable(p):
+            raise NotImplementedError(
+                "takahashi marginals require binary edges")
+        cov_all, tbase = _takahashi_cov_blocks(p, lam=lam,
+                                               estimates=estimates)
+        for (vid, t, i, d, is_fixed) in spans:
+            out[vid] = (np.zeros((d, d)) if is_fixed
+                        else cov_all[tbase[t] + i][:d, :d])
+        return out
+
     if method == "sparse":
+        # requesting most of the graph — or a mixed-type graph (the
+        # per-column supernodal path is uniform-type only): the Takahashi
+        # sweep computes ALL blocks for one factorization's worth of work
+        if (not _uniform_type(p)
+                or len(spans) * 8 >= sum(p.counts.values())):
+            return compute_marginals(p, vertex_ids, lam=lam,
+                                     estimates=estimates,
+                                     method="takahashi")
         locals_ = [i for (_, _, i, _, _) in spans]
         cov = _sparse_cov_blocks(p, locals_, lam=lam, estimates=estimates)
         for m, (vid, _, _, d, is_fixed) in enumerate(spans):

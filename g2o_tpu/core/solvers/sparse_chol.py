@@ -400,15 +400,158 @@ def solve_factored(blocks, b, sched_aux):
     return jax.lax.fori_loop(0, Lmax, bwd_body, y)
 
 
+def build_takahashi_schedule(sym):
+    """Per-level pair schedule for the block Takahashi selected inverse.
+
+    For each column ``j`` with below-diagonal structure ``S`` the
+    recursion needs, per target row ``s_a`` of ``S``, the reduction
+    ``W_a = Σ_b  Σ_{s_a, s_b} · L_{s_b, j}`` where every ``Σ_{s_a, s_b}``
+    lies on the factor pattern (the classical closure property the
+    reference's hash-memoized scalar recursion relies on,
+    ``g2o/core/marginal_covariance_cholesky.h:92`` ``computeEntry``).
+    Pairs are emitted vectorized, grouped by column length, and padded by
+    the same level indexing as :func:`build_schedule`;
+    :func:`selected_inverse` walks the levels in REVERSE depth order
+    (ancestor columns first — each column only consumes Σ entries of its
+    etree ancestors, which live at strictly greater depth)."""
+    n = len(sym["rows"])
+    colptr = np.asarray(sym["colptr"], dtype=np.int64)
+    rows_flat = np.asarray(sym["rows_flat"], dtype=np.int64)
+    depth = np.asarray(sym["depth"], dtype=np.int64)
+    L = int(depth.max()) + 1 if n else 0
+    lens = colptr[1:] - colptr[:-1]
+    col_of_off = np.repeat(np.arange(n, dtype=np.int64), lens)
+    key_all = col_of_off * (n + 1) + rows_flat
+
+    def off_slot_v(i, j):
+        return n + np.searchsorted(key_all, j * (n + 1) + i)
+
+    srcS_l, tr_l, srcL_l, dstW_l, lvl_l = [], [], [], [], []
+    for l in np.unique(lens):
+        if l == 0:
+            continue
+        cols_l = np.nonzero(lens == l)[0]
+        a, b = [x.ravel() for x in np.indices((int(l), int(l)))]
+        base = colptr[cols_l][:, None]                    # (C, 1)
+        sa = rows_flat[base + a[None, :]]                 # (C, P)
+        sb = rows_flat[base + b[None, :]]
+        srcL = n + base + b[None, :]
+        dstW = base + a[None, :]                          # off index [0,nnz)
+        eqm = sa == sb
+        ltm = sa < sb
+        # Σ_{sa,sb}: diag slot when equal; stored transposed when sa < sb
+        srcS = np.where(eqm, sa,
+                        np.where(ltm, off_slot_v(sb, sa),
+                                 off_slot_v(sa, sb)))
+        srcS_l.append(srcS.ravel())
+        tr_l.append(ltm.ravel().astype(np.int64))
+        srcL_l.append(np.broadcast_to(srcL, sa.shape).ravel())
+        dstW_l.append(np.broadcast_to(dstW, sa.shape).ravel())
+        lvl_l.append(np.repeat(depth[cols_l], len(a)))
+    if srcS_l:
+        payload = np.stack([np.concatenate(srcS_l), np.concatenate(tr_l),
+                            np.concatenate(srcL_l), np.concatenate(dstW_l)],
+                           axis=1)
+        pairs = _pad_by_level(np.concatenate(lvl_l), payload, L)
+    else:
+        pairs = np.full((max(L, 1), 1, 4), -1, dtype=np.int64)
+    return pairs
+
+
+def selected_inverse(Lblocks, sched_aux, pairs, n: int):
+    """Block Takahashi recursion on the factor pattern.
+
+    One reverse level-scheduled sweep computes ``Σ = H⁻¹`` restricted to
+    the pattern of ``L`` (all diagonal blocks + every stored off-diagonal
+    block) in ``O(Σ_j |struct(j)|²)`` batched block ops — the TPU
+    formulation of the reference's per-entry Takahashi recursion
+    (``marginal_covariance_cholesky.h:92``), replacing one full
+    triangular-solve pair per requested column.
+
+    Per column ``j`` (batched across a level, ancestors already done):
+
+    * ``Σ_{s,j} = −(Σ_b Σ_{s,s_b} L_{s_b,j}) L_jj⁻¹``  for ``s ∈ struct(j)``
+    * ``Σ_{j,j} = L_jj⁻ᵀ L_jj⁻¹ − (Σ_s Σ_{s,j}ᵀ L_{s,j}) L_jj⁻¹``
+
+    ``n`` must be a static int (block-column count)."""
+    lvl_cols = sched_aux["lvl_cols"]
+    solves = sched_aux["solves"]
+    d = Lblocks.shape[-1]
+    nnz = Lblocks.shape[0] - n
+    Lmax = lvl_cols.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    dtype = Lblocks.dtype
+    eye = jnp.eye(d, dtype=dtype)
+
+    Sigma = jnp.zeros_like(Lblocks)
+
+    def level_body(k, Sigma):
+        li = Lmax - 1 - k
+        pr = pairs[li]
+        pmask = (pr[:, 0] >= 0).astype(dtype)
+        srcS = jnp.maximum(pr[:, 0], 0)
+        tr = pr[:, 1] == 1
+        srcL = jnp.maximum(pr[:, 2], 0)
+        dstW = jnp.maximum(pr[:, 3], 0)
+        Sg = Sigma[srcS]
+        Sg = jnp.where(tr[:, None, None], jnp.swapaxes(Sg, -1, -2), Sg)
+        C = jnp.einsum("pij,pjk->pik", Sg, Lblocks[srcL], precision=hi)
+        W = jnp.zeros((max(nnz, 1), d, d), dtype=dtype).at[dstW].add(
+            C * pmask[:, None, None])
+
+        sl = solves[li]
+        smask = sl[:, 0] >= 0
+        s_slot = jnp.maximum(sl[:, 0], 0)
+        j_col = jnp.maximum(sl[:, 1], 0)
+        Wm = W[jnp.maximum(s_slot - n, 0)]
+        Ljj = Lblocks[j_col]
+        # X = −W L_jj⁻¹  ⇔  L_jjᵀ Xᵀ = −Wᵀ
+        Xt = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Ljj, -1, -2), -jnp.swapaxes(Wm, -1, -2),
+            lower=False)
+        X = jnp.swapaxes(Xt, -1, -2)
+        Sigma = Sigma.at[s_slot].set(
+            jnp.where(smask[:, None, None], X, Sigma[s_slot]))
+
+        # R_j = Σ_s Σ_{s,j}ᵀ L_{s,j}  (segment-sum over this level's slots)
+        contrib = jnp.einsum("sji,sjk->sik", Sigma[s_slot], Lblocks[s_slot],
+                             precision=hi)
+        R = jnp.zeros((n, d, d), dtype=dtype).at[j_col].add(
+            contrib * smask[:, None, None].astype(dtype))
+
+        cols = lvl_cols[li]
+        cmask = cols >= 0
+        csafe = jnp.maximum(cols, 0)
+        Ljc = Lblocks[csafe]
+        invL = jax.scipy.linalg.solve_triangular(
+            Ljc, jnp.broadcast_to(eye, Ljc.shape), lower=True)
+        SigD = jnp.einsum("cki,ckj->cij", invL, invL, precision=hi)
+        SigD = SigD - jnp.einsum("cij,cjk->cik", R[csafe], invL,
+                                 precision=hi)
+        SigD = 0.5 * (SigD + jnp.swapaxes(SigD, -1, -2))
+        Sigma = Sigma.at[csafe].set(
+            jnp.where(cmask[:, None, None], SigD, Sigma[csafe]))
+        return Sigma
+
+    return jax.lax.fori_loop(0, Lmax, level_body, Sigma)
+
+
 # --------------------------------------------------------------------- #
 # solver class (single uniform vertex type, no marginalization)
 # --------------------------------------------------------------------- #
 
 class SparseCholeskySolver:
-    """Direct block-sparse Cholesky solver for uniform-block problems
-    (SE2/SE3 pose graphs).  Symbolic analysis runs once at setup; every
-    ``solve`` re-runs the numeric phase with the current lambda on the
-    diagonal (the reference's setLambda/restoreDiagonal contract)."""
+    """Direct block-sparse Cholesky solver.  Symbolic analysis runs once at
+    setup; every ``solve`` re-runs the numeric phase with the current
+    lambda on the diagonal (the reference's setLambda/restoreDiagonal
+    contract).
+
+    Mixed vertex types are handled by PADDING every block to the maximum
+    tangent dim ``d_max``: padding slots carry a decoupled unit diagonal,
+    so the factor/solve/selected-inverse machinery stays one uniform
+    batched schedule (the TPU answer to the reference's
+    variable-blocksize ``BlockSolverX``, ``core/block_solver.h:196``).
+    Binary edges only (ternary calib edges go through PCG/Schur)."""
 
     name = "sparse_chol"
 
@@ -420,33 +563,37 @@ class SparseCholeskySolver:
 
     def setup(self, problem):
         p = problem
-        if len(p.vertex_types) != 1:
-            raise NotImplementedError(
-                "SparseCholeskySolver: single vertex type required "
-                f"(got {sorted(p.vertex_types)})")
-        (tname,) = p.vertex_types
-        vt = p.vertex_types[tname]
-        d = vt.tangent_dim
-        n = p.counts[tname]
+        tnames = list(p.vertex_types)
+        dims = {t: p.vertex_types[t].tangent_dim for t in tnames}
+        d = max(dims.values())                       # padded block dim
+        base = {}
+        acc = 0
+        for t in tnames:
+            base[t] = acc
+            acc += p.counts[t]
+        n = acc
 
-        # block pattern from binary+ edges
+        # block pattern from binary edges (global block ids across types)
         pair_set = set()
-        edge_meta = {}     # etype name -> (pairs list per edge)
         for name, et in p.edge_types.items():
             vidx = np.asarray(p.data.edges[name].vidx)
             if et.num_slots == 1:
-                edge_meta[name] = None
                 continue
             if et.num_slots != 2:
                 raise NotImplementedError(
                     "SparseCholeskySolver: edges with >2 vertices not "
                     "supported yet")
-            for a, b in vidx:
+            ga = base[et.vertex_types[0].name] + vidx[:, 0]
+            gb = base[et.vertex_types[1].name] + vidx[:, 1]
+            for a, b in zip(ga.tolist(), gb.tolist()):
                 if a != b:
-                    pair_set.add((min(int(a), int(b)), max(int(a), int(b))))
+                    pair_set.add((min(a, b), max(a, b)))
         pairs = np.asarray(sorted(pair_set), dtype=np.int64).reshape(-1, 2)
 
         sym = symbolic_factorization(n, pairs, min_size=self.min_size)
+        self._sym = sym                      # kept for selected-inverse
+        self._n_blocks, self._block_dim = n, d
+        self._type_base, self._dims = base, dims
         sched = build_schedule(sym, d)
         inv = sym["inv"].astype(np.int64)
         off_slot = sched.pop("off_slot")
@@ -460,15 +607,25 @@ class SparseCholeskySolver:
             if et.num_slots != 2:
                 continue
             vidx = np.asarray(p.data.edges[name].vidx)
-            i = inv[vidx[:, 0]]
-            j = inv[vidx[:, 1]]
-            valid = vidx[:, 0] != vidx[:, 1]
+            ga = base[et.vertex_types[0].name] + vidx[:, 0]
+            gb = base[et.vertex_types[1].name] + vidx[:, 1]
+            i = inv[ga]
+            j = inv[gb]
+            valid = ga != gb
             lo = np.where(valid, np.minimum(i, j), 0)
             hi = np.where(valid, np.maximum(i, j), 1)
             slots = np.where(valid, off_slot_v(hi, lo), 0)
             transpose = i < j
             edge_maps[name] = (jnp.asarray(slots), jnp.asarray(transpose),
                                jnp.asarray(valid))
+
+        # global (n,) fixed mask + per-slot validity (padding slots off)
+        fixed_np = np.zeros(n, dtype=bool)
+        valid_np = np.zeros((n, d), dtype=np.float64)
+        for t in tnames:
+            fx = np.asarray(p.data.fixed[t])
+            fixed_np[base[t]:base[t] + p.counts[t]] = fx
+            valid_np[base[t]:base[t] + p.counts[t], :dims[t]] = 1.0
 
         perm = jnp.asarray(sym["perm"])      # new k -> old id
         dtype = p.dtype
@@ -481,10 +638,18 @@ class SparseCholeskySolver:
             row_of_slot=jnp.asarray(sched["row_of_slot"]),
             col_of_slot=jnp.asarray(sched["col_of_slot"]),
             perm=perm,
-            offsets=p.data.offsets[tname],
+            gfixed=jnp.asarray(fixed_np),
+            gvalid=jnp.asarray(valid_np, dtype=dtype),
             edge_maps=edge_maps,
         )
         eye = jnp.eye(d, dtype=dtype)
+
+        def _pad_block(M):
+            """(E, a, b) -> (E, d, d) zero-padded top-left embedding."""
+            a, b = M.shape[-2], M.shape[-1]
+            if a == d and b == d:
+                return M
+            return jnp.pad(M, ((0, 0), (0, d - a), (0, d - b)))
 
         def assemble_and_factor(data, lin, lam, aux):
             """Scatter H blocks into the L pattern (permuted) and run the
@@ -501,11 +666,16 @@ class SparseCholeskySolver:
                 Js, W = lin.jacs[name], lin.weights[name]
                 vidx = data.edges[name].vidx
                 for s in range(et.num_slots):
+                    t = et.vertex_types[s].name
                     Hss = jnp.einsum("erd,ers,esf->edf", Js[s], W, Js[s],
                                      precision=hi)
-                    diag = diag.at[vidx[:, s]].add(Hss)
-            fx = data.fixed[tname].astype(dtype)[:, None, None]
-            diag = diag + lam * eye
+                    diag = diag.at[base[t] + vidx[:, s]].add(_pad_block(Hss))
+            # damping on valid slots, unit diagonal on padding slots,
+            # identity on fixed vertices
+            vmask = aux["gvalid"]                       # (n, d)
+            diag = diag + jnp.einsum("nd,de->nde", vmask, eye) * lam \
+                + jnp.einsum("nd,de->nde", 1.0 - vmask, eye)
+            fx = aux["gfixed"].astype(dtype)[:, None, None]
             diag = diag * (1.0 - fx) + eye * fx
             blocks = blocks.at[:n].set(diag[aux["perm"]])
             # off-diagonal H blocks
@@ -513,8 +683,8 @@ class SparseCholeskySolver:
                 if et.num_slots != 2:
                     continue
                 Js, W = lin.jacs[name], lin.weights[name]
-                Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1],
-                                 precision=hi)
+                Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[0], W,
+                                            Js[1], precision=hi))
                 slots, transpose, valid = aux["edge_maps"][name]
                 Hab = jnp.where(transpose[:, None, None],
                                 jnp.swapaxes(Hab, -1, -2), Hab)
@@ -524,10 +694,17 @@ class SparseCholeskySolver:
 
         def solve(data, lin, lam, aux):
             blocks = assemble_and_factor(data, lin, lam, aux)
-            bperm = p.split_tangent(lin.b)[tname][aux["perm"]]
+            bb = p.split_tangent(lin.b)
+            bfull = jnp.zeros((n, d), dtype=dtype)
+            for t in tnames:
+                bfull = bfull.at[base[t]:base[t] + p.counts[t],
+                                 :dims[t]].set(bb[t])
+            bperm = bfull[aux["perm"]]
             xperm = solve_factored(blocks, bperm, aux)
             x = jnp.zeros_like(xperm).at[aux["perm"]].set(xperm)
-            return p.join_tangent({tname: x})
+            out = {t: x[base[t]:base[t] + p.counts[t], :dims[t]]
+                   for t in tnames}
+            return p.join_tangent(out)
 
         self._factor_fn = assemble_and_factor  # used by marginal recovery
         self._solve_fn = solve

@@ -138,10 +138,17 @@ def _implicit_schur_flops(problem, solver, cg_iters: float,
               for t, v in marg.items() if v), default=0)
     lm_n = sum(problem.counts[t] for t, v in marg.items() if v)
 
+    # classify edge slots by their vertex type's marginalized flag (NOT by
+    # tangent-dim equality: pose/landmark dims can coincide, and then the
+    # dim-membership test misattributes FLOPs — advisor r2 finding)
+    def _slot_marg(et):
+        return [marg.get(vt.name, False) for vt in et.vertex_types]
+
     obs = 0.0
     setup = 0.0
-    for E, r, dims in _edge_shapes(problem).values():
-        if len(dims) == 2 and dl in dims and dp in dims:
+    for name, (E, r, dims) in _edge_shapes(problem).items():
+        sm = _slot_marg(problem.edge_types[name])
+        if len(dims) == 2 and sm.count(True) == 1:
             obs += E
             # B = Jpᵀ W Jl, Hll contribution, Hpp contribution
             setup += E * (2.0 * r * r * dl + 2.0 * r * dp * dl
@@ -153,8 +160,8 @@ def _implicit_schur_flops(problem, solver, cg_iters: float,
 
     # reduced S·v: Bᵀu, Dinv·t, B·s + Hpp·v (diag + pose-pose edges)
     mv = obs * 4.0 * dp * dl + lm_n * 2.0 * dl * dl + pose_n * 2.0 * dp * dp
-    for E, r, dims in _edge_shapes(problem).values():
-        if len(dims) == 2 and dl not in dims:
+    for name, (E, r, dims) in _edge_shapes(problem).items():
+        if len(dims) == 2 and not any(_slot_marg(problem.edge_types[name])):
             mv += E * 4.0 * r * dp
     apply_ = pose_n * 2.0 * dp * dp
     axpy = 10.0 * pose_n * dp

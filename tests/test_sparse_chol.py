@@ -46,13 +46,19 @@ def test_full_lm():
     assert res["chi2_final"] < 0.5 * res["chi2_per_iteration"][0]
 
 
-def test_rejects_mixed_types():
+def test_mixed_type_ba_direct_matches_dense():
+    """Mixed camera(6)+point(3) BA graph through the padded-block direct
+    path (mixed types are supported since round 3)."""
+    from g2o_tpu.core.solvers import DenseSolver
     from g2o_tpu.sim.generators import create_ba_scene
 
     g, _ = create_ba_scene(n_cameras=3, n_points=10, seed=1)
     p = g.compile()
-    with pytest.raises(NotImplementedError):
-        SparseCholeskySolver().setup(p)
+    lin = p.linearize_jit(p.data, p.estimates)
+    dx_s = np.asarray(SparseCholeskySolver().setup(p).solve(
+        p.data, lin, 1e-3))
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, 1e-3))
+    np.testing.assert_allclose(dx_s, dx_d, atol=1e-8)
 
 
 def test_native_symbolic_matches_python_fill():
@@ -74,3 +80,60 @@ def test_native_symbolic_matches_python_fill():
     np.testing.assert_array_equal(res["colptr"], colptr)
     np.testing.assert_array_equal(res["rows"], rows)
     np.testing.assert_array_equal(res["depth"], depth)
+
+
+def test_takahashi_all_blocks_matches_dense():
+    """One factorization + one reverse Takahashi sweep gives ALL diagonal
+    covariance blocks, matching the dense H^-1 (the batched formulation of
+    ``MarginalCovarianceCholesky::computeEntry``,
+    ``core/marginal_covariance_cholesky.h:92``)."""
+    import numpy as np
+
+    from g2o_tpu.core.marginals import compute_marginals
+    from g2o_tpu.sim.generators import create_manhattan
+
+    g = create_manhattan(n_poses=120, seed=4)
+    p = g.compile()
+    vids = sorted(p.vid_index)
+    t = compute_marginals(p, vids, lam=1e-5, method="takahashi")
+    d = compute_marginals(p, vids, lam=1e-5, method="dense")
+    for v in vids:
+        np.testing.assert_allclose(t[v], d[v], atol=1e-9)
+
+
+def test_mixed_type_direct_solve_matches_dense():
+    """Padded-block mixed-type path (SE2 poses + XY landmarks): the direct
+    factorization must match the dense solve (the variable-blocksize
+    BlockSolverX role, ``core/block_solver.h:196``)."""
+    import numpy as np
+
+    from g2o_tpu.core.solvers import DenseSolver, SparseCholeskySolver
+    from g2o_tpu.sim.generators import create_simulator2d
+
+    g = create_simulator2d(n_poses=35, n_landmarks=20,
+                           sensors=("odometry", "pointxy"),
+                           noise_scale=1.0, seed=9)
+    p = g.compile()
+    assert len(p.vertex_types) == 2
+    lin = p.linearize_jit(p.data, p.estimates)
+    dx_s = np.asarray(SparseCholeskySolver().setup(p).solve(
+        p.data, lin, 1e-4))
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, 1e-4))
+    np.testing.assert_allclose(dx_s, dx_d, atol=1e-9)
+
+
+def test_mixed_type_takahashi_marginals():
+    import numpy as np
+
+    from g2o_tpu.core.marginals import compute_marginals
+    from g2o_tpu.sim.generators import create_simulator2d
+
+    g = create_simulator2d(n_poses=30, n_landmarks=18,
+                           sensors=("odometry", "pointxy"),
+                           noise_scale=1.0, seed=11)
+    p = g.compile()
+    vids = sorted(p.vid_index)
+    t = compute_marginals(p, vids, lam=1e-4, method="takahashi")
+    d = compute_marginals(p, vids, lam=1e-4, method="dense")
+    for v in vids:
+        np.testing.assert_allclose(t[v], d[v], atol=1e-8)
