@@ -94,19 +94,32 @@ class PCGSolver:
     # ------------------------------------------------------------------ #
 
     def _setup_chunk_precond(self, problem):
-        """Host-side index maps for the chunked tridiagonal preconditioner.
-        Returns None when the problem shape doesn't fit (multi-type)."""
-        if (self.precond not in ("chunk", "chunk2")
-                or len(problem.vertex_types) != 1):
+        """Host-side index maps for the chunked preconditioners.
+
+        Mixed vertex types are handled by PADDING every block to the max
+        tangent dim ``d``: vertices get GLOBAL block ids (type base +
+        local index, poses-then-landmarks order), padding slots carry a
+        decoupled unit diagonal, and chunks group consecutive global ids
+        — odometry chains stay consecutive within their type range, and
+        the coarse chunk-graph level still couples pose chunks to
+        landmark chunks through every binary edge.  Edges with >2 slots
+        contribute only their diagonal (through ``lin.diag``)."""
+        if self.precond not in ("chunk", "chunk2"):
             return None
-        (tname,) = problem.vertex_types
-        d = problem.vertex_types[tname].tangent_dim
-        n = problem.counts[tname]
+        tnames = list(problem.vertex_types)
+        dims = {t: problem.vertex_types[t].tangent_dim for t in tnames}
+        d = max(dims.values())
+        base = {}
+        acc = 0
+        for t in tnames:
+            base[t] = acc
+            acc += problem.counts[t]
+        n = acc
         c = self.chunk_size
         nc = -(-n // c)          # chunks
         n_pad = nc * c
 
-        # chain off-diagonal sources: edges between consecutive local ids
+        # chain off-diagonal sources: edges between consecutive GLOBAL ids
         # WITHIN the same chunk, per edge type (slot order both ways)
         chain = {}
         intra = {}
@@ -114,34 +127,46 @@ class PCGSolver:
         for name, et in problem.edge_types.items():
             if et.num_slots != 2:
                 continue
-            if any(vt.name != tname for vt in et.vertex_types):
-                continue
             vidx = np.asarray(problem.data.edges[name].vidx)
-            lo = np.minimum(vidx[:, 0], vidx[:, 1])
-            hi = np.maximum(vidx[:, 0], vidx[:, 1])
+            ga = base[et.vertex_types[0].name] + vidx[:, 0]
+            gb = base[et.vertex_types[1].name] + vidx[:, 1]
+            lo = np.minimum(ga, gb)
+            hi = np.maximum(ga, gb)
             consecutive = (hi == lo + 1) & (lo // c == hi // c)
             idx = np.nonzero(consecutive)[0]
             if len(idx) > 0:
                 # orientation: True when slot0 is the lower index
-                fwd = vidx[idx, 0] < vidx[idx, 1]
+                fwd = ga[idx] < gb[idx]
                 chain[name] = (jnp.asarray(idx.astype(np.int32)),
                                jnp.asarray(fwd),
                                jnp.asarray(lo[idx].astype(np.int32)))
             if self.precond == "chunk2":
                 # ALL intra-chunk couplings (nearby loop closures included)
-                same = (vidx[:, 0] // c) == (vidx[:, 1] // c)
+                same = (ga // c) == (gb // c)
                 ii = np.nonzero(same)[0]
                 if len(ii) > 0:
                     intra[name] = (
                         jnp.asarray(ii.astype(np.int32)),
-                        jnp.asarray((vidx[ii, 0] // c).astype(np.int32)),
-                        jnp.asarray((vidx[ii, 0] % c).astype(np.int32)),
-                        jnp.asarray((vidx[ii, 1] % c).astype(np.int32)))
+                        jnp.asarray((ga[ii] // c).astype(np.int32)),
+                        jnp.asarray((ga[ii] % c).astype(np.int32)),
+                        jnp.asarray((gb[ii] % c).astype(np.int32)))
                 # coarse chunk-graph scatter targets for EVERY edge
-                seg = (vidx[:, 0] // c) * nc + (vidx[:, 1] // c)
+                seg = (ga // c) * nc + (gb // c)
                 coarse[name] = jnp.asarray(seg.astype(np.int32))
-        return dict(tname=tname, d=d, n=n, c=c, nc=nc, n_pad=n_pad,
-                    chain=chain, intra=intra, coarse=coarse)
+        # per-chunk slot coverage: slot s of chunk k is live when some
+        # NON-FIXED vertex in the chunk has tangent dim > s; dead slots
+        # (padding dims, fully-fixed or empty chunks) get a unit diagonal
+        # in the coarse system so it stays SPD
+        cover = np.zeros((nc, d), dtype=np.float64)
+        for t in tnames:
+            fx = np.asarray(problem.data.fixed[t])
+            g = base[t] + np.arange(problem.counts[t])
+            live = ~fx
+            if live.any():
+                cover[np.unique(g[live] // c), :dims[t]] = 1.0
+        return dict(tnames=tnames, dims=dims, base=base, d=d, n=n, c=c,
+                    nc=nc, n_pad=n_pad, chain=chain, intra=intra,
+                    coarse=coarse, cover=jnp.asarray(cover))
 
     def setup(self, problem, force: bool = False):
         # repeated setup on the SAME problem is a no-op: rebuilding the
@@ -178,7 +203,8 @@ class PCGSolver:
             return minv
 
         if chunk_cfg is not None:
-            tname = chunk_cfg["tname"]
+            tnames = chunk_cfg["tnames"]
+            dims, tbase = chunk_cfg["dims"], chunk_cfg["base"]
             d, c = chunk_cfg["d"], chunk_cfg["c"]
             n, nc, n_pad = chunk_cfg["n"], chunk_cfg["nc"], chunk_cfg["n_pad"]
             cd = c * d
@@ -186,6 +212,51 @@ class PCGSolver:
             intra = chunk_cfg["intra"]
             coarse = chunk_cfg["coarse"]
             two_level = self.precond == "chunk2"
+            counts = {t: p.counts[t] for t in tnames}
+            etypes = p.edge_types
+
+            def _pad_block(M):
+                """(E, a, b) -> (E, d, d) zero-padded embedding."""
+                a, b2 = M.shape[-2], M.shape[-1]
+                if a == d and b2 == d:
+                    return M
+                return jnp.pad(M, ((0, 0), (0, d - a), (0, d - b2)))
+
+            eye_d = jnp.eye(d, dtype=dtype)
+
+            def stacked_diag(data, lin, lam):
+                """Global (n, d, d) padded diagonal with damping, unit
+                padding slots and identity on fixed vertices."""
+                D = jnp.zeros((n, d, d), dtype=dtype)
+                for t in tnames:
+                    dt = dims[t]
+                    blk = lin.diag[t] + lam * jnp.eye(dt, dtype=dtype)
+                    fx = data.fixed[t].astype(dtype)[:, None, None]
+                    blk = blk * (1.0 - fx) + jnp.eye(dt, dtype=dtype) * fx
+                    blk = _pad_block(blk)
+                    if dt < d:
+                        pad_eye = jnp.diag(jnp.concatenate(
+                            [jnp.zeros((dt,), dtype), jnp.ones((d - dt,),
+                                                               dtype)]))
+                        blk = blk + pad_eye[None]
+                    D = D.at[tbase[t]:tbase[t] + counts[t]].set(blk)
+                return D
+
+            def stacked_vec(data, rb, mask_fixed=False):
+                """{type: (N_t, d_t)} -> global (n, d) padded."""
+                v = jnp.zeros((n, d), dtype=dtype)
+                for t in tnames:
+                    r = rb[t]
+                    if mask_fixed:
+                        r = r * (1.0 - data.fixed[t].astype(dtype)[:, None])
+                    if dims[t] < d:
+                        r = jnp.pad(r, ((0, 0), (0, d - dims[t])))
+                    v = v.at[tbase[t]:tbase[t] + counts[t]].set(r)
+                return v
+
+            def unstacked_vec(z):
+                return {t: z[tbase[t]:tbase[t] + counts[t], :dims[t]]
+                        for t in tnames}
             # coarse system size, padded to 96-col panels so the blocked
             # HIGHEST-precision Cholesky kernels stay inside the f32-safe
             # XLA expander range (see solvers/supernodal.py:_SAFE_XLA_DIM)
@@ -194,10 +265,8 @@ class PCGSolver:
             ncd_pad = -(-ncd // panel) * panel
 
             def build_chunk_blocks(data, lin, lam):
-                eye = jnp.eye(d, dtype=dtype)
-                D = lin.diag[tname] + lam * eye
-                fx = data.fixed[tname].astype(dtype)[:, None, None]
-                D = D * (1.0 - fx) + eye * fx
+                eye = eye_d
+                D = stacked_diag(data, lin, lam)
                 if n_pad > n:
                     pad = jnp.tile(eye[None], (n_pad - n, 1, 1))
                     D = jnp.concatenate([D, pad], axis=0)
@@ -215,9 +284,10 @@ class PCGSolver:
                         # HIGHEST: these blocks feed the chunk Cholesky —
                         # bf16 MXU off-diagonal error (~1e-3 rel) can turn
                         # near-singular chunk blocks indefinite → NaN
-                        Hab = jnp.einsum("erd,ers,esf->edf",
-                                         Js[0][idx], W[idx], Js[1][idx],
-                                         precision=jax.lax.Precision.HIGHEST)
+                        Hab = _pad_block(jnp.einsum(
+                            "erd,ers,esf->edf", Js[0][idx], W[idx],
+                            Js[1][idx],
+                            precision=jax.lax.Precision.HIGHEST))
                         Ei = Hab.shape[0]
                         rowid = jnp.concatenate([ci * c + l0, ci * c + l1])
                         colid = jnp.concatenate([l1, l0])
@@ -238,9 +308,10 @@ class PCGSolver:
                     # chain off-diagonals (both fixed-masked ends)
                     for name, (idx, fwd, lo) in chain.items():
                         Js, W = lin.jacs[name], lin.weights[name]
-                        Hab = jnp.einsum("erd,ers,esf->edf",
-                                         Js[0][idx], W[idx], Js[1][idx],
-                                         precision=jax.lax.Precision.HIGHEST)
+                        Hab = _pad_block(jnp.einsum(
+                            "erd,ers,esf->edf", Js[0][idx], W[idx],
+                            Js[1][idx],
+                            precision=jax.lax.Precision.HIGHEST))
                         # orient as block (lo, lo+1)
                         O = jnp.where(fwd[:, None, None], Hab,
                                       jnp.swapaxes(Hab, -1, -2))
@@ -262,9 +333,16 @@ class PCGSolver:
                 # Hc = Rᵀ(H+λI)R over non-fixed vertices: vertex diagonals
                 # aggregate onto coarse diagonal blocks, every edge block
                 # onto its (chunk_a, chunk_b) coarse entry + its transpose
-                eye = jnp.eye(d, dtype=dtype)
-                fx = data.fixed[tname].astype(dtype)[:, None, None]
-                Dm = (lin.diag[tname] + lam * eye) * (1.0 - fx)
+                eye = eye_d
+                # damped diagonal with fixed vertices ZEROED (restriction
+                # ignores them) and no padding-slot identity yet
+                Dm = jnp.zeros((n, d, d), dtype=dtype)
+                for t in tnames:
+                    dt = dims[t]
+                    blk = lin.diag[t] + lam * jnp.eye(dt, dtype=dtype)
+                    fxt = data.fixed[t].astype(dtype)[:, None, None]
+                    blk = _pad_block(blk * (1.0 - fxt))
+                    Dm = Dm.at[tbase[t]:tbase[t] + counts[t]].set(blk)
                 if n_pad > n:
                     Dm = jnp.concatenate(
                         [Dm, jnp.zeros((n_pad - n, d, d), dtype=dtype)])
@@ -275,8 +353,9 @@ class PCGSolver:
                 S = jnp.zeros((nc, d * d, nc), dtype=dtype)
                 for name, seg in coarse.items():
                     Js, W = lin.jacs[name], lin.weights[name]
-                    Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1],
-                                     precision=jax.lax.Precision.HIGHEST)
+                    Hab = _pad_block(jnp.einsum(
+                        "erd,ers,esf->edf", Js[0], W, Js[1],
+                        precision=jax.lax.Precision.HIGHEST))
                     E = Hab.shape[0]
                     oha = jax.nn.one_hot(seg // nc, nc, dtype=dtype)
                     ohb = jax.nn.one_hot(seg % nc, nc, dtype=dtype)
@@ -292,16 +371,13 @@ class PCGSolver:
                 Hc = S + jnp.swapaxes(S, 0, 1).transpose(0, 1, 3, 2)
                 di = jnp.arange(nc)
                 Hc = Hc.at[di, di].add(Dc)
-                # chunks whose vertices are ALL fixed (or padding) would be
-                # singular — give them a unit block
-                nonfx = 1.0 - fx[:, 0, 0]
-                if n_pad > n:
-                    nonfx = jnp.concatenate(
-                        [nonfx, jnp.zeros((n_pad - n,), dtype=dtype)])
-                cnt = nonfx.reshape(nc, c).sum(axis=1)
-                empty = (cnt == 0)[:, None, None].astype(dtype)
-                Hc = Hc.at[di, di].set(
-                    Hc[di, di] * (1.0 - empty) + eye * empty)
+                # dead coarse slots (padding dims of small-dim chunks,
+                # fully-fixed/empty chunks) get a unit diagonal — their
+                # rows/cols are zero otherwise and the factorization would
+                # be singular
+                cover = chunk_cfg["cover"].astype(dtype)      # (nc, d)
+                Hc = Hc.at[di, di].add(
+                    jnp.einsum("cd,de->cde", 1.0 - cover, eye))
                 Hd = Hc.transpose(0, 2, 1, 3).reshape(ncd, ncd)
                 if ncd_pad > ncd:
                     pad = ncd_pad - ncd
@@ -335,7 +411,7 @@ class PCGSolver:
             def apply_precond(data, Minv, rb):
                 if two_level:
                     Minv, Cinv = Minv
-                rv = rb[tname]                               # (n, d)
+                rv = stacked_vec(data, rb)                   # (n, d) padded
                 if n_pad > n:
                     rv = jnp.concatenate(
                         [rv, jnp.zeros((n_pad - n, d), dtype=dtype)], axis=0)
@@ -343,8 +419,7 @@ class PCGSolver:
                 y = jnp.einsum("cij,cj->ci", Minv, rc)
                 z = y.reshape(n_pad, d)[:n]
                 if two_level:
-                    fm = data.fixed[tname].astype(dtype)[:, None]
-                    rm = rb[tname] * (1.0 - fm)
+                    rm = stacked_vec(data, rb, mask_fixed=True)
                     if n_pad > n:
                         rm = jnp.concatenate(
                             [rm, jnp.zeros((n_pad - n, d), dtype=dtype)],
@@ -355,9 +430,12 @@ class PCGSolver:
                     yc = jnp.einsum("ij,j->i", Cinv, rcoarse,
                                     precision=jax.lax.Precision.HIGHEST)
                     zc = yc[:ncd].reshape(nc, d)
-                    z = z + (1.0 - fm) * jnp.repeat(
-                        zc, c, axis=0)[:n]
-                return {tname: z}
+                    gfm = stacked_vec(
+                        data, {t: 1.0 - data.fixed[t].astype(dtype)[:, None]
+                               * jnp.ones((1, dims[t]), dtype)
+                               for t in tnames})
+                    z = z + gfm * jnp.repeat(zc, c, axis=0)[:n]
+                return unstacked_vec(z)
 
             self._dbg_parts = {
                 "chunk_blocks": build_chunk_blocks,

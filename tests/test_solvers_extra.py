@@ -141,3 +141,30 @@ def test_pcg_chunk_preconditioner(sphere_problem):
     dxb = np.asarray(sb.solve(pb.data, linb, 1e-2))
     dxb_ref = np.asarray(DenseSolver().setup(pb).solve(pb.data, linb, 1e-2))
     assert np.linalg.norm(dxb - dxb_ref) / np.linalg.norm(dxb_ref) < 1e-4
+
+
+def test_mixed_type_chunk2_beats_jacobi_at_scale():
+    """VERDICT r2 item 8 criterion: on a 10k+-vertex mixed SE2+XY landmark
+    graph the (padded-block, global-id) chunk2 two-level Schwarz
+    preconditioner needs fewer CG iterations than plain block-Jacobi at
+    equal tolerance."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.sim.generators import create_simulator2d
+
+    g = create_simulator2d(n_poses=9000, n_landmarks=2500, world_size=120.0,
+                           sensors=("odometry", "pointxy"),
+                           noise_scale=1.0, seed=4)
+    p = g.compile()
+    assert sum(p.counts.values()) > 10_000
+    lin = p.linearize_jit(p.data, p.estimates)
+    counts = {}
+    for prec in ("jacobi", "chunk2"):
+        s = PCGSolver(max_iter=2000, tol=1e-6, precond=prec, chunk_size=64,
+                      absolute_tolerance=True).setup(p)
+        _, _, st = s._solve_state_jit(p.data, lin, 1e-6, s.aux, s.state0)
+        counts[prec] = int(st["cg_iterations"])
+    assert counts["chunk2"] < counts["jacobi"], counts
