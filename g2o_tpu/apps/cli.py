@@ -139,6 +139,17 @@ def main(argv=None):
     ap.add_argument("-gt", default=None,
                     help="ground-truth .g2o file: report ATE/RPE after "
                          "optimization")
+    ap.add_argument("-gnudump", default=None,
+                    help="dump the optimized graph for gnuplot "
+                         "(reference -gnudump)")
+    ap.add_argument("-dumpGraphviz", default=None,
+                    help="dump the hyper-graph structure as graphviz dot")
+    ap.add_argument("-plot", default=None,
+                    help="render the optimized graph to an image "
+                         "(.png/.svg/.pdf) — the no-GUI viewer substitute")
+    ap.add_argument("-htmlPlot", default=None,
+                    help="render the optimized graph to a standalone "
+                         "interactive HTML file (pan/zoom)")
     args = ap.parse_args(argv)
 
     _build_solver_table()
@@ -309,6 +320,30 @@ def main(argv=None):
         g2o_format.save(g, args.output,
                         estimates_by_vid=p.estimates_by_vid())
         print(f"wrote {args.output}", file=sys.stderr)
+    if args.gnudump:
+        from g2o_tpu.io.export import write_gnuplot
+
+        write_gnuplot(g, args.gnudump,
+                      estimates_by_vid=p.estimates_by_vid())
+        print(f"wrote {args.gnudump}", file=sys.stderr)
+    if args.dumpGraphviz:
+        from g2o_tpu.io.export import write_dot
+
+        write_dot(g, args.dumpGraphviz)
+        print(f"wrote {args.dumpGraphviz}", file=sys.stderr)
+    if args.plot or args.htmlPlot:
+        from g2o_tpu.io import viz
+
+        if args.plot:
+            viz.render_graph(g, args.plot,
+                             estimates_by_vid=p.estimates_by_vid(),
+                             title=args.input)
+            print(f"wrote {args.plot}", file=sys.stderr)
+        if args.htmlPlot:
+            viz.render_html(g, args.htmlPlot,
+                            estimates_by_vid=p.estimates_by_vid(),
+                            title=str(args.input))
+            print(f"wrote {args.htmlPlot}", file=sys.stderr)
     return 0
 
 

@@ -167,3 +167,56 @@ def test_line3d_types():
     est = np.asarray(_line_normalize(jnp.asarray(p.get_estimate(50))))
     gtn = np.asarray(_line_normalize(jnp.asarray(line_gt)))
     np.testing.assert_allclose(est, gtn, atol=1e-8)
+
+
+def test_render_graph_and_html(tmp_path):
+    """Static + HTML renderers (the viewer's draw-action substitute,
+    ``core/hyper_graph_action.h:137``): 2D and 3D graphs, chi2 coloring."""
+    import numpy as np
+
+    from g2o_tpu.io.viz import edge_chi2_values, render_graph, render_html
+    from g2o_tpu.sim.generators import create_manhattan, create_sphere
+
+    g2 = create_manhattan(n_poses=40, seed=1)
+    p2 = g2.compile()
+    png = tmp_path / "m.png"
+    render_graph(g2, str(png), estimates_by_vid=p2.estimates_by_vid(),
+                 chi2_by_edge=edge_chi2_values(p2), title="manhattan")
+    assert png.stat().st_size > 2000
+
+    html = tmp_path / "m.html"
+    render_html(g2, str(html), estimates_by_vid=p2.estimates_by_vid(),
+                chi2_by_edge=edge_chi2_values(p2))
+    text = html.read_text()
+    assert "canvas" in text and '"P":' in text
+    assert text.count("[") > 40        # data actually embedded
+
+    g3 = create_sphere(nodes_per_level=8, laps=3, radius=10.0, seed=0)
+    p3 = g3.compile()
+    svg = tmp_path / "s.svg"
+    render_graph(g3, str(svg), estimates_by_vid=p3.estimates_by_vid())
+    assert svg.stat().st_size > 2000
+
+
+def test_cli_plot_flags(tmp_path):
+    import subprocess
+    import sys
+
+    from g2o_tpu.io import g2o_format
+    from g2o_tpu.sim.generators import create_manhattan
+
+    g = create_manhattan(n_poses=25, seed=2)
+    p = g.compile()
+    fn = tmp_path / "m.g2o"
+    g2o_format.save(g, str(fn), estimates_by_vid=p.estimates_by_vid())
+    out_png = tmp_path / "o.png"
+    out_html = tmp_path / "o.html"
+    r = subprocess.run(
+        [sys.executable, "-m", "g2o_tpu.apps.cli", "-i", "3",
+         "-solver", "lm_dense", "-plot", str(out_png),
+         "-htmlPlot", str(out_html), str(fn)],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ,
+             "JAX_PLATFORMS": "", "PYTHONPATH": "/root/repo"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out_png.exists() and out_html.exists()
