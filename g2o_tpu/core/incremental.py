@@ -268,10 +268,16 @@ class IncrementalOptimizer:
         solver = self._opt.solver
         if (getattr(solver, "precond", None) in ("chunk", "chunk2")
                 and getattr(self, "_edges_dirty", False)):
-            # chunk preconditioners hold host-side edge→chunk index maps
-            # built at setup; rows overwritten since then would feed real
-            # blocks through stale placeholder indices — rebuild the maps
-            solver.setup(self._problem, force=True)
+            # chunk preconditioners hold edge→chunk index maps built at
+            # setup; rows overwritten since then would feed real blocks
+            # through stale placeholder indices.  The maps travel via
+            # solver.aux (jit arguments), so refreshing them is a
+            # host-side recompute with NO retrace — setup(force=True)
+            # re-created every jit closure (~1 s each; advisor r2 #4)
+            if hasattr(solver, "refresh_chunk_maps"):
+                solver.refresh_chunk_maps(self._problem)
+            else:
+                solver.setup(self._problem, force=True)
         self._edges_dirty = False
         if getattr(solver, "precond_mode", None) == "frozen":
             # warm start: ONE preconditioner build per update; all LM

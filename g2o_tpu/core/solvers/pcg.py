@@ -119,54 +119,84 @@ class PCGSolver:
         nc = -(-n // c)          # chunks
         n_pad = nc * c
 
-        # chain off-diagonal sources: edges between consecutive GLOBAL ids
-        # WITHIN the same chunk, per edge type (slot order both ways)
-        chain = {}
-        intra = {}
-        coarse = {}
-        for name, et in problem.edge_types.items():
-            if et.num_slots != 2:
-                continue
+        binary = [name for name, et in problem.edge_types.items()
+                  if et.num_slots == 2]
+        return dict(tnames=tnames, dims=dims, base=base, d=d, n=n, c=c,
+                    nc=nc, n_pad=n_pad, binary=binary)
+
+    def _chunk_maps(self, problem, cfg):
+        """Full-edge-length masked index maps for the chunk preconditioners
+        — these travel through ``solver.aux`` as jit ARGUMENTS (never
+        closure constants), so incremental drivers can refresh them after
+        in-place edge mutations without retracing the solve program
+        (:meth:`refresh_chunk_maps`; the capacity-padded incremental
+        arrays keep all shapes constant)."""
+        base, c, nc = cfg["base"], cfg["c"], cfg["nc"]
+        dtype = problem.dtype
+        maps = {}
+        for name in cfg["binary"]:
+            et = problem.edge_types[name]
             vidx = np.asarray(problem.data.edges[name].vidx)
             ga = base[et.vertex_types[0].name] + vidx[:, 0]
             gb = base[et.vertex_types[1].name] + vidx[:, 1]
             lo = np.minimum(ga, gb)
             hi = np.maximum(ga, gb)
+            m = {}
+            # chain: edges between consecutive GLOBAL ids within a chunk
             consecutive = (hi == lo + 1) & (lo // c == hi // c)
-            idx = np.nonzero(consecutive)[0]
-            if len(idx) > 0:
-                # orientation: True when slot0 is the lower index
-                fwd = ga[idx] < gb[idx]
-                chain[name] = (jnp.asarray(idx.astype(np.int32)),
-                               jnp.asarray(fwd),
-                               jnp.asarray(lo[idx].astype(np.int32)))
+            m["cm"] = jnp.asarray(consecutive.astype(np.float64),
+                                  dtype=dtype)
+            m["fwd"] = jnp.asarray(ga < gb)
+            m["lo"] = jnp.asarray(np.where(consecutive, lo, 0)
+                                  .astype(np.int32))
             if self.precond == "chunk2":
-                # ALL intra-chunk couplings (nearby loop closures included)
+                # intra: ALL same-chunk couplings (nearby loop closures)
                 same = (ga // c) == (gb // c)
-                ii = np.nonzero(same)[0]
-                if len(ii) > 0:
-                    intra[name] = (
-                        jnp.asarray(ii.astype(np.int32)),
-                        jnp.asarray((ga[ii] // c).astype(np.int32)),
-                        jnp.asarray((ga[ii] % c).astype(np.int32)),
-                        jnp.asarray((gb[ii] % c).astype(np.int32)))
-                # coarse chunk-graph scatter targets for EVERY edge
-                seg = (ga // c) * nc + (gb // c)
-                coarse[name] = jnp.asarray(seg.astype(np.int32))
+                m["im"] = jnp.asarray(same.astype(np.float64), dtype=dtype)
+                m["ci"] = jnp.asarray(np.where(same, ga // c, 0)
+                                      .astype(np.int32))
+                m["l0"] = jnp.asarray(np.where(same, ga % c, 0)
+                                      .astype(np.int32))
+                m["l1"] = jnp.asarray(np.where(same, gb % c, 0)
+                                      .astype(np.int32))
+                # coarse chunk-graph scatter target for EVERY edge
+                m["seg"] = jnp.asarray(((ga // c) * nc + (gb // c))
+                                       .astype(np.int32))
+            maps[name] = m
         # per-chunk slot coverage: slot s of chunk k is live when some
         # NON-FIXED vertex in the chunk has tangent dim > s; dead slots
         # (padding dims, fully-fixed or empty chunks) get a unit diagonal
         # in the coarse system so it stays SPD
-        cover = np.zeros((nc, d), dtype=np.float64)
-        for t in tnames:
+        cover = np.zeros((nc, cfg["d"]), dtype=np.float64)
+        for t in cfg["tnames"]:
             fx = np.asarray(problem.data.fixed[t])
             g = base[t] + np.arange(problem.counts[t])
             live = ~fx
             if live.any():
-                cover[np.unique(g[live] // c), :dims[t]] = 1.0
-        return dict(tnames=tnames, dims=dims, base=base, d=d, n=n, c=c,
-                    nc=nc, n_pad=n_pad, chain=chain, intra=intra,
-                    coarse=coarse, cover=jnp.asarray(cover))
+                cover[np.unique(g[live] // c), :cfg["dims"][t]] = 1.0
+        maps["cover"] = jnp.asarray(cover, dtype=dtype)
+        return maps
+
+    def refresh_chunk_maps(self, problem):
+        """Recompute the chunk index maps after in-place edge mutations
+        (incremental adds).  No retrace: the maps are jit arguments and
+        the capacity-padded arrays keep their shapes.  Falls back to a
+        full ``setup(force=True)`` when shapes changed."""
+        cfg = getattr(self, "_chunk_cfg", None)
+        if cfg is None:
+            return self
+        if sum(problem.counts.values()) != cfg["n"]:
+            return self.setup(problem, force=True)
+        maps = self._chunk_maps(problem, cfg)
+        old = self.aux.get("chunk") if isinstance(self.aux, dict) else None
+        if old is not None:
+            shapes_ok = all(
+                old[k][f].shape == maps[k][f].shape
+                for k in maps if k != "cover" for f in maps[k])
+            if not shapes_ok:
+                return self.setup(problem, force=True)
+        self.aux = {**self.aux, "chunk": maps}
+        return self
 
     def setup(self, problem, force: bool = False):
         # repeated setup on the SAME problem is a no-op: rebuilding the
@@ -208,12 +238,9 @@ class PCGSolver:
             d, c = chunk_cfg["d"], chunk_cfg["c"]
             n, nc, n_pad = chunk_cfg["n"], chunk_cfg["nc"], chunk_cfg["n_pad"]
             cd = c * d
-            chain = chunk_cfg["chain"]
-            intra = chunk_cfg["intra"]
-            coarse = chunk_cfg["coarse"]
+            binary = chunk_cfg["binary"]
             two_level = self.precond == "chunk2"
             counts = {t: p.counts[t] for t in tnames}
-            etypes = p.edge_types
 
             def _pad_block(M):
                 """(E, a, b) -> (E, d, d) zero-padded embedding."""
@@ -264,7 +291,7 @@ class PCGSolver:
             panel = 96
             ncd_pad = -(-ncd // panel) * panel
 
-            def build_chunk_blocks(data, lin, lam):
+            def build_chunk_blocks(data, lin, lam, cmaps):
                 eye = eye_d
                 D = stacked_diag(data, lin, lam)
                 if n_pad > n:
@@ -279,15 +306,20 @@ class PCGSolver:
                     # ALL intra-chunk couplings (subsumes the chain) as ONE
                     # one-hot MXU reduction: rows (both orientations) into
                     # the (chunk·c, c) grid — exact f32 on the MXU
-                    for name, (idx, ci, l0, l1) in intra.items():
+                    for name in binary:
+                        m = cmaps[name]
+                        ci, l0, l1 = m["ci"], m["l0"], m["l1"]
                         Js, W = lin.jacs[name], lin.weights[name]
                         # HIGHEST: these blocks feed the chunk Cholesky —
                         # bf16 MXU off-diagonal error (~1e-3 rel) can turn
                         # near-singular chunk blocks indefinite → NaN
+                        # (full edge length, non-intra rows masked out —
+                        # the maps travel via aux so incremental refresh
+                        # never retraces)
                         Hab = _pad_block(jnp.einsum(
-                            "erd,ers,esf->edf", Js[0][idx], W[idx],
-                            Js[1][idx],
+                            "erd,ers,esf->edf", Js[0], W, Js[1],
                             precision=jax.lax.Precision.HIGHEST))
+                        Hab = Hab * m["im"][:, None, None]
                         Ei = Hab.shape[0]
                         rowid = jnp.concatenate([ci * c + l0, ci * c + l1])
                         colid = jnp.concatenate([l1, l0])
@@ -306,19 +338,20 @@ class PCGSolver:
                         M = M + Mi.reshape(nc, c, c, d, d)
                 else:
                     # chain off-diagonals (both fixed-masked ends)
-                    for name, (idx, fwd, lo) in chain.items():
+                    for name in binary:
+                        m = cmaps[name]
                         Js, W = lin.jacs[name], lin.weights[name]
                         Hab = _pad_block(jnp.einsum(
-                            "erd,ers,esf->edf", Js[0][idx], W[idx],
-                            Js[1][idx],
+                            "erd,ers,esf->edf", Js[0], W, Js[1],
                             precision=jax.lax.Precision.HIGHEST))
+                        Hab = Hab * m["cm"][:, None, None]
                         # orient as block (lo, lo+1)
-                        O = jnp.where(fwd[:, None, None], Hab,
+                        O = jnp.where(m["fwd"][:, None, None], Hab,
                                       jnp.swapaxes(Hab, -1, -2))
-                        ci = lo // c
-                        li = lo % c
-                        M = M.at[ci, li, li + 1].add(O)
-                        M = M.at[ci, li + 1, li].add(
+                        ci = m["lo"] // c
+                        li = m["lo"] % c
+                        M = M.at[ci, li, jnp.minimum(li + 1, c - 1)].add(O)
+                        M = M.at[ci, jnp.minimum(li + 1, c - 1), li].add(
                             jnp.swapaxes(O, -1, -2))
                 Md = M.transpose(0, 1, 3, 2, 4).reshape(nc, cd, cd)
                 # invert ONCE per lambda-trial so each CG application is a
@@ -329,7 +362,7 @@ class PCGSolver:
                                          (nc, cd, cd))
                 return jax.scipy.linalg.cho_solve((Lc, True), eye_c)
 
-            def assemble_coarse(data, lin, lam):
+            def assemble_coarse(data, lin, lam, cmaps):
                 # Hc = Rᵀ(H+λI)R over non-fixed vertices: vertex diagonals
                 # aggregate onto coarse diagonal blocks, every edge block
                 # onto its (chunk_a, chunk_b) coarse entry + its transpose
@@ -351,7 +384,8 @@ class PCGSolver:
                 # TWO-SIDED one-hot MXU product (a (nc²)-segment scatter
                 # would serialize per row): S[a,b] = Σ_e 1[ca=a]·H_e·1[cb=b]
                 S = jnp.zeros((nc, d * d, nc), dtype=dtype)
-                for name, seg in coarse.items():
+                for name in binary:
+                    seg = cmaps[name]["seg"]
                     Js, W = lin.jacs[name], lin.weights[name]
                     Hab = _pad_block(jnp.einsum(
                         "erd,ers,esf->edf", Js[0], W, Js[1],
@@ -375,7 +409,7 @@ class PCGSolver:
                 # fully-fixed/empty chunks) get a unit diagonal — their
                 # rows/cols are zero otherwise and the factorization would
                 # be singular
-                cover = chunk_cfg["cover"].astype(dtype)      # (nc, d)
+                cover = cmaps["cover"]                        # (nc, d)
                 Hc = Hc.at[di, di].add(
                     jnp.einsum("cd,de->cde", 1.0 - cover, eye))
                 Hd = Hc.transpose(0, 2, 1, 3).reshape(ncd, ncd)
@@ -398,13 +432,13 @@ class PCGSolver:
                 return jnp.einsum("ki,kj->ij", Linv, Linv,
                                   precision=jax.lax.Precision.HIGHEST)
 
-            def build_coarse_inverse(data, lin, lam):
-                return invert_coarse(assemble_coarse(data, lin, lam))
+            def build_coarse_inverse(data, lin, lam, cmaps):
+                return invert_coarse(assemble_coarse(data, lin, lam, cmaps))
 
             if two_level:
-                def build_precond(data, lin, lam):
-                    return (build_chunk_blocks(data, lin, lam),
-                            build_coarse_inverse(data, lin, lam))
+                def build_precond(data, lin, lam, cmaps):
+                    return (build_chunk_blocks(data, lin, lam, cmaps),
+                            build_coarse_inverse(data, lin, lam, cmaps))
             else:
                 build_precond = build_chunk_blocks
 
@@ -444,7 +478,8 @@ class PCGSolver:
             }
 
         else:
-            build_precond = build_precond_jacobi
+            def build_precond(data, lin, lam, cmaps):
+                return build_precond_jacobi(data, lin, lam)
             apply_precond = apply_precond_jacobi
 
         self._dbg_build = build_precond
@@ -472,7 +507,9 @@ class PCGSolver:
                 return out
 
             b = p.split_tangent(lin.b)
-            minv = aux["minv"] if frozen else build_precond(data, lin, lam)
+            cmaps = aux.get("chunk") if isinstance(aux, dict) else None
+            minv = (aux["minv"] if frozen
+                    else build_precond(data, lin, lam, cmaps))
             x0 = tmap(jnp.zeros_like, b)
             r0 = b
             z0 = apply_precond(data, minv, r0)
@@ -521,6 +558,11 @@ class PCGSolver:
             self._solve_state_jit = jax.jit(solve_state)
             self.state0 = jnp.asarray(-1.0, dtype)
         self._host_state = None
+        self._chunk_cfg = chunk_cfg
+        if chunk_cfg is not None:
+            self.aux = {"chunk": self._chunk_maps(problem, chunk_cfg)}
+        else:
+            self.aux = {}
         if frozen:
             self._build_precond_jit = jax.jit(build_precond)
             self._problem_ref = problem
@@ -542,9 +584,12 @@ class PCGSolver:
         if lam is None:
             from g2o_tpu.core.optimizer import _max_abs_diag
             lam = float(1e-5 * _max_abs_diag(p, lin))
+        cmaps = self.aux.get("chunk") if isinstance(self.aux, dict) \
+            else None
         minv = self._build_precond_jit(p.data, lin,
-                                       jnp.asarray(lam, p.dtype))
-        self.aux = {"minv": minv}
+                                       jnp.asarray(lam, p.dtype), cmaps)
+        self.aux = {**({"chunk": cmaps} if cmaps is not None else {}),
+                    "minv": minv}
         return self
 
     def solve(self, data, lin, lam=0.0):
