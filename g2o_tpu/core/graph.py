@@ -247,7 +247,8 @@ class Graph:
     def compile(self, *, level: int = 0, dtype=None,
                 pad_edges_to_multiple: int = 1,
                 bucket_landmarks: bool = False,
-                static_kernels: bool = True):
+                static_kernels: bool = True,
+                state_dtype=None):
         """Freeze into an immutable SoA :class:`Problem` for the given level
         (reference level filter: ``g2o/core/sparse_optimizer.cpp:232``).
         ``bucket_landmarks=True`` stores landmark-observation edge batches in
@@ -261,4 +262,5 @@ class Graph:
         return compile_graph(self, level=level, dtype=dtype,
                              pad_edges_to_multiple=pad_edges_to_multiple,
                              bucket_landmarks=bucket_landmarks,
-                             static_kernels=static_kernels)
+                             static_kernels=static_kernels,
+                             state_dtype=state_dtype)

@@ -73,7 +73,9 @@ def make_lm_iteration(problem, solve_fn, max_trials: int, *,
             cand = p.apply_update_fn(data, estimates, dx)
             lin_cand = p.linearize_fn(data, cand)
             chi_new = lin_cand.chi2_robust
-            scale = jnp.dot(dx, lam * dx + lin.b) + jnp.asarray(1e-3, dtype)
+            # multiply+sum: exact f32 for the gain-ratio denominator
+            scale = jnp.sum(dx * (lam * dx + lin.b)) \
+                + jnp.asarray(1e-3, dtype)
             rho = (chi0 - chi_new) / scale
             ok = jnp.logical_and(
                 jnp.isfinite(chi_new),
@@ -118,8 +120,10 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
     dtype = problem.dtype
     gt = float(gain_threshold)
 
+    sdtype = getattr(problem, "state_dtype", dtype)
+
     def run(data, estimates, lam, ni, n_iters, aux, sstate):
-        chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
+        chi_hist = jnp.full((max_iters,), jnp.nan, dtype=sdtype)
         trial_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
         cg_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
         lin0 = problem.linearize_fn(data, estimates)
@@ -148,7 +152,7 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
                     chi_hist, trial_hist, cg_hist, sstate, lin2)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
-                lam, ni, jnp.asarray(jnp.inf, dtype), chi_hist, trial_hist,
+                lam, ni, jnp.asarray(jnp.inf, sdtype), chi_hist, trial_hist,
                 cg_hist, sstate, lin0)
         (it, stop, est, lam_f, ni_f, chi_f, chi_hist, trial_hist, cg_hist,
          sstate, _) = jax.lax.while_loop(cond, body, init)
@@ -221,8 +225,10 @@ def make_gn_run(problem, solver, *, max_iters: int = 512):
     p = problem
     dtype = p.dtype
 
+    sdtype = getattr(p, "state_dtype", dtype)
+
     def run(data, estimates, n_iters, aux, sstate):
-        chi_hist = jnp.full((max_iters,), jnp.nan, dtype=dtype)
+        chi_hist = jnp.full((max_iters,), jnp.nan, dtype=sdtype)
         lin0 = p.linearize_fn(data, estimates)
 
         def cond(carry):

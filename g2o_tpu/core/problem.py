@@ -110,7 +110,7 @@ class Problem:
                  estimates: dict, marginalized: dict, vid_index: dict,
                  type_bases: dict, total_dim: int, dtype,
                  bucket_specs=None, assembly_onehot_max: int = 8192,
-                 uniform_kernel=None):
+                 uniform_kernel=None, state_dtype=None):
         self.bucket_specs: dict = bucket_specs or {}
         # edge name -> static robust-kernel id when every edge of the batch
         # shares one kernel (the usual case), else None.  A batched
@@ -129,6 +129,16 @@ class Problem:
         self.type_bases = type_bases          # name -> flat tangent base offset
         self.total_dim = int(total_dim)
         self.dtype = dtype
+        # MIXED-PRECISION trajectory accuracy: estimates, measurements,
+        # residual evaluation, chi2 and the oplus update run at
+        # ``state_dtype`` (f64) while Jacobians, H/b assembly and the
+        # solvers run at ``dtype`` (f32).  f32 pose coordinates quantize
+        # at ~3e-6 relative, drowning late LM decrements (~0.1-1 chi2) in
+        # representation noise — measured: manhattan3500 TPU-f32 stalls at
+        # chi2 9332 where f64 evaluation reaches the reference 9139.8.
+        # Jacobian/solve errors only perturb the convergence RATE, not
+        # the fixed point, so they stay on the fast f32 path.
+        self.state_dtype = state_dtype if state_dtype is not None else dtype
         self._edge_jac_fns = {
             name: self._make_jac_fn(et) for name, et in edge_types.items()
         }
@@ -261,8 +271,15 @@ class Problem:
             [blocks[t].reshape(-1) for t in self.vertex_types])
 
     def tree_dot(self, a, b):
-        """Dot product over block-layout tangent vectors."""
-        return sum(jnp.vdot(a[t], b[t]) for t in self.vertex_types)
+        """Dot product over block-layout tangent vectors.
+
+        Written as multiply+sum (VPU lane work, exact f32) rather than
+        ``vdot``: TPU lowers f32 dot products to bf16 MXU passes at
+        DEFAULT precision, and ~1e-3-relative noise in the CG
+        alpha/beta/residual scalars stalls convergence — measured as the
+        manhattan TPU-f32 chi2 floor at 9332 where exact-f32 CPU reaches
+        9139.8 (scripts/probe_manhattan_tpu.py vs /tmp/test_mixed)."""
+        return sum(jnp.sum(a[t] * b[t]) for t in self.vertex_types)
 
     def hvp_blocks_fn(self, data: ProblemData, lin: LinearizedSystem, vb):
         """Block-layout matrix-free H·v = Σ_edges Jᵀ(W(J v)).
@@ -305,14 +322,15 @@ class Problem:
     def chi2_fn(self, data: ProblemData, estimates):
         """(robust chi2, plain chi2) — reference ``activeRobustChi2`` /
         ``activeChi2`` (``g2o/core/sparse_optimizer.cpp:94-116``)."""
-        total_r = jnp.zeros((), dtype=self.dtype)
-        total_p = jnp.zeros((), dtype=self.dtype)
+        total_r = jnp.zeros((), dtype=self.state_dtype)
+        total_p = jnp.zeros((), dtype=self.state_dtype)
         for name, et in self.edge_types.items():
             batch = data.edges[name]
             _, e = self._edge_residuals(et, batch, estimates, name, data.plans)
-            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
+            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e,
+                            precision=jax.lax.Precision.HIGHEST)
             rho = self._robustify(name, batch, e2)
-            act = batch.active.astype(self.dtype)
+            act = batch.active.astype(self.state_dtype)
             total_r = total_r + jnp.sum(rho[:, 0] * act)
             total_p = total_p + jnp.sum(e2 * act)
         return total_r, total_p
@@ -327,7 +345,8 @@ class Problem:
         for name, et in self.edge_types.items():
             batch = data.edges[name]
             _, e = self._edge_residuals(et, batch, estimates, name, data.plans)
-            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
+            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e,
+                            precision=jax.lax.Precision.HIGHEST)
             rho = self._robustify(name, batch, e2)
             out[name] = rho[:, 0] * batch.active.astype(self.dtype)
         return out
@@ -343,14 +362,24 @@ class Problem:
             for t, vt in self.vertex_types.items()
         }
         jacs, weights, errors, extras = {}, {}, {}, {}
-        chi2_r = jnp.zeros((), dtype=self.dtype)
-        chi2_p = jnp.zeros((), dtype=self.dtype)
+        chi2_r = jnp.zeros((), dtype=self.state_dtype)
+        chi2_p = jnp.zeros((), dtype=self.state_dtype)
+        mixed = self.state_dtype != self.dtype
 
         for name, et in self.edge_types.items():
             batch = data.edges[name]
             states, e = self._edge_residuals(et, batch, estimates, name, data.plans)
-            Js = jax.vmap(self._edge_jac_fns[name])(states, batch.meas,
-                                                    batch.param)
+            if mixed:
+                # Jacobians on the fast compute-dtype path: cast the f64
+                # states/constants down — J errors shift only the
+                # convergence rate (see state_dtype note in __init__)
+                states32 = tuple(x.astype(self.dtype) for x in states)
+                Js = jax.vmap(self._edge_jac_fns[name])(
+                    states32, batch.meas.astype(self.dtype),
+                    batch.param.astype(self.dtype))
+            else:
+                Js = jax.vmap(self._edge_jac_fns[name])(states, batch.meas,
+                                                        batch.param)
             if not isinstance(Js, (tuple, list)):
                 Js = (Js,)
             # zero Jacobian columns of fixed vertices — the masking analogue
@@ -367,15 +396,19 @@ class Problem:
                          .astype(self.dtype))[:, None, None]
                     for s, (J, vt) in enumerate(zip(Js, et.vertex_types))
                 )
-            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e)
+            e2 = jnp.einsum("er,ers,es->e", e, batch.info, e,
+                            precision=jax.lax.Precision.HIGHEST)
             rho = self._robustify(name, batch, e2)
-            act = batch.active.astype(self.dtype)
-            chi2_r = chi2_r + jnp.sum(rho[:, 0] * act)
-            chi2_p = chi2_p + jnp.sum(e2 * act)
+            act_s = batch.active.astype(self.state_dtype)
+            chi2_r = chi2_r + jnp.sum(rho[:, 0] * act_s)
+            chi2_p = chi2_p + jnp.sum(e2 * act_s)
             # robust information: rho' * Omega (reference
             # ``BaseEdge::robustInformation``; the rho'' term is disabled
-            # there as well)
-            W = batch.info * (rho[:, 1] * act)[:, None, None]
+            # there as well).  W/We/e feed the compute-dtype assembly.
+            if mixed:
+                e = e.astype(self.dtype)
+            W = batch.info.astype(self.dtype) \
+                * (rho[:, 1] * act_s).astype(self.dtype)[:, None, None]
             We = jnp.einsum("ers,es->er", W, e)
 
             spec = self.bucket_specs.get(name)
@@ -602,8 +635,9 @@ class Problem:
         out = {}
         blocks = self.split_tangent(dx)
         for t, vt in self.vertex_types.items():
-            delta = blocks[t] * (1.0 - data.fixed[t]
-                                 .astype(self.dtype))[:, None]
+            delta = (blocks[t].astype(self.state_dtype)
+                     * (1.0 - data.fixed[t]
+                        .astype(self.state_dtype))[:, None])
             out[t] = jax.vmap(vt.oplus)(estimates[t], delta)
         return out
 
@@ -617,7 +651,8 @@ class Problem:
 def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                   pad_edges_to_multiple: int = 1,
                   bucket_landmarks: bool = False,
-                  static_kernels: bool = True) -> Problem:
+                  static_kernels: bool = True,
+                  state_dtype=None) -> Problem:
     """Build a :class:`Problem` from raw numpy blocks.
 
     ``vertex_blocks``: ``{VertexType: (vids (N,), estimates (N, rep),
@@ -631,6 +666,8 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     mapping of the reference (``sparse_optimizer.cpp:168,504``)."""
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if state_dtype is None:
+        state_dtype = dtype
 
     counts, vid_index, estimates, fixed, marginalized = {}, {}, {}, {}, {}
     fixed_np = {}
@@ -651,7 +688,7 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         # device transfer over the remote-TPU tunnel pays ~0.5-2 s of
         # round-trip latency regardless of size, so the build stages
         # everything in numpy and ships ONE pytree
-        estimates[t] = est.astype(_np_dtype(dtype))
+        estimates[t] = est.astype(_np_dtype(state_dtype))
         fixed_np[t] = fx
         fixed[t] = fx
         marginalized[t] = mg
@@ -840,7 +877,10 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
             free[:, s] = 1.0 - fixed_np[svt.name][vidx_pad[:, s]]
         plans.setdefault(name, {})["free_mask"] = free.astype(
             _np_dtype(dtype))
-        nd = _np_dtype(dtype)
+        # measurements/information/params define the problem CONSTANTS of
+        # the state-dtype residual path — quantizing them at f32 would
+        # shift the chi2 fixed point just like state quantization
+        nd = _np_dtype(state_dtype)
         edges[name] = EdgeBatchData(
             vidx=vidx_pad,
             meas=pad(arrays["meas"]).astype(nd),
@@ -865,13 +905,15 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     data, estimates = jax.device_put((data, estimates))
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
-                   bucket_specs=bucket_specs, uniform_kernel=uniform_kernel)
+                   bucket_specs=bucket_specs, uniform_kernel=uniform_kernel,
+                   state_dtype=state_dtype)
 
 
 def compile_graph(graph, *, level: int = 0, dtype=None,
                   pad_edges_to_multiple: int = 1,
                   bucket_landmarks: bool = False,
-                  static_kernels: bool = True) -> Problem:
+                  static_kernels: bool = True,
+                  state_dtype=None) -> Problem:
     """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
     :class:`Problem` — the analogue of ``initializeOptimization`` +
     ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
@@ -926,4 +968,5 @@ def compile_graph(graph, *, level: int = 0, dtype=None,
     return build_problem(vertex_blocks, edge_blocks, dtype=dtype,
                          pad_edges_to_multiple=pad_edges_to_multiple,
                          bucket_landmarks=bucket_landmarks,
-                         static_kernels=static_kernels)
+                         static_kernels=static_kernels,
+                         state_dtype=state_dtype)

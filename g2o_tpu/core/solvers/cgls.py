@@ -175,7 +175,8 @@ class CGLSSolver:
                     for t in p.vertex_types}
 
         def dot_edges(a, b):
-            return sum(jnp.vdot(a[k], b[k]) for k in a)
+            # multiply+sum: exact f32 (TPU vdot defaults to bf16 passes)
+            return sum(jnp.sum(a[k] * b[k]) for k in a)
 
         tdot = p.tree_dot
         tmap = jax.tree_util.tree_map

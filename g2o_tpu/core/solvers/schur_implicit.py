@@ -153,7 +153,9 @@ class ImplicitSchurSolver:
             return out
 
         def pdot(a, b):
-            return sum(jnp.vdot(a[t], b[t]) for t in pose_types)
+            # multiply+sum: exact f32 on VPU lanes (TPU vdot defaults to
+            # bf16 MXU passes — noisy CG scalars stall convergence)
+            return sum(jnp.sum(a[t] * b[t]) for t in pose_types)
 
         # ---------------- bucketed layout: host symbolic phase ------------ #
         # per obs edge type: a landmark-degree BucketPlan over its rows, the

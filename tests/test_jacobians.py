@@ -20,7 +20,7 @@ def rand_state(vt):
         v = rng.uniform(-1, 1, size=3)
         v[2] *= np.pi
         return jnp.asarray(v)
-    if vt.name in ("VERTEX_SE3:QUAT", "VERTEX_SE3:EXPMAP"):
+    if vt.name in ("VERTEX_SE3:QUAT", "VERTEX_SE3:EXPMAP", "VERTEX3"):
         q = rng.normal(size=4)
         q /= np.linalg.norm(q)
         return jnp.asarray(np.concatenate([rng.normal(size=3), q]))
