@@ -55,6 +55,7 @@ class PCGSolver:
                  chunk_size: int = 32, onehot_max_segments: int = 0,
                  absolute_tolerance: bool = True,
                  carry_factor: float = 0.5,
+                 matvec_precision: str = "default",
                  precond_mode: str = "per_solve"):
         if precond_mode not in ("per_solve", "frozen"):
             raise ValueError(f"unknown precond_mode {precond_mode!r}")
@@ -88,6 +89,14 @@ class PCGSolver:
         # measured (scripts/probe_manhattan3.py): 0.5 plateaus manhattan LM
         # at chi2 9192 where near-exact solves reach the reference 9146.5
         self.carry_factor = float(carry_factor)
+        # precision of the H·v einsums inside the CG loop: TPU lowers f32
+        # matmuls to bf16 MXU passes at "default" (~1e-3 relative), which
+        # caps how far CG can reduce the true residual; "highest" runs
+        # exact f32 (3 MXU passes) — required when the LM tail needs
+        # near-exact solves (the manhattan reference-chi2 target)
+        if matvec_precision not in ("default", "highest"):
+            raise ValueError(f"unknown matvec_precision {matvec_precision!r}")
+        self.matvec_precision = matvec_precision
         self._solve_jit = None
         self.aux = ()
 
@@ -489,13 +498,16 @@ class PCGSolver:
         tmap = jax.tree_util.tree_map
 
         onehot_max = self.onehot_max_segments
+        mv_prec = (jax.lax.Precision.HIGHEST
+                   if self.matvec_precision == "highest" else None)
 
         frozen = self.precond_mode == "frozen"
 
         def solve_full(data, lin, lam, aux=(), carry=None):
             # loop-invariant W·J precompute (hoisted out of the CG loop)
             hvp = p.hvp_operator(data, lin,
-                                 onehot_max_segments=onehot_max)
+                                 onehot_max_segments=onehot_max,
+                                 precision=mv_prec)
 
             def matvec(vb):
                 # damped system + unit rows on fixed slots
