@@ -142,6 +142,10 @@ class Problem:
         self._edge_jac_fns = {
             name: self._make_jac_fn(et) for name, et in edge_types.items()
         }
+        self._edge_res_jac_fns = {
+            name: self._make_res_jac_fn(et)
+            for name, et in edge_types.items()
+        }
         # jitted entry points (data passed as args — nothing baked as constants)
         self.chi2_jit = jax.jit(self.chi2_fn)
         self.linearize_jit = jax.jit(self.linearize_fn)
@@ -175,6 +179,12 @@ class Problem:
         if et.jacobian is not None:
             return et.jacobian
         vts = tuple(et.vertex_types)
+        # reverse mode when the residual is SHORTER than the total tangent
+        # perturbation: r VJP passes beat Σd JVP passes (BAL reprojection:
+        # 2 vs 12; SE3 pose graph: 6 vs 12).  Both are exact autodiff —
+        # only the floating-point summation order differs (~1 ulp).
+        use_rev = et.residual_dim < sum(vt.tangent_dim for vt in vts)
+        jac_of = jax.jacrev if use_rev else jax.jacfwd
 
         def jac_one(states, meas, par):
             def f(*deltas):
@@ -186,9 +196,43 @@ class Problem:
             zeros = tuple(
                 jnp.zeros((vt.tangent_dim,), dtype=states[0].dtype) for vt in vts
             )
-            return jax.jacfwd(f, argnums=tuple(range(len(vts))))(*zeros)
+            return jac_of(f, argnums=tuple(range(len(vts))))(*zeros)
 
         return jac_one
+
+    def _make_res_jac_fn(self, et: EdgeType) -> Optional[Callable]:
+        """Per-edge FUSED (residual, Jacobian) in one primal pass.
+
+        Reverse mode shares the forward evaluation between the error and
+        its pullback, eliminating the duplicate residual computation the
+        separate ``_edge_residuals`` + ``jacfwd`` pipeline pays (the
+        reference pays it too: ``computeError`` then ``linearizeOplus``,
+        ``g2o/core/block_solver.hpp:463-476``).  Only built when reverse
+        mode is the cheaper direction (``r < Σd``) and the edge has no
+        analytic Jacobian."""
+        if et.jacobian is not None:
+            return None
+        vts = tuple(et.vertex_types)
+        r = et.residual_dim
+        if r >= sum(vt.tangent_dim for vt in vts):
+            return None
+
+        def res_jac_one(states, meas, par):
+            def f(*deltas):
+                news = tuple(
+                    vt.oplus(x, d) for vt, x, d in zip(vts, states, deltas)
+                )
+                return et.residual(news, meas, par)
+
+            zeros = tuple(
+                jnp.zeros((vt.tangent_dim,), dtype=states[0].dtype)
+                for vt in vts
+            )
+            e, pull = jax.vjp(f, *zeros)
+            rows = jax.vmap(pull)(jnp.eye(r, dtype=e.dtype))
+            return e, tuple(rows)
+
+        return res_jac_one
 
     # ------------------------------------------------------------------ #
     # pure functions (jitted in __init__)
@@ -242,6 +286,50 @@ class Problem:
             *states, batch.meas, batch.param
         )
         return states, res
+
+    def _states_t(self, et: EdgeType, batch: EdgeBatchData, estimates,
+                  name: str, plans: dict, spec: "BucketedEdgeSpec"):
+        """DIMS-MAJOR per-edge vertex states — tuple of ``(rep, E)`` arrays
+        (edge axis minormost) for compile-time bucketed batches.
+
+        The twin of :meth:`_edge_residuals`'s state production, emitting the
+        transposed layout at SOURCE so the whole residual/Jacobian chain and
+        the slab assembly run with the edge axis on vector lanes — no
+        ``(E, r, d) -> (r, d, E)`` relayout copies of the Jacobians (the
+        round-2 assembly paid one per slot per linearize)."""
+        from g2o_tpu.ops.onehot import onehot_gather_t
+
+        states_t = []
+        for s, vt in enumerate(et.vertex_types):
+            t = vt.name
+            if s == spec.lm_slot:
+                n_used = sum(spec.counts)
+                if spec.seg_identity:
+                    est_used = estimates[t][:n_used]
+                else:
+                    est_used = estimates[t][plans[name]["segp"]]
+                est_t = est_used.T                       # (rep, S_used)
+                rows, off = [], 0
+                for nseg, dg in zip(spec.counts, spec.degrees):
+                    v = est_t[:, off:off + nseg]
+                    # degree-major slabs: row = deg * nseg + seg (matches
+                    # the row-major producer in _edge_residuals)
+                    rows.append(jnp.broadcast_to(
+                        v[:, None, :], (v.shape[0], dg, nseg)).reshape(
+                        v.shape[0], nseg * dg))
+                    off += nseg
+                tail = batch.vidx.shape[0] - spec.n_rows
+                if tail:
+                    rows.append(jnp.broadcast_to(
+                        est_t[:, :1], (est_t.shape[0], tail)))
+                states_t.append(jnp.concatenate(rows, axis=1))
+            elif (s == spec.pose_slot
+                    and 0 < self.counts[t] <= self.assembly_onehot_max):
+                states_t.append(
+                    onehot_gather_t(batch.vidx[:, s], estimates[t]))
+            else:
+                states_t.append(estimates[t][batch.vidx[:, s]].T)
+        return tuple(states_t)
 
     def _robustify(self, name, batch, e2):
         """(E, 3) robustification — static single-kernel dispatch when the
@@ -368,6 +456,150 @@ class Problem:
 
         for name, et in self.edge_types.items():
             batch = data.edges[name]
+            spec = self.bucket_specs.get(name)
+            if spec is not None:
+                # ---- DIMS-MAJOR linearization at SOURCE (bucketed/BA) --- #
+                # States, residual, Jacobians, robust weights and the slab
+                # assembly all run with the edge axis minormost (on vector
+                # lanes): no (E, r, d) -> (r, d, E) relayout copies at all.
+                # Reverse-mode ``vjp`` shares ONE primal pass between the
+                # residual and its r pullbacks (vs Σd JVPs + a separate
+                # residual evaluation).  ``meas_t``/``info_t`` are
+                # precomputed host-side constants (data.plans).
+                plan = data.plans.get(name) or {}
+                states_t = self._states_t(et, batch, estimates, name,
+                                          data.plans, spec)
+                meas_t = plan.get("meas_t")
+                if meas_t is None:
+                    meas_t = batch.meas.T
+                info_t = plan.get("info_t")
+                if info_t is None:
+                    info_t = batch.info.transpose(1, 2, 0)
+                param_t = batch.param.T
+                rj = self._edge_res_jac_fns[name]
+                if rj is not None and not mixed:
+                    e_t, Jt = jax.vmap(rj, in_axes=-1, out_axes=-1)(
+                        states_t, meas_t, param_t)
+                else:
+                    e_t = jax.vmap(
+                        lambda *a: et.residual(a[:-2], a[-2], a[-1]),
+                        in_axes=-1, out_axes=-1)(*states_t, meas_t, param_t)
+                    if mixed:
+                        st32 = tuple(x.astype(self.dtype) for x in states_t)
+                        Jt = jax.vmap(self._edge_jac_fns[name], in_axes=-1,
+                                      out_axes=-1)(
+                            st32, meas_t.astype(self.dtype),
+                            param_t.astype(self.dtype))
+                    else:
+                        Jt = jax.vmap(self._edge_jac_fns[name], in_axes=-1,
+                                      out_axes=-1)(states_t, meas_t, param_t)
+                if not isinstance(Jt, (tuple, list)):
+                    Jt = (Jt,)
+                fm_t = plan.get("free_mask_t")
+                if fm_t is not None:
+                    Jt = tuple(J * fm_t[s][None, None, :]
+                               for s, J in enumerate(Jt))
+                elif plan.get("free_mask") is not None:
+                    fm = plan["free_mask"]
+                    Jt = tuple(J * fm[:, s][None, None, :]
+                               for s, J in enumerate(Jt))
+                else:
+                    Jt = tuple(
+                        J * (1.0 - data.fixed[vt.name][batch.vidx[:, s]]
+                             .astype(self.dtype))[None, None, :]
+                        for s, (J, vt) in enumerate(
+                            zip(Jt, et.vertex_types)))
+                # e2 = eᵀΩe as exact lane-parallel multiply+sum (the
+                # E-major einsum at HIGHEST is its MXU twin)
+                e2 = jnp.sum(e_t[:, None, :] * info_t * e_t[None, :, :],
+                             axis=(0, 1))
+                rho = self._robustify(name, batch, e2)
+                act_s = batch.active.astype(self.state_dtype)
+                chi2_r = chi2_r + jnp.sum(rho[:, 0] * act_s)
+                chi2_p = chi2_p + jnp.sum(e2 * act_s)
+                e_c = e_t.astype(self.dtype) if mixed else e_t
+                Wt = info_t.astype(self.dtype) * (
+                    rho[:, 1] * act_s).astype(self.dtype)[None, None, :]
+                Wet = jnp.sum(Wt * e_c[None, :, :], axis=1)      # (r, E)
+
+                segp = data.plans[name]["segp"]
+                nb = spec.n_rows
+                WJ_ts = []
+                for s, vt in enumerate(et.vertex_types):
+                    t = vt.name
+                    d = vt.tangent_dim
+                    # WJ[r,f,e] = Σ_s W[r,s,e] J[s,f,e]
+                    WJ_t = jnp.sum(Wt[:, :, None, :] * Jt[s][None, :, :, :],
+                                   axis=1)
+                    WJ_ts.append(WJ_t)
+                    # Hss[d,f,e] = Σ_r J[r,d,e] WJ[r,f,e]
+                    Hss_t = jnp.sum(Jt[s][:, :, None, :] * WJ_t[:, None, :, :],
+                                    axis=0).reshape(d * d, -1)   # (dd, E)
+                    brows_t = -jnp.sum(Jt[s] * Wet[:, None, :], axis=0)
+                    if s == spec.lm_slot:
+                        def slab_sum(z):
+                            # (dd, deg, n) view keeps the large segment
+                            # axis on lanes (degree-major slab layout)
+                            out, off = [], 0
+                            for n, dg in zip(spec.counts, spec.degrees):
+                                blk = z[:, off:off + n * dg]
+                                out.append(blk.reshape(
+                                    z.shape[0], dg, n).sum(axis=1))
+                                off += n * dg
+                            return jnp.concatenate(out, axis=1)
+                        bl_t = slab_sum(brows_t[:, :nb])         # (d, S_used)
+                        Hll_t = slab_sum(Hss_t[:, :nb])          # (dd, S_used)
+                        bl_bucket = bl_t.T                       # (S_used, d)
+                        Hll_bucket = Hll_t.T.reshape(-1, d, d)
+                        extras.setdefault(name, {})
+                        extras[name]["bl_bucket"] = bl_bucket
+                        extras[name]["Hll_bucket"] = Hll_bucket
+                        # dims-major twins: the implicit Schur solver's
+                        # bucket-order landmark system consumes these
+                        # directly (no (S, d, d) <-> (d, d, S) relayouts
+                        # per λ-trial)
+                        extras[name]["bl_bucket_t"] = bl_t
+                        extras[name]["Hll_bucket_t"] = Hll_t
+                        if spec.seg_identity:
+                            ns = bl_bucket.shape[0]
+                            b_blocks[t] = b_blocks[t].at[:ns].add(bl_bucket)
+                            diag[t] = diag[t].at[:ns].add(Hll_bucket)
+                        else:
+                            b_blocks[t] = b_blocks[t].at[segp].add(
+                                bl_bucket, unique_indices=True)
+                            diag[t] = diag[t].at[segp].add(
+                                Hll_bucket, unique_indices=True)
+                    elif self.counts[t] <= self.assembly_onehot_max:
+                        from g2o_tpu.ops.onehot import onehot_scatter_add_t
+
+                        idx = batch.vidx[:, s]
+                        b_blocks[t] = b_blocks[t] + onehot_scatter_add_t(
+                            idx, brows_t, self.counts[t])
+                        diag[t] = diag[t] + onehot_scatter_add_t(
+                            idx, Hss_t, self.counts[t]).reshape(-1, d, d)
+                    else:
+                        b_blocks[t] = b_blocks[t].at[batch.vidx[:, s]].add(
+                            brows_t.T)
+                        diag[t] = diag[t].at[batch.vidx[:, s]].add(
+                            Hss_t.T.reshape(-1, d, d))
+                # off-diagonal B = Jpᵀ W Jl, dims-major, reusing W·Jl from
+                # the landmark Hss above — the implicit Schur solver's
+                # per-λ-trial re-derivation from lin.jacs measured 17.8 ms
+                # at Venice scale
+                ps, ls = spec.pose_slot, spec.lm_slot
+                extras.setdefault(name, {})
+                extras[name]["Bt"] = jnp.sum(
+                    Jt[ps][:, :, None, :] * WJ_ts[ls][:, None, :, :],
+                    axis=0)                                      # (dp, dl, E)
+                # row-major compat views (transposes of the dims-major
+                # originals) — solvers on the dm fast path consume only
+                # ``extras``, so XLA's while-loop DCE removes these in the
+                # fused LM program when nothing reads them
+                jacs[name] = tuple(J.transpose(2, 0, 1) for J in Jt)
+                weights[name] = Wt.transpose(2, 0, 1)
+                errors[name] = e_c.T
+                continue
+
             states, e = self._edge_residuals(et, batch, estimates, name, data.plans)
             if mixed:
                 # Jacobians on the fast compute-dtype path: cast the f64
@@ -409,96 +641,18 @@ class Problem:
                 e = e.astype(self.dtype)
             W = batch.info.astype(self.dtype) \
                 * (rho[:, 1] * act_s).astype(self.dtype)[:, None, None]
-            We = jnp.einsum("ers,es->er", W, e)
-
-            spec = self.bucket_specs.get(name)
-            if spec is not None:
-                # DIMS-MAJOR assembly for bucketed (BA) batches: the
-                # batched per-edge H-block einsums ((E, d, d) outputs from
-                # (E, r, d) operands) lower to MXU dots at ~1% utilisation
-                # — measured 43 of 93 ms of the Venice linearize.  With the
-                # edge axis minormost every contraction over the tiny r/s/d
-                # axes is lane-parallel vector work; the per-slab landmark
-                # reductions and the camera one-hot matmul both consume the
-                # (dd, E) layout directly (the one-hot dot contracts E, so
-                # no transpose back is needed).  Contractions are written
-                # as explicit broadcast-multiply-reduce: the equivalent
-                # einsums ("rse,sfe->rfe") lower to E-batched tiny MXU dots
-                # at DEFAULT (bf16) precision — measured 13.8 vs 2.0 ms for
-                # the B blocks at Venice scale — while this form is pure
-                # lane-parallel VPU work, exact in f32.
-                Jt = tuple(J.transpose(1, 2, 0) for J in Js)     # (r, d, E)
-                Wt = W.transpose(1, 2, 0)                        # (r, s, E)
-                Wet = We.T                                       # (r, E)
-                segp = data.plans[name]["segp"]
-                nb = spec.n_rows
-                WJ_ts = []
-                for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
-                    t = vt.name
-                    d = vt.tangent_dim
-                    # WJ[r,f,e] = Σ_s W[r,s,e] J[s,f,e]
-                    WJ_t = jnp.sum(Wt[:, :, None, :] * Jt[s][None, :, :, :],
-                                   axis=1)
-                    WJ_ts.append(WJ_t)
-                    # Hss[d,f,e] = Σ_r J[r,d,e] WJ[r,f,e]
-                    Hss_t = jnp.sum(Jt[s][:, :, None, :] * WJ_t[:, None, :, :],
-                                    axis=0).reshape(d * d, -1)   # (dd, E)
-                    brows_t = -jnp.sum(Jt[s] * Wet[:, None, :], axis=0)
-                    if s == spec.lm_slot:
-                        def slab_sum(z):
-                            # (dd, deg, n) view keeps the large segment
-                            # axis on lanes (degree-major slab layout)
-                            out, off = [], 0
-                            for n, dg in zip(spec.counts, spec.degrees):
-                                blk = z[:, off:off + n * dg]
-                                out.append(blk.reshape(
-                                    z.shape[0], dg, n).sum(axis=1))
-                                off += n * dg
-                            return jnp.concatenate(out, axis=1)
-                        bl_bucket = slab_sum(brows_t[:, :nb]).T  # (S_used, d)
-                        Hll_bucket = slab_sum(Hss_t[:, :nb]).T.reshape(
-                            -1, d, d)
-                        extras.setdefault(name, {})
-                        extras[name]["bl_bucket"] = bl_bucket
-                        extras[name]["Hll_bucket"] = Hll_bucket
-                        if spec.seg_identity:
-                            ns = bl_bucket.shape[0]
-                            b_blocks[t] = b_blocks[t].at[:ns].add(bl_bucket)
-                            diag[t] = diag[t].at[:ns].add(Hll_bucket)
-                        else:
-                            b_blocks[t] = b_blocks[t].at[segp].add(
-                                bl_bucket, unique_indices=True)
-                            diag[t] = diag[t].at[segp].add(
-                                Hll_bucket, unique_indices=True)
-                    elif self.counts[t] <= self.assembly_onehot_max:
-                        from g2o_tpu.ops.onehot import onehot_scatter_add_t
-
-                        idx = batch.vidx[:, s]
-                        b_blocks[t] = b_blocks[t] + onehot_scatter_add_t(
-                            idx, brows_t, self.counts[t])
-                        diag[t] = diag[t] + onehot_scatter_add_t(
-                            idx, Hss_t, self.counts[t]).reshape(-1, d, d)
-                    else:
-                        b_blocks[t] = b_blocks[t].at[batch.vidx[:, s]].add(
-                            brows_t.T)
-                        diag[t] = diag[t].at[batch.vidx[:, s]].add(
-                            Hss_t.T.reshape(-1, d, d))
-                # off-diagonal B = Jpᵀ W Jl, dims-major, reusing W·Jl from
-                # the landmark Hss above — the implicit Schur solver's
-                # per-λ-trial re-derivation from lin.jacs measured 17.8 ms
-                # at Venice scale
-                ps, ls = spec.pose_slot, spec.lm_slot
-                extras.setdefault(name, {})
-                extras[name]["Bt"] = jnp.sum(
-                    Jt[ps][:, :, None, :] * WJ_ts[ls][:, None, :, :],
-                    axis=0)                                      # (dp, dl, E)
-                jacs[name], weights[name], errors[name] = Js, W, e
-                continue
+            # HIGHEST: H/b assembly feeds Cholesky factorizations (direct
+            # solvers, chunk preconditioners) AND sets the late-LM noise
+            # floor — TPU lowers these tiny einsums to bf16 MXU dots at
+            # DEFAULT (~1e-3 rel), measured as a manhattan3500 chi2 stall
+            # at 9494 where exact-f32 reaches 9192 (probe_manhattan_tpu4)
+            hi = jax.lax.Precision.HIGHEST
+            We = jnp.einsum("ers,es->er", W, e, precision=hi)
 
             for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
                 t = vt.name
-                brows = -jnp.einsum("erd,er->ed", J, We)
-                Hss = jnp.einsum("erd,ers,esf->edf", J, W, J)
+                brows = -jnp.einsum("erd,er->ed", J, We, precision=hi)
+                Hss = jnp.einsum("erd,ers,esf->edf", J, W, J, precision=hi)
                 b_blocks[t] = b_blocks[t].at[batch.vidx[:, s]].add(brows)
                 diag[t] = diag[t].at[batch.vidx[:, s]].add(Hss)
 
@@ -877,6 +1031,18 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
             free[:, s] = 1.0 - fixed_np[svt.name][vidx_pad[:, s]]
         plans.setdefault(name, {})["free_mask"] = free.astype(
             _np_dtype(dtype))
+        if name in bucket_specs:
+            # dims-major constants for the at-source dims-major linearize
+            # of bucketed batches (edge axis minormost, precomputed host-
+            # side: a device transpose of a small-minor-dim (E, m) array
+            # is a relayout copy every linearize would pay)
+            nd_ = _np_dtype(state_dtype)
+            plans[name]["meas_t"] = np.ascontiguousarray(
+                pad(arrays["meas"]).astype(nd_).T)
+            plans[name]["info_t"] = np.ascontiguousarray(
+                pad(arrays["info"]).astype(nd_).transpose(1, 2, 0))
+            plans[name]["free_mask_t"] = np.ascontiguousarray(
+                free.T.astype(_np_dtype(dtype)))
         # measurements/information/params define the problem CONSTANTS of
         # the state-dtype residual path — quantizing them at f32 would
         # shift the chi2 fixed point just like state quantization

@@ -56,7 +56,7 @@ from g2o_tpu.ops.onehot import (onehot_gather as _onehot_matmul_gather,
                                 onehot_gather_t as _onehot_gather_t,
                                 onehot_scatter_add as _onehot_matmul_scatter,
                                 onehot_scatter_add_t as _onehot_scatter_t)
-from g2o_tpu.ops.smallblocks import inv_small
+from g2o_tpu.ops.smallblocks import inv_small, inv_small_t
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -376,8 +376,10 @@ class ImplicitSchurSolver:
 
             # dims-major fast path: bucket-order landmark system straight
             # from the linearize extras — never scattered to natural order
-            # and gathered back
-            Bt_s, Dinv_b, DinvT_b, bl_b = {}, {}, {}, {}
+            # and gathered back, and never relayouted: the (dd, S) extras
+            # feed ``inv_small_t`` directly, so the per-λ-trial
+            # ``(S, d, d) <-> (d, d, S)`` transpose copies are gone
+            Bt_s, Dinv_t, bl_bt = {}, {}, {}
             for name, ps, ls in obs_specs:
                 if not dm[name]:
                     continue
@@ -385,16 +387,21 @@ class ImplicitSchurSolver:
                 d = p.vertex_types[lt].tangent_dim
                 nb = bspec[name][2]
                 Bt_s[name] = ext[name]["Bt"][:, :, :nb]
-                bl_b[name] = ext[name]["bl_bucket"]
-                Hll = ext[name]["Hll_bucket"]
-                eye = jnp.eye(d, dtype=dtype)
+                blt = ext[name].get("bl_bucket_t")
+                if blt is None:                    # older extras producers
+                    blt = ext[name]["bl_bucket"].T
+                    Hll_t = ext[name]["Hll_bucket"].reshape(-1, d * d).T
+                else:
+                    Hll_t = ext[name]["Hll_bucket_t"]
+                bl_bt[name] = blt                              # (d, S)
+                Hll_t = Hll_t.reshape(d, d, -1)                # (d, d, S)
+                eye_t = jnp.eye(d, dtype=dtype)[:, :, None]
                 # all-zero blocks = fixed landmarks (Jacobian slots masked
                 # at linearize) → unit diagonal, dx = 0: the same
                 # protection damped_diag applies via data.fixed
-                zero = jnp.all(Hll == 0, axis=(1, 2))[:, None, None]
-                Dinv_b[name] = inv_small(
-                    jnp.where(zero, eye, Hll + lam * eye))
-                DinvT_b[name] = Dinv_b[name].transpose(1, 2, 0)
+                zero = jnp.all(Hll_t == 0, axis=(0, 1))[None, None, :]
+                Dinv_t[name] = inv_small_t(
+                    jnp.where(zero, eye_t, Hll_t + lam * eye_t))
 
             # off-diagonal blocks B = Jp^T W Jl for the remaining edges,
             # DIMS-MAJOR (edge axis minormost) via explicit broadcast-
@@ -449,8 +456,11 @@ class ImplicitSchurSolver:
             bl = {t: ball[t] for t in lm_types}
             y = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t])
                  for t in lm_types if t not in dm_lm}
-            y_b = {name: jnp.einsum("nij,nj->ni", Dinv_b[name], bl_b[name])
-                   for name in Dinv_b}
+            # dims-major Dinv·bl: exact lane-parallel work (the row-major
+            # batched tiny matvec lowers to MXU dots)
+            y_bt = {name: jnp.einsum("ijn,jn->in", Dinv_t[name],
+                                     bl_bt[name])
+                    for name in Dinv_t}
 
             # bschur = bp - B * (Dinv bl)
             bschur = dict(bp)
@@ -460,7 +470,7 @@ class ImplicitSchurSolver:
                 lt = et.vertex_types[ls].name
                 if dm[name]:
                     rows_t = bucket_up_t(bspec[name], Bt_s[name],
-                                         y_b[name].T)
+                                         y_bt[name])
                     bschur[pt] = bschur[pt] - pose_rows_scatter_t(
                         cam_of(name, ps), rows_t, p.counts[pt])
                 elif bucketed:
@@ -488,7 +498,7 @@ class ImplicitSchurSolver:
                         Bts = Bt_s[name]
                         dp_ = Bts.shape[0]
                         Drows = bucket_broadcast_t(bspec[name],
-                                                   DinvT_b[name])  # (l,l,E)
+                                                   Dinv_t[name])   # (l,l,E)
                         T_ = jnp.sum(Bts[:, :, None, :]
                                      * Drows[None, :, :, :], axis=1)
                         C_t = jnp.sum(T_[:, None, :, :]
@@ -561,7 +571,7 @@ class ImplicitSchurSolver:
                                 vb[pt], cam_of(name, ps), p.counts[pt], MV)
                             t_ = bucket_down_t(bspec[name], Bt_s[name], u_t)
                             s_t = jnp.einsum("lke,ke->le",
-                                             DinvT_b[name], t_)
+                                             Dinv_t[name], t_)
                             rows_t = bucket_up_t(bspec[name], Bt_s[name],
                                                  s_t)
                             out[pt] = out[pt] - pose_rows_scatter_t(
@@ -666,11 +676,11 @@ class ImplicitSchurSolver:
                     u_t = pose_rows_gather_t(dxp[pt], cam_of(name, ps),
                                              p.counts[pt])
                     t_ = bucket_down_t(bspec[name], Bt_s[name], u_t)
-                    dxl_b = jnp.einsum("nij,nj->ni", Dinv_b[name],
-                                       bl_b[name] - t_.T)
+                    dxl_t = jnp.einsum("ijn,jn->in", Dinv_t[name],
+                                       bl_bt[name] - t_)
                     d = p.vertex_types[lt].tangent_dim
                     dxl[lt] = seg_set(name, jnp.zeros(
-                        (p.counts[lt], d), dtype=dtype), dxl_b)
+                        (p.counts[lt], d), dtype=dtype), dxl_t.T)
                 elif bucketed:
                     u = pose_rows_gather(dxp[pt], cam_of(name, ps),
                                          p.counts[pt])

@@ -73,84 +73,17 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
             tag = parts[0]
             if rename and tag in rename:
                 tag = rename[tag]
-            if tag == "FIX":
-                fix_ids.extend(int(p) for p in parts[1:])
-                continue
-            if tag in DATA_TAGS:
-                if last_vid is not None:
-                    g.add_vertex_data(last_vid, line)
-                continue
-            if tag in PARAM_TAGS or tag.startswith("PARAMS_"):
-                pid = int(parts[1])
-                g.add_parameter(pid, [float(x) for x in parts[2:]])
-                continue
-            vt = registry.vertex_for_tag(tag)
-            if vt is not None:
-                vid = int(parts[1])
-                vals = np.array([float(x) for x in parts[2:2 + vt.serialized_dim]])
-                if vt.from_vector is not None:
-                    vals = np.asarray(vt.from_vector(vals))
-                g.add_vertex(vid, vt, vals)
-                last_vid = vid
-                continue
-            dyn = registry.dynamic_edge_for_tag(tag)
-            if dyn is not None:
-                # 'TAG id... || count meas upper-tri-info' (reference
-                # ``optimizable_graph.cpp:575-590`` + per-edge read)
-                try:
-                    sep = parts.index("||")
-                except ValueError:
-                    raise ValueError(
-                        f"line {lineno}: {tag} missing '||' separator")
-                vids = [int(x) for x in parts[1:sep]]
-                et = dyn(len(vids) - 1)
-                pos = sep + 1
-                count = int(parts[pos])
-                pos += 1
-                if count != len(vids) - 1:
-                    raise ValueError(
-                        f"line {lineno}: {tag} count {count} != "
-                        f"{len(vids) - 1} observed vertices")
-                m = et.serialized_meas_dim
-                meas = np.array([float(x) for x in parts[pos:pos + m]])
-                pos += m
-                r = et.residual_dim
-                ninfo = r * (r + 1) // 2
-                vals = [float(x) for x in parts[pos:pos + ninfo]]
-                if len(vals) != ninfo:
-                    raise ValueError(
-                        f"line {lineno}: expected {ninfo} information entries")
-                info = upper_triangular_to_full(vals, r)
-                g.add_edge(et, vids, meas, info)
-                continue
-            et = registry.edge_for_tag(tag)
-            if et is not None:
-                k = et.num_slots
-                vids = [int(p) for p in parts[1:1 + k]]
-                pos = 1 + k
-                param_id = None
-                if et.param_dim:
-                    param_id = tuple(
-                        int(parts[pos + i]) for i in range(et.num_params))
-                    pos += et.num_params
-                m = et.serialized_meas_dim
-                meas = np.array([float(x) for x in parts[pos:pos + m]])
-                pos += m
-                if et.meas_from_vector is not None:
-                    meas = np.asarray(et.meas_from_vector(meas))
-                r = et.residual_dim
-                ninfo = r * (r + 1) // 2
-                vals = [float(x) for x in parts[pos:pos + ninfo]]
-                if len(vals) != ninfo:
-                    raise ValueError(
-                        f"line {lineno}: expected {ninfo} information entries"
-                    )
-                info = upper_triangular_to_full(vals, r)
-                if et.info_from_io is not None:
-                    info = np.asarray(et.info_from_io(info, meas))
-                g.add_edge(et, vids, meas, info, param_id=param_id)
-                continue
-            raise ValueError(f"line {lineno}: unknown tag {tag!r}")
+            try:
+                _parse_line(g, registry, parts, tag, line, lineno, fix_ids,
+                            last_vid)
+            except _ParsedVertex as pv:
+                last_vid = pv.vid
+            except ValueError as e:
+                # line-numbered diagnostics for EVERY malformed line (the
+                # reference prints the same via its per-type read methods)
+                if str(e).startswith("line "):
+                    raise
+                raise ValueError(f"line {lineno}: {e}") from e
     finally:
         if close:
             fh.close()
@@ -158,6 +91,97 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
     for vid in fix_ids:
         g.set_fixed(vid, True)
     return g
+
+
+class _ParsedVertex(Exception):
+    """Control-flow signal: the line defined vertex ``vid`` (data lines
+    that follow attach to it)."""
+
+    def __init__(self, vid):
+        self.vid = vid
+
+
+def _parse_line(g, registry, parts, tag, line, lineno, fix_ids, last_vid):
+    if tag == "FIX":
+        fix_ids.extend(int(p) for p in parts[1:])
+        return
+    if tag in DATA_TAGS:
+        if last_vid is not None:
+            g.add_vertex_data(last_vid, line)
+        return
+    if tag in PARAM_TAGS or tag.startswith("PARAMS_"):
+        pid = int(parts[1])
+        g.add_parameter(pid, [float(x) for x in parts[2:]])
+        return
+    vt = registry.vertex_for_tag(tag)
+    if vt is not None:
+        vid = int(parts[1])
+        vals = np.array([float(x) for x in parts[2:2 + vt.serialized_dim]])
+        if vals.shape[0] != vt.serialized_dim:
+            raise ValueError(
+                f"{tag}: expected {vt.serialized_dim} state entries")
+        if vt.from_vector is not None:
+            vals = np.asarray(vt.from_vector(vals))
+        g.add_vertex(vid, vt, vals)
+        raise _ParsedVertex(vid)
+    dyn = registry.dynamic_edge_for_tag(tag)
+    if dyn is not None:
+        # 'TAG id... || count meas upper-tri-info' (reference
+        # ``optimizable_graph.cpp:575-590`` + per-edge read)
+        try:
+            sep = parts.index("||")
+        except ValueError:
+            raise ValueError(
+                f"line {lineno}: {tag} missing '||' separator")
+        vids = [int(x) for x in parts[1:sep]]
+        et = dyn(len(vids) - 1)
+        pos = sep + 1
+        count = int(parts[pos])
+        pos += 1
+        if count != len(vids) - 1:
+            raise ValueError(
+                f"line {lineno}: {tag} count {count} != "
+                f"{len(vids) - 1} observed vertices")
+        m = et.serialized_meas_dim
+        meas = np.array([float(x) for x in parts[pos:pos + m]])
+        pos += m
+        r = et.residual_dim
+        ninfo = r * (r + 1) // 2
+        vals = [float(x) for x in parts[pos:pos + ninfo]]
+        if len(vals) != ninfo:
+            raise ValueError(
+                f"line {lineno}: expected {ninfo} information entries")
+        info = upper_triangular_to_full(vals, r)
+        g.add_edge(et, vids, meas, info)
+        return
+    et = registry.edge_for_tag(tag)
+    if et is not None:
+        k = et.num_slots
+        vids = [int(p) for p in parts[1:1 + k]]
+        pos = 1 + k
+        param_id = None
+        if et.param_dim:
+            param_id = tuple(
+                int(parts[pos + i]) for i in range(et.num_params))
+            pos += et.num_params
+        m = et.serialized_meas_dim
+        meas = np.array([float(x) for x in parts[pos:pos + m]])
+        pos += m
+        if et.meas_from_vector is not None:
+            meas = np.asarray(et.meas_from_vector(meas))
+        r = et.residual_dim
+        ninfo = r * (r + 1) // 2
+        vals = [float(x) for x in parts[pos:pos + ninfo]]
+        if len(vals) != ninfo:
+            raise ValueError(
+                f"line {lineno}: expected {ninfo} information entries"
+            )
+        info = upper_triangular_to_full(vals, r)
+        if et.info_from_io is not None:
+            info = np.asarray(et.info_from_io(info, meas))
+        g.add_edge(et, vids, meas, info, param_id=param_id)
+        return
+    raise ValueError(f"line {lineno}: unknown tag {tag!r}")
 
 
 def loads(text: str, **kw) -> Graph:

@@ -220,14 +220,19 @@ def so3_exp(omega):
 
 
 def so3_log(q):
-    """Quaternion -> axis-angle (..., 3). Taylor-safe at identity."""
+    """Quaternion -> axis-angle (..., 3). Taylor-safe at identity
+    *including reverse-mode derivatives*: the VJP of ``norm`` at 0 is
+    0/0 even under a zero cotangent (0·NaN), so the sqrt argument is
+    where-guarded (double-where trick; forward mode alone survives a
+    single where because JVPs select tangents, VJPs sum them)."""
     q = quat_positive(quat_normalize(q))
     vec = q[..., :3]
     w = q[..., 3:4]
-    n = jnp.linalg.norm(vec, axis=-1, keepdims=True)
-    small = n < 1e-9
-    angle = 2.0 * jnp.arctan2(n, w)
-    k = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), angle / jnp.where(small, 1.0, n))
+    n2 = jnp.sum(vec * vec, axis=-1, keepdims=True)
+    small = n2 < 1e-18
+    n = jnp.sqrt(jnp.where(small, 1.0, n2))
+    angle = 2.0 * jnp.arctan2(jnp.where(small, 0.0, n), w)
+    k = jnp.where(small, 2.0 / jnp.maximum(w, 1e-12), angle / n)
     return vec * k
 
 
@@ -305,12 +310,13 @@ def se3_oplus(x, delta):
 def _so3_left_jacobian(omega):
     """V matrix of the SE3 exponential: V = I + B*hat + C*hat^2."""
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
     small = theta2 < 1e-10
-    safe = jnp.where(small, 1.0, theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (safe * safe))
+    # reverse-mode-safe: sqrt's VJP at 0 is inf; guard its ARGUMENT so the
+    # discarded branch stays finite (0-cotangent × inf = NaN otherwise)
+    safe = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe))
     C = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (safe - jnp.sin(theta)) / (safe ** 3)
+        small, 1.0 / 6.0 - theta2 / 120.0, (safe - jnp.sin(safe)) / (safe ** 3)
     )
     O = so3_hat(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), O.shape)
@@ -319,9 +325,8 @@ def _so3_left_jacobian(omega):
 
 def _so3_left_jacobian_inv(omega):
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
     small = theta2 < 1e-10
-    safe = jnp.where(small, 1.0, theta)
+    safe = jnp.sqrt(jnp.where(small, 1.0, theta2))   # reverse-mode-safe
     half = 0.5 * safe
     cot = half * jnp.cos(half) / jnp.sin(jnp.where(small, 1.0, half))
     A = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - cot) / (safe * safe))
@@ -404,15 +409,15 @@ def sim3_exp(xi):
     q = so3_exp(omega)
 
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
     O = so3_hat(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), O.shape)
 
     eps = 1e-7
     sigma_small = jnp.abs(sigma) < eps
-    theta_small = theta < eps
+    theta_small = theta2 < eps * eps
     safe_sigma = jnp.where(sigma_small, 1.0, sigma)
-    safe_theta = jnp.where(theta_small, 1.0, theta)
+    # reverse-mode-safe sqrt (see _so3_left_jacobian)
+    safe_theta = jnp.sqrt(jnp.where(theta_small, 1.0, theta2))
 
     # coefficients of W = A*I + B*hat + C*hat^2 (standard Sim3 closed form)
     # case 1: sigma ~ 0, theta ~ 0
@@ -461,15 +466,15 @@ def sim3_log(x):
     s = sim3_s(x)
 
     theta2 = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(theta2)
     O = so3_hat(omega)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), O.shape)
 
     eps = 1e-7
     sigma_small = jnp.abs(sigma) < eps
-    theta_small = theta < eps
+    theta_small = theta2 < eps * eps
     safe_sigma = jnp.where(sigma_small, 1.0, sigma)
-    safe_theta = jnp.where(theta_small, 1.0, theta)
+    # reverse-mode-safe sqrt (see _so3_left_jacobian)
+    safe_theta = jnp.sqrt(jnp.where(theta_small, 1.0, theta2))
 
     A1 = jnp.ones_like(sigma)
     B1 = jnp.zeros_like(sigma)

@@ -75,3 +75,44 @@ def inv_small(A):
         ], axis=-2)
         return M * inv_det[..., None, None]
     return jnp.linalg.inv(A)
+
+
+def inv_small_t(At):
+    """DIMS-MAJOR twin of :func:`inv_small`: blocks ``(r, r, ...)`` with
+    the batch axes LAST (edge/segment axis on vector lanes) — consumers
+    that keep dims-major layouts avoid the ``(N, r, r) <-> (r, r, N)``
+    relayout copies entirely.  Bit-identical to ``inv_small`` on
+    symmetric blocks (the adjugate formulas commute)."""
+    r = At.shape[0]
+    if r == 1:
+        return 1.0 / At
+    if r == 2:
+        a, b = At[0, 0], At[0, 1]
+        c, d = At[1, 0], At[1, 1]
+        inv_det = 1.0 / (a * d - b * c)
+        return jnp.stack([
+            jnp.stack([d, -b]),
+            jnp.stack([-c, a]),
+        ]) * inv_det
+    if r == 3:
+        a = At
+        c00 = a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1]
+        c01 = a[1, 2] * a[2, 0] - a[1, 0] * a[2, 2]
+        c02 = a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]
+        det = a[0, 0] * c00 + a[0, 1] * c01 + a[0, 2] * c02
+        inv_det = 1.0 / det
+        c10 = a[0, 2] * a[2, 1] - a[0, 1] * a[2, 2]
+        c11 = a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0]
+        c12 = a[0, 1] * a[2, 0] - a[0, 0] * a[2, 1]
+        c20 = a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]
+        c21 = a[0, 2] * a[1, 0] - a[0, 0] * a[1, 2]
+        c22 = a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]
+        M = jnp.stack([
+            jnp.stack([c00, c10, c20]),
+            jnp.stack([c01, c11, c21]),
+            jnp.stack([c02, c12, c22]),
+        ])
+        return M * inv_det
+    return jnp.moveaxis(
+        jnp.linalg.inv(jnp.moveaxis(At, (0, 1), (-2, -1))),
+        (-2, -1), (0, 1))
