@@ -183,7 +183,10 @@ class Problem:
         # perturbation: r VJP passes beat Σd JVP passes (BAL reprojection:
         # 2 vs 12; SE3 pose graph: 6 vs 12).  Both are exact autodiff —
         # only the floating-point summation order differs (~1 ulp).
-        use_rev = et.residual_dim < sum(vt.tangent_dim for vt in vts)
+        # G2O_TPU_JACREV=0 forces forward mode (escape hatch).
+        import os as _os
+        use_rev = (et.residual_dim < sum(vt.tangent_dim for vt in vts)
+                   and _os.environ.get("G2O_TPU_JACREV", "1") != "0")
         jac_of = jax.jacrev if use_rev else jax.jacfwd
 
         def jac_one(states, meas, par):
@@ -211,6 +214,9 @@ class Problem:
         mode is the cheaper direction (``r < Σd``) and the edge has no
         analytic Jacobian."""
         if et.jacobian is not None:
+            return None
+        import os as _os
+        if _os.environ.get("G2O_TPU_JACREV", "1") == "0":
             return None
         vts = tuple(et.vertex_types)
         r = et.residual_dim

@@ -153,30 +153,41 @@ def quat_from_matrix(R):
     m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
     tr = m00 + m11 + m22
 
+    cond_w = tr > 0.0
+    cond_x = (m00 >= m11) & (m00 >= m22)
+    cond_y = m11 >= m22
+    # selection masks per branch — the sqrt ARGUMENTS of unselected
+    # branches are where-guarded to 1.0: sqrt's VJP at 0 is inf, and VJPs
+    # SUM cotangents, so 0·inf = NaN poisons reverse-mode Jacobians even
+    # though the forward select discards the value (double-where trick)
+    sel_w = cond_w
+    sel_x = ~cond_w & cond_x
+    sel_y = ~cond_w & ~cond_x & cond_y
+    sel_z = ~cond_w & ~cond_x & ~cond_y
+
+    def _sel_sqrt(x, sel):
+        return jnp.sqrt(jnp.where(sel, jnp.maximum(x, 1e-24), 1.0))
+
     # four candidate constructions; pick the numerically best one
-    qw_w = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) / 2.0
+    qw_w = _sel_sqrt(1.0 + tr, sel_w) / 2.0
     q_w = jnp.stack(
         [m21 - m12, m02 - m20, m10 - m01, 4.0 * qw_w * qw_w], axis=-1
     ) / jnp.maximum(4.0 * qw_w, 1e-12)[..., None]
 
-    qx_x = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0)) / 2.0
+    qx_x = _sel_sqrt(1.0 + m00 - m11 - m22, sel_x) / 2.0
     q_x = jnp.stack(
         [4.0 * qx_x * qx_x, m01 + m10, m02 + m20, m21 - m12], axis=-1
     ) / jnp.maximum(4.0 * qx_x, 1e-12)[..., None]
 
-    qy_y = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0)) / 2.0
+    qy_y = _sel_sqrt(1.0 - m00 + m11 - m22, sel_y) / 2.0
     q_y = jnp.stack(
         [m01 + m10, 4.0 * qy_y * qy_y, m12 + m21, m02 - m20], axis=-1
     ) / jnp.maximum(4.0 * qy_y, 1e-12)[..., None]
 
-    qz_z = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0)) / 2.0
+    qz_z = _sel_sqrt(1.0 - m00 - m11 + m22, sel_z) / 2.0
     q_z = jnp.stack(
         [m02 + m20, m12 + m21, 4.0 * qz_z * qz_z, m10 - m01], axis=-1
     ) / jnp.maximum(4.0 * qz_z, 1e-12)[..., None]
-
-    cond_w = tr > 0.0
-    cond_x = (m00 >= m11) & (m00 >= m22)
-    cond_y = m11 >= m22
     q = jnp.where(
         cond_w[..., None],
         q_w,
@@ -196,7 +207,8 @@ def quat_from_compact(v):
     |v|^2 > 1 (reference ``fromCompactQuaternion``)."""
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
     bad = n2 > 1.0
-    w = jnp.sqrt(jnp.maximum(1.0 - n2, 0.0))
+    # reverse-mode-safe sqrt argument (see quat_from_matrix)
+    w = jnp.sqrt(jnp.where(bad, 1.0, jnp.maximum(1.0 - n2, 1e-24)))
     q = jnp.concatenate([v, w], axis=-1)
     ident = jnp.zeros_like(q).at[..., 3].set(1.0)
     return jnp.where(bad, ident, q)
