@@ -111,6 +111,7 @@ def bench_sphere(dev):
 
 def bench_manhattan(dev):
     import g2o_tpu.types  # noqa: F401
+    from g2o_tpu.core.lm_fused import optimize_fused_gn
     from g2o_tpu.core.solvers import PCGSolver
     from g2o_tpu.sim.generators import create_manhattan
 
@@ -118,35 +119,71 @@ def bench_manhattan(dev):
     g = create_manhattan(n_poses=3500, seed=0)
     p = g.compile()
     build_s = time.perf_counter() - t0
-    # two-level Schwarz preconditioner (chunk solves + coarse chunk-graph
-    # correction): the coarse grid propagates loop-closure information.
-    # cap=32 bounds the spiky late solves; sweep (probe_manhattan3) shows
-    # the best time-to-reference-chi2 at chunk_size=16/cap=32 (7.6 ms/iter,
-    # 0.136 s-to-chi2 vs the reference lm_var's 0.30 s)
+    # PHASE 1 — fast descent: two-level Schwarz preconditioner (chunk
+    # solves + coarse chunk-graph correction propagating loop closures);
+    # cap=32/tol=1e-2 bounds the spiky late solves.  Exact-f32 assembly
+    # (the compile default) is REQUIRED on TPU: bf16 assembly floors the
+    # trajectory at chi2 ~9490, above even the +1% band
+    # (scripts/probe_manhattan_tpu6.py).
     solver = PCGSolver(max_iter=32, tol=1e-2, precond="chunk2",
                        chunk_size=16)
     res, sec_per_iter, out = _run(p, solver, 60, dev)
 
+    # PHASE 2 — polish to the reference chi2 (NO band): Gauss-Newton with
+    # near-exact solves (deep CG + tight carry + exact-f32 matvecs)
+    # crosses the reference lm_var 30-iter chi2 in ~3 iterations from the
+    # fast plateau (probe_manhattan_tpu5/6: 9187 -> 9140 <= 9146.5).
+    deep = PCGSolver(max_iter=128, tol=1e-6, precond="chunk2",
+                     chunk_size=16, carry_factor=0.01,
+                     matvec_precision="highest")
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    est_plateau = {t: np.array(v) for t, v in p.estimates.items()}
+    optimize_fused_gn(p, deep, 1)                 # warm-up/compile
+    p.set_estimates({t: jnp.asarray(v, dtype=p.dtype)
+                     for t, v in est_plateau.items()})
+    t1 = time.perf_counter()
+    res2 = optimize_fused_gn(p, deep, 6)
+    polish_wall = time.perf_counter() - t1
+    spi2 = polish_wall / max(res2["iterations"], 1)
+
     ref = _ref().get("manhattan3500", {})
     vs = vs_tt = 0.0
     tt = None
-    if ref.get("lm_var_chi2_after_30_iters"):
-        tt = _time_to_chi2(res, sec_per_iter,
-                           ref["lm_var_chi2_after_30_iters"] * 1.01)
+    target = ref.get("lm_var_chi2_after_30_iters")
+    if target:
+        tt = _time_to_chi2(res, sec_per_iter, target * 1.01)
         ref_tt = 30 * ref.get("lm_var_sec_per_iter", 0.01)
         if tt:
             vs_tt = ref_tt / tt
     if ref.get("lm_var_sec_per_iter"):
         vs = ref["lm_var_sec_per_iter"] / sec_per_iter
+    # wall time until the TRUE reference chi2 (no band): fast-phase wall +
+    # polish iterations until crossing
+    tt_exact = None
+    if target:
+        chis2 = res2["chi2_per_iteration"] + [res2["chi2_final"]]
+        cross = next((i for i, c in enumerate(chis2) if c <= target), None)
+        if cross is not None:
+            tt_exact = round(res["wall_s"] + cross * spi2, 3)
+    out["chi2_final"] = res2["chi2_final"]
     out.update(dataset="manhattan3500 (create_manhattan seed=0)",
                build_s=round(build_s, 2),
-               solver="PCG chunk2(16) tol=1e-2 cap=32 (fused LM)",
+               solver="PCG chunk2(16) tol=1e-2 cap=32 (fused LM) "
+                      "+ GN deep-CG polish",
+               polish={"algorithm": "GN, chunk2 cap=128 tol=1e-6 "
+                                    "carry=0.01 matvec=HIGHEST",
+                       "iterations": res2["iterations"],
+                       "sec_per_iter": round(spi2, 5),
+                       "chi2_final": res2["chi2_final"]},
                vs_baseline=round(vs, 4),
                time_to_reference_chi2_s=tt,
+               time_to_reference_chi2_exact_s=tt_exact,
                vs_baseline_time_to_chi2=round(vs_tt, 4),
                reference_sec_per_iter=ref.get("lm_var_sec_per_iter"),
-               reference_chi2_after_30_iters=ref.get(
-                   "lm_var_chi2_after_30_iters"))
+               reference_chi2_after_30_iters=target)
     return out
 
 

@@ -248,7 +248,8 @@ class Graph:
                 pad_edges_to_multiple: int = 1,
                 bucket_landmarks: bool = False,
                 static_kernels: bool = True,
-                state_dtype=None):
+                state_dtype=None,
+                assembly_precision: str = "highest"):
         """Freeze into an immutable SoA :class:`Problem` for the given level
         (reference level filter: ``g2o/core/sparse_optimizer.cpp:232``).
         ``bucket_landmarks=True`` stores landmark-observation edge batches in
@@ -263,4 +264,5 @@ class Graph:
                              pad_edges_to_multiple=pad_edges_to_multiple,
                              bucket_landmarks=bucket_landmarks,
                              static_kernels=static_kernels,
-                             state_dtype=state_dtype)
+                             state_dtype=state_dtype,
+                             assembly_precision=assembly_precision)

@@ -77,9 +77,12 @@ class BucketedEdgeSpec(NamedTuple):
 class LinearizedSystem(NamedTuple):
     """Output of one linearization — everything iterative solvers need."""
 
-    jacs: dict           # name -> tuple of (E, r, d_i) per slot (fixed slots zeroed)
+    jacs: dict           # name -> tuple of (E, r, d_i) per slot (fixed
+    # slots zeroed); BUCKETED batches store DIMS-MAJOR (r, d_i, E) leaves
+    # (use Problem.edge_jacs for a row-major view)
     weights: dict        # name -> (E, r, r) = rho' * active * Omega
-    errors: dict         # name -> (E, r)
+    # (bucketed: (r, r, E); Problem.edge_weights)
+    errors: dict         # name -> (E, r)  (bucketed: (r, E))
     b: jax.Array         # (T,) = -J^T W e   (solve H dx = b)
     diag: dict           # vertex-type name -> (N_t, D, D) Hessian diagonal blocks
     chi2_robust: jax.Array
@@ -110,7 +113,20 @@ class Problem:
                  estimates: dict, marginalized: dict, vid_index: dict,
                  type_bases: dict, total_dim: int, dtype,
                  bucket_specs=None, assembly_onehot_max: int = 8192,
-                 uniform_kernel=None, state_dtype=None):
+                 uniform_kernel=None, state_dtype=None,
+                 assembly_precision: str = "highest"):
+        # precision of the row-major H/b assembly einsums.  "highest"
+        # (default) = exact f32 — REQUIRED whenever the blocks feed a
+        # Cholesky factorization (direct solvers, chunk preconditioners
+        # near convergence) and for reaching reference chi2 fixed points
+        # on TPU (bf16 assembly noise floors manhattan at 9494 vs 9192).
+        # "default" = single bf16 MXU pass (~1e-3 rel) — safe for loose-
+        # tolerance iterative phases whose own carry/tol floor dominates;
+        # measured ~25% faster manhattan fast-phase LM iterations.
+        if assembly_precision not in ("highest", "default"):
+            raise ValueError(
+                f"unknown assembly_precision {assembly_precision!r}")
+        self.assembly_precision = assembly_precision
         self.bucket_specs: dict = bucket_specs or {}
         # edge name -> static robust-kernel id when every edge of the batch
         # shares one kernel (the usual case), else None.  A batched
@@ -345,6 +361,35 @@ class Problem:
             return robust_mod.robustify(uk, e2, batch.delta)
         return robust_mod.robustify_batch(batch.kernel, e2, batch.delta)
 
+    # ------------------------------------------------------------------ #
+    # layout accessors: bucketed batches store DIMS-MAJOR Jacobian leaves
+    # ``(r, d, E)`` (weights ``(r, s, E)``, errors ``(r, E)``) in the
+    # LinearizedSystem — the while-carried row-major compat transposes
+    # measured ~25 ms/iteration at Venice scale (small-minor-dim relayout
+    # copies XLA's while-loop DCE did not remove).  Consumers that need
+    # row-major call these and pay the relayout only when actually used.
+    # ------------------------------------------------------------------ #
+
+    def edge_jacs(self, lin, name):
+        """Row-major ``(E, r, d_s)`` Jacobian slot tuple for edge batch
+        ``name`` (lazy transpose of dims-major bucketed leaves)."""
+        Js = lin.jacs[name]
+        if not isinstance(Js, (tuple, list)):
+            Js = (Js,)
+        if name in self.bucket_specs:
+            return tuple(J.transpose(2, 0, 1) for J in Js)
+        return Js
+
+    def edge_weights(self, lin, name):
+        """Row-major ``(E, r, r)`` robust information for ``name``."""
+        W = lin.weights[name]
+        return W.transpose(2, 0, 1) if name in self.bucket_specs else W
+
+    def edge_errors(self, lin, name):
+        """Row-major ``(E, r)`` residuals for ``name``."""
+        e = lin.errors[name]
+        return e.T if name in self.bucket_specs else e
+
     def split_tangent(self, v):
         """Flat ``(T,)`` tangent vector → ``{type: (N_t, d_t)}`` blocks.
 
@@ -386,9 +431,8 @@ class Problem:
         out = {t: jnp.zeros_like(vb[t]) for t in self.vertex_types}
         for name, et in self.edge_types.items():
             batch = data.edges[name]
-            Js, W = lin.jacs[name], lin.weights[name]
-            if not isinstance(Js, (tuple, list)):
-                Js = (Js,)
+            Js = self.edge_jacs(lin, name)
+            W = self.edge_weights(lin, name)
             tnames = [vt.name for vt in et.vertex_types]
             if len(set(tnames)) == 1:
                 t = tnames[0]
@@ -597,13 +641,13 @@ class Problem:
                 extras[name]["Bt"] = jnp.sum(
                     Jt[ps][:, :, None, :] * WJ_ts[ls][:, None, :, :],
                     axis=0)                                      # (dp, dl, E)
-                # row-major compat views (transposes of the dims-major
-                # originals) — solvers on the dm fast path consume only
-                # ``extras``, so XLA's while-loop DCE removes these in the
-                # fused LM program when nothing reads them
-                jacs[name] = tuple(J.transpose(2, 0, 1) for J in Jt)
-                weights[name] = Wt.transpose(2, 0, 1)
-                errors[name] = e_c.T
+                # DIMS-MAJOR leaves stored as-is: the row-major compat
+                # transposes were NOT removed by XLA's while-loop DCE and
+                # cost ~25 ms/iteration at Venice scale.  Consumers needing
+                # row-major go through edge_jacs/edge_weights/edge_errors.
+                jacs[name] = Jt
+                weights[name] = Wt
+                errors[name] = e_c
                 continue
 
             states, e = self._edge_residuals(et, batch, estimates, name, data.plans)
@@ -647,12 +691,10 @@ class Problem:
                 e = e.astype(self.dtype)
             W = batch.info.astype(self.dtype) \
                 * (rho[:, 1] * act_s).astype(self.dtype)[:, None, None]
-            # HIGHEST: H/b assembly feeds Cholesky factorizations (direct
-            # solvers, chunk preconditioners) AND sets the late-LM noise
-            # floor — TPU lowers these tiny einsums to bf16 MXU dots at
-            # DEFAULT (~1e-3 rel), measured as a manhattan3500 chi2 stall
-            # at 9494 where exact-f32 reaches 9192 (probe_manhattan_tpu4)
-            hi = jax.lax.Precision.HIGHEST
+            # see assembly_precision in __init__ (HIGHEST unless the
+            # caller opted into the bf16 fast path)
+            hi = (jax.lax.Precision.HIGHEST
+                  if self.assembly_precision == "highest" else None)
             We = jnp.einsum("ers,es->er", W, e, precision=hi)
 
             for s, (J, vt) in enumerate(zip(Js, et.vertex_types)):
@@ -695,12 +737,10 @@ class Problem:
         formulation is several times faster per CG iteration."""
         pre = {}
         for name in self.edge_types:
-            Js = lin.jacs[name]
-            if not isinstance(Js, (tuple, list)):
-                Js = (Js,)
+            Js = self.edge_jacs(lin, name)
             Jcat = jnp.concatenate(Js, axis=2)                 # (E, r, K)
-            WJ = jnp.einsum("ers,esk->erk", lin.weights[name], Jcat,
-                            precision=precision)
+            WJ = jnp.einsum("ers,esk->erk", self.edge_weights(lin, name),
+                            Jcat, precision=precision)
             pre[name] = (Jcat, WJ)
 
         hi = jax.lax.Precision.HIGHEST
@@ -767,7 +807,8 @@ class Problem:
         H = jnp.zeros((T, T), dtype=self.dtype)
         for name, et in self.edge_types.items():
             batch = data.edges[name]
-            Js, W = lin.jacs[name], lin.weights[name]
+            Js = self.edge_jacs(lin, name)
+            W = self.edge_weights(lin, name)
             idxs = [
                 _seg_ids(data.offsets[vt.name], batch.vidx[:, s], vt.tangent_dim)
                 for s, vt in enumerate(et.vertex_types)
@@ -812,7 +853,8 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                   pad_edges_to_multiple: int = 1,
                   bucket_landmarks: bool = False,
                   static_kernels: bool = True,
-                  state_dtype=None) -> Problem:
+                  state_dtype=None,
+                  assembly_precision: str = "highest") -> Problem:
     """Build a :class:`Problem` from raw numpy blocks.
 
     ``vertex_blocks``: ``{VertexType: (vids (N,), estimates (N, rep),
@@ -1078,14 +1120,16 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
                    bucket_specs=bucket_specs, uniform_kernel=uniform_kernel,
-                   state_dtype=state_dtype)
+                   state_dtype=state_dtype,
+                   assembly_precision=assembly_precision)
 
 
 def compile_graph(graph, *, level: int = 0, dtype=None,
                   pad_edges_to_multiple: int = 1,
                   bucket_landmarks: bool = False,
                   static_kernels: bool = True,
-                  state_dtype=None) -> Problem:
+                  state_dtype=None,
+                  assembly_precision: str = "highest") -> Problem:
     """Freeze a host-side :class:`~g2o_tpu.core.graph.Graph` into a
     :class:`Problem` — the analogue of ``initializeOptimization`` +
     ``buildIndexMapping`` (``g2o/core/sparse_optimizer.cpp:201,168``)."""
@@ -1141,4 +1185,5 @@ def compile_graph(graph, *, level: int = 0, dtype=None,
                          pad_edges_to_multiple=pad_edges_to_multiple,
                          bucket_landmarks=bucket_landmarks,
                          static_kernels=static_kernels,
-                         state_dtype=state_dtype)
+                         state_dtype=state_dtype,
+                         assembly_precision=assembly_precision)

@@ -65,7 +65,7 @@ class CGLSSolver:
             tiny jitter where the diagonal is zero."""
             Ls = {}
             for name in p.edge_types:
-                W = lin.weights[name]
+                W = p.edge_weights(lin, name)
                 r = W.shape[-1]
                 eye = jnp.eye(r, dtype=p.dtype)
                 diag_zero = jnp.all(
@@ -86,7 +86,7 @@ class CGLSSolver:
             out = {}
             for name, et in p.edge_types.items():
                 batch = data.edges[name]
-                Js = lin.jacs[name]
+                Js = p.edge_jacs(lin, name)
                 spec = p.bucket_specs.get(name)
                 y = None
                 for s, vt in enumerate(et.vertex_types):
@@ -128,7 +128,7 @@ class CGLSSolver:
                    for t, vt in p.vertex_types.items()}
             for name, et in p.edge_types.items():
                 batch = data.edges[name]
-                Js = lin.jacs[name]
+                Js = p.edge_jacs(lin, name)
                 spec = p.bucket_specs.get(name)
                 z = jnp.einsum("ers,er->es", Ls[name], u[name])  # L u
                 for s, vt in enumerate(et.vertex_types):
@@ -194,7 +194,8 @@ class CGLSSolver:
             gamma0 = tdot(s, z)
             pvec = z
             # r in data space (per edge type); damping-row residual = -sqrt(l)x
-            r = {name: jnp.einsum("esr,es->er", Ls[name], lin.errors[name])
+            r = {name: jnp.einsum("esr,es->er", Ls[name],
+                                  p.edge_errors(lin, name))
                  for name in p.edge_types}
             # sign: b = -J^T W e, so whiten -e
             r = {k: -v for k, v in r.items()}

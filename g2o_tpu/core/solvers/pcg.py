@@ -318,7 +318,8 @@ class PCGSolver:
                     for name in binary:
                         m = cmaps[name]
                         ci, l0, l1 = m["ci"], m["l0"], m["l1"]
-                        Js, W = lin.jacs[name], lin.weights[name]
+                        Js = p.edge_jacs(lin, name)
+                        W = p.edge_weights(lin, name)
                         # HIGHEST: these blocks feed the chunk Cholesky —
                         # bf16 MXU off-diagonal error (~1e-3 rel) can turn
                         # near-singular chunk blocks indefinite → NaN
@@ -349,7 +350,8 @@ class PCGSolver:
                     # chain off-diagonals (both fixed-masked ends)
                     for name in binary:
                         m = cmaps[name]
-                        Js, W = lin.jacs[name], lin.weights[name]
+                        Js = p.edge_jacs(lin, name)
+                        W = p.edge_weights(lin, name)
                         Hab = _pad_block(jnp.einsum(
                             "erd,ers,esf->edf", Js[0], W, Js[1],
                             precision=jax.lax.Precision.HIGHEST))
@@ -395,7 +397,8 @@ class PCGSolver:
                 S = jnp.zeros((nc, d * d, nc), dtype=dtype)
                 for name in binary:
                     seg = cmaps[name]["seg"]
-                    Js, W = lin.jacs[name], lin.weights[name]
+                    Js = p.edge_jacs(lin, name)
+                    W = p.edge_weights(lin, name)
                     Hab = _pad_block(jnp.einsum(
                         "erd,ers,esf->edf", Js[0], W, Js[1],
                         precision=jax.lax.Precision.HIGHEST))

@@ -59,6 +59,7 @@ class SchurSolver:
     # ------------------------------------------------------------------ #
 
     def setup(self, problem):
+        p = problem
         marg = {t: bool(m.all()) for t, m in problem.marginalized.items()}
         for t, m in problem.marginalized.items():
             if m.any() and not m.all():
@@ -246,7 +247,8 @@ class SchurSolver:
             """Per-observation Hessian off-diagonal blocks B = Jp^T W Jl."""
             Bs = []
             for name, pose_slot, lm_slot in obs_specs:
-                Js, W = lin.jacs[name], lin.weights[name]
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
                 Bs.append(jnp.einsum("erd,ers,esf->edf",
                                      Js[pose_slot], W, Js[lm_slot]))
             return jnp.concatenate(Bs, axis=0) if Bs else \
@@ -270,7 +272,8 @@ class SchurSolver:
             for name in pose_edge_types:
                 et = problem.edge_types[name]
                 batch = data.edges[name]
-                Js, W = lin.jacs[name], lin.weights[name]
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
                 idxs = []
                 for s, vt in enumerate(et.vertex_types):
                     d = vt.tangent_dim

@@ -413,9 +413,13 @@ class ImplicitSchurSolver:
                 if dm[name]:
                     continue
                 Js, W = lin.jacs[name], lin.weights[name]
-                Jpt = Js[ps].transpose(1, 2, 0)              # (r, dp, E)
-                Jlt = Js[ls].transpose(1, 2, 0)              # (r, dl, E)
-                Wt = W.transpose(1, 2, 0)                    # (r, s, E)
+                if name in p.bucket_specs:
+                    # bucketed leaves are already dims-major
+                    Jpt, Jlt, Wt = Js[ps], Js[ls], W
+                else:
+                    Jpt = Js[ps].transpose(1, 2, 0)          # (r, dp, E)
+                    Jlt = Js[ls].transpose(1, 2, 0)          # (r, dl, E)
+                    Wt = W.transpose(1, 2, 0)                # (r, s, E)
                 WJl = jnp.sum(Wt[:, :, None, :] * Jlt[None, :, :, :], axis=1)
                 Bt[name] = jnp.sum(Jpt[:, :, None, :] * WJl[:, None, :, :],
                                    axis=0)                   # (dp, dl, E)
@@ -538,7 +542,8 @@ class ImplicitSchurSolver:
                 for name in pose_edge_types:
                     et = p.edge_types[name]
                     vidx = data.edges[name].vidx
-                    Js, W = lin.jacs[name], lin.weights[name]
+                    Js = p.edge_jacs(lin, name)
+                    W = p.edge_weights(lin, name)
                     k = len(Js)
                     for i in range(k):
                         ti = et.vertex_types[i].name

@@ -663,7 +663,8 @@ class SparseCholeskySolver:
             # rebuilt at HIGHEST rather than taken from lin.diag
             diag = jnp.zeros((n, d, d), dtype=dtype)
             for name, et in p.edge_types.items():
-                Js, W = lin.jacs[name], lin.weights[name]
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
                 vidx = data.edges[name].vidx
                 for s in range(et.num_slots):
                     t = et.vertex_types[s].name
@@ -682,7 +683,8 @@ class SparseCholeskySolver:
             for name, et in p.edge_types.items():
                 if et.num_slots != 2:
                     continue
-                Js, W = lin.jacs[name], lin.weights[name]
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
                 Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[0], W,
                                             Js[1], precision=hi))
                 slots, transpose, valid = aux["edge_maps"][name]

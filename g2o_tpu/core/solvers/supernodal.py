@@ -584,7 +584,8 @@ class SupernodalCholeskySolver:
             blocks = jnp.zeros((n_total, d, d), dtype=dtype)
             diag = jnp.zeros((n, d, d), dtype=dtype)
             for name, et in p.edge_types.items():
-                Js, W = lin.jacs[name], lin.weights[name]
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
                 vidx = data.edges[name].vidx
                 for s in range(et.num_slots):
                     Hss = jnp.einsum("erd,ers,esf->edf", Js[s], W, Js[s],
@@ -597,7 +598,8 @@ class SupernodalCholeskySolver:
             for name, et in p.edge_types.items():
                 if et.num_slots != 2:
                     continue
-                Js, W = lin.jacs[name], lin.weights[name]
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
                 Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1],
                                  precision=_HI)
                 slots, transpose, valid = aux["edge_maps"][name]
