@@ -89,7 +89,10 @@ def bench_sphere(dev):
         dataset = "sphere2500 (synthetic)"
     g.set_robust_kernel("Huber", 1.0)
     build_s = time.perf_counter() - t0
-    p = g.compile()
+    # bf16 assembly: sphere stops far from the noise floor (chi2 ~29.6k,
+    # band target crossed at default precision in every round) and the
+    # exact-f32 assembly einsums cost ~2 ms/iter here
+    p = g.compile(assembly_precision="default")
     # chunked block-tridiagonal preconditioner + eta-forcing tol (sweep
     # notes: ROADMAP.md round-1 item 1) — best measured time-to-target
     solver = PCGSolver(max_iter=50, tol=1e-1, precond="chunk", chunk_size=16)

@@ -1079,18 +1079,11 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
             free[:, s] = 1.0 - fixed_np[svt.name][vidx_pad[:, s]]
         plans.setdefault(name, {})["free_mask"] = free.astype(
             _np_dtype(dtype))
-        if name in bucket_specs:
-            # dims-major constants for the at-source dims-major linearize
-            # of bucketed batches (edge axis minormost, precomputed host-
-            # side: a device transpose of a small-minor-dim (E, m) array
-            # is a relayout copy every linearize would pay)
-            nd_ = _np_dtype(state_dtype)
-            plans[name]["meas_t"] = np.ascontiguousarray(
-                pad(arrays["meas"]).astype(nd_).T)
-            plans[name]["info_t"] = np.ascontiguousarray(
-                pad(arrays["info"]).astype(nd_).transpose(1, 2, 0))
-            plans[name]["free_mask_t"] = np.ascontiguousarray(
-                free.T.astype(_np_dtype(dtype)))
+        # (dims-major constants for bucketed batches are produced ON
+        # DEVICE after the single pytree transfer below: duplicating
+        # meas/info/free_mask host-side costs ~29 MB of extra tunnel
+        # transfer at Venice scale — ~3.5 s at the tunnel's bandwidth —
+        # while one device-side transpose per constant is a few ms once)
         # measurements/information/params define the problem CONSTANTS of
         # the state-dtype residual path — quantizing them at f32 would
         # shift the chi2 fixed point just like state quantization
@@ -1117,6 +1110,21 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     # call (measured 46 s for the ~20 arrays of a Ladybug-scale build in a
     # cold process); jax.device_put on the full pytree batches them
     data, estimates = jax.device_put((data, estimates))
+    if bucket_specs:
+        # device-side dims-major constants (see note above) — stored as
+        # concrete arrays in plans so linearize never re-derives them
+        new_plans = dict(data.plans)
+        for name in bucket_specs:
+            b = data.edges[name]
+            d_ = dict(new_plans.get(name) or {})
+            d_["meas_t"] = jnp.asarray(b.meas).T
+            d_["info_t"] = jnp.asarray(b.info).transpose(1, 2, 0)
+            fm = d_.get("free_mask")
+            if fm is not None:
+                d_["free_mask_t"] = jnp.asarray(fm).T
+            new_plans[name] = d_
+        new_plans = jax.device_put(new_plans)
+        data = data._replace(plans=new_plans)
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
                    bucket_specs=bucket_specs, uniform_kernel=uniform_kernel,

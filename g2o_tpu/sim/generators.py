@@ -467,7 +467,8 @@ def create_simulator2d(n_poses: int = 200, n_landmarks: int = 60,
                 vid = line_vid0 + k
                 if vid not in line_seen:
                     init = np.array([_wrap(thetas[k] + nrm(line_noise[0])),
-                                     rhos[k] + nrm(line_noise[1])])
+                                     rhos[k] + nrm(line_noise[1]),
+                                     -1.0, -1.0])
                     g.add_vertex(vid, VertexLine2D, init)
                     line_seen.add(vid)
                 m = np.array([_wrap(th_l + nrm(line_noise[0])),

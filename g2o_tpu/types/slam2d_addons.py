@@ -30,13 +30,20 @@ VertexSegment2D = register_vertex(VertexType(
 
 
 def _line2d_oplus(x, d):
-    out = x + d
-    return jnp.stack([lie.normalize_angle(out[..., 0]), out[..., 1]], axis=-1)
+    # state = (theta, rho, p1Id, p2Id); the endpoint ids ride along
+    # un-updated (they are bookkeeping, not geometry)
+    return jnp.concatenate([
+        jnp.stack([lie.normalize_angle(x[..., 0] + d[..., 0]),
+                   x[..., 1] + d[..., 1]], axis=-1),
+        x[..., 2:4]], axis=-1)
 
 
 VertexLine2D = register_vertex(VertexType(
     name="VERTEX_LINE2D",
-    rep_dim=2,
+    # (theta, rho) + the reference's serialized p1Id/p2Id endpoint-vertex
+    # ids (``slam2d_addons/vertex_line2d.cpp:52-58`` reads/writes
+    # ``theta rho p1Id p2Id``); -1 = unassigned
+    rep_dim=4,
     tangent_dim=2,
     oplus=_line2d_oplus,
     tags=("VERTEX_LINE2D",),
@@ -152,7 +159,7 @@ EdgeSE2Line2D = register_edge(EdgeType(
 
 def _edge_line2d_residual(states, meas, param):
     l1, l2 = states
-    return (l2 - l1) - meas
+    return (l2[..., :2] - l1[..., :2]) - meas
 
 
 EdgeLine2D = register_edge(EdgeType(

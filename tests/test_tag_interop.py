@@ -104,7 +104,7 @@ def test_edge_line2d_pointxy():
     np.testing.assert_allclose(r, 0.0, atol=1e-14)
 
     text = "\n".join([
-        f"VERTEX_LINE2D 0 {theta} {rho}",
+        f"VERTEX_LINE2D 0 {theta} {rho} -1 -1",
         f"VERTEX_XY 1 {p[0]} {p[1]}",
         "FIX 1",
         f"EDGE_LINE2D_POINTXY 0 1 {z + 0.05} 400",
