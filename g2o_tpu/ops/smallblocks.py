@@ -42,7 +42,10 @@ def chol_small(A):
 
 
 def inv_small(A):
-    """Inverse of blocks (..., r, r), closed-form for r in {1, 2, 3}."""
+    """Inverse of SPD blocks (..., r, r), closed-form for r in {1, 2, 3},
+    Cholesky-based for larger r (callers pass damped Hessian diagonals —
+    always SPD; TPU has no f64 LuDecomposition, so ``jnp.linalg.inv``
+    would fail to compile there for r > 3 at float64)."""
     r = A.shape[-1]
     if r == 1:
         return 1.0 / A
@@ -74,7 +77,11 @@ def inv_small(A):
             jnp.stack([c02, c12, c22], axis=-1),
         ], axis=-2)
         return M * inv_det[..., None, None]
-    return jnp.linalg.inv(A)
+    import jax.scipy.linalg as jsl
+
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    return jsl.cho_solve((L, True), eye)
 
 
 def inv_small_t(At):
@@ -114,5 +121,5 @@ def inv_small_t(At):
         ])
         return M * inv_det
     return jnp.moveaxis(
-        jnp.linalg.inv(jnp.moveaxis(At, (0, 1), (-2, -1))),
+        inv_small(jnp.moveaxis(At, (0, 1), (-2, -1))),
         (-2, -1), (0, 1))
