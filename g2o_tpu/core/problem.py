@@ -895,8 +895,8 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         fixed[t] = fx
         marginalized[t] = mg
         sorted_vids[t] = vids
-        for i, vid in enumerate(vids):
-            vid_index[int(vid)] = (t, i)
+        # (vid_index is built ONCE after the bucket reorder pass below —
+        # a 150k-entry Python dict loop costs ~0.3 s at Venice scale)
         type_bases[t] = base
         offsets_np[t] = base + np.arange(n, dtype=np.int32) * vt.tangent_dim
         base += n * vt.tangent_dim
@@ -916,6 +916,7 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     edge_types = {}
     bucket_specs = {}
     plans = {}
+    expand_specs = {}
     uniform_kernel = {}
     m = max(int(pad_edges_to_multiple), 1)
 
@@ -996,13 +997,15 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
             fixed[lt] = fixed_np[lt]
             marginalized[lt] = marginalized[lt][perm_v]
             sorted_vids[lt] = sorted_vids[lt][perm_v]
-            for i, vid in enumerate(sorted_vids[lt]):
-                vid_index[int(vid)] = (lt, i)
             for name2, et2 in edge_types.items():
                 for s2, svt2 in enumerate(et2.vertex_types):
                     if svt2.name == lt:
                         raw[name2]["vidx"][:, s2] = inv[
                             raw[name2]["vidx"][:, s2]]
+
+    for t, svids in sorted_vids.items():
+        vid_index.update(
+            zip(svids.tolist(), ((t, i) for i in range(counts[t]))))
 
     # ---- pass 3: bucket edge rows, pad, freeze to device arrays -------- #
     for name, et in edge_types.items():
@@ -1039,7 +1042,7 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                 blk[:] = np.where(blk == E, blk[:1, :], blk)
                 off += nseg * dg
             for k, a in arrays.items():
-                a2 = a[perm].copy()
+                a2 = a[perm]               # fancy indexing: fresh array
                 if k == "active":
                     a2[sentinel] = False
                 arrays[k] = a2
@@ -1062,39 +1065,51 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
                 return a
             return np.concatenate([a, np.repeat(a[:1], n_pad, axis=0)], axis=0)
 
-        act = pad(arrays["active"]).copy()
-        if n_pad:
-            act[E:] = False
+        act_full = np.asarray(arrays["active"], dtype=bool)
         if static_kernels:
             uks = np.unique(arrays["kernel"])
             uniform_kernel[name] = int(uks[0]) if len(uks) == 1 else None
         vidx_pad = pad(arrays["vidx"])
-        # per-edge fixed-vertex Jacobian multiplier (1.0 free / 0.0 fixed),
-        # computed HOST-side: the equivalent device gather
-        # ``fixed[t][vidx[:, s]]`` processes rows near-serially on TPU —
-        # measured 7.2 ms per slot at Venice scale, every linearize.
-        # Incremental mode refreshes rows as edges arrive (``add_edge``).
-        free = np.empty(vidx_pad.shape, dtype=np.float64)
-        for s, svt in enumerate(et.vertex_types):
-            free[:, s] = 1.0 - fixed_np[svt.name][vidx_pad[:, s]]
-        plans.setdefault(name, {})["free_mask"] = free.astype(
-            _np_dtype(dtype))
-        # (dims-major constants for bucketed batches are produced ON
-        # DEVICE after the single pytree transfer below: duplicating
-        # meas/info/free_mask host-side costs ~29 MB of extra tunnel
-        # transfer at Venice scale — ~3.5 s at the tunnel's bandwidth —
-        # while one device-side transpose per constant is a few ms once)
         # measurements/information/params define the problem CONSTANTS of
         # the state-dtype residual path — quantizing them at f32 would
         # shift the chi2 fixed point just like state quantization
         nd = _np_dtype(state_dtype)
+        inf = np.asarray(arrays["info"])
+        kr = np.asarray(arrays["kernel"], dtype=np.int32)
+        dl = np.asarray(arrays["delta"])
+        # UNIFORM-CONSTANT ELISION: batches whose info/kernel/delta/active
+        # are constant across edges (every BAL batch: identity info, one
+        # kernel, all active) ship ONE row and are expanded on device after
+        # the batched transfer below — the remote-TPU tunnel moves ~4-8
+        # MB/s on bad days, and the uniform identity info alone is 14.4 MB
+        # at Venice scale (measured: build 13.7 s driver-day, ~10 s of it
+        # transfer).  The fixed-vertex free mask is likewise DERIVED on
+        # device (one-time gather) instead of shipped.
+        info_u = E > 0 and bool((inf == inf[:1]).all())
+        kern_u = E > 0 and bool((kr == kr[0]).all())
+        delta_u = E > 0 and bool((dl == dl[0]).all())
+        act_u = bool(act_full.all())
+        if act_u:
+            act_ship = act_full[:1]
+        else:
+            act_ship = pad(act_full)
+            if n_pad:
+                act_ship = act_ship.copy()
+                act_ship[E:] = False
+        expand_specs[name] = {
+            "n": E + n_pad, "n_used": E,
+            "info_u": info_u, "kern_u": kern_u, "delta_u": delta_u,
+            "act_u": act_u,
+            "kern0": int(kr[0]) if kern_u else None,
+            "delta0": float(dl[0]) if delta_u else None,
+        }
         edges[name] = EdgeBatchData(
             vidx=vidx_pad,
             meas=pad(arrays["meas"]).astype(nd),
-            info=pad(arrays["info"]).astype(nd),
-            kernel=pad(arrays["kernel"]),
-            delta=pad(arrays["delta"]).astype(nd),
-            active=act,
+            info=(inf[:1] if info_u else pad(inf)).astype(nd),
+            kernel=(kr[:1] if kern_u else pad(kr)),
+            delta=(dl[:1] if delta_u else pad(dl)).astype(nd),
+            active=act_ship,
             param=pad(arrays["param"]).astype(nd),
         )
 
@@ -1110,21 +1125,50 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     # call (measured 46 s for the ~20 arrays of a Ladybug-scale build in a
     # cold process); jax.device_put on the full pytree batches them
     data, estimates = jax.device_put((data, estimates))
-    if bucket_specs:
-        # device-side dims-major constants (see note above) — stored as
-        # concrete arrays in plans so linearize never re-derives them
-        new_plans = dict(data.plans)
-        for name in bucket_specs:
-            b = data.edges[name]
-            d_ = dict(new_plans.get(name) or {})
-            d_["meas_t"] = jnp.asarray(b.meas).T
-            d_["info_t"] = jnp.asarray(b.info).transpose(1, 2, 0)
-            fm = d_.get("free_mask")
-            if fm is not None:
-                d_["free_mask_t"] = jnp.asarray(fm).T
-            new_plans[name] = d_
-        new_plans = jax.device_put(new_plans)
-        data = data._replace(plans=new_plans)
+    # device-side EXPANSION of the elided uniform constants + free-mask
+    # derivation: a handful of one-time device ops replacing ~30 MB of
+    # tunnel transfer at Venice scale
+    np_dtype = _np_dtype(dtype)
+    new_edges = {}
+    new_plans = dict(data.plans)
+    for name, b in data.edges.items():
+        sp = expand_specs[name]
+        n, et = sp["n"], edge_types[name]
+        if sp["info_u"]:
+            b = b._replace(info=jnp.tile(b.info, (n, 1, 1)))
+        if sp["kern_u"]:
+            b = b._replace(kernel=jnp.full((n,), sp["kern0"], jnp.int32))
+        if sp["delta_u"]:
+            b = b._replace(delta=jnp.full((n,), sp["delta0"],
+                                          _np_dtype(state_dtype)))
+        if sp["act_u"]:
+            b = b._replace(active=(jnp.arange(n) < sp["n_used"]
+                                   if sp["n_used"] < n
+                                   else jnp.ones((n,), bool)))
+        # per-edge fixed-vertex Jacobian multiplier (1.0 free / 0.0
+        # fixed).  The per-LINEARIZE device gather was the expensive
+        # case (7.2 ms/slot at Venice scale); once at build it is noise.
+        # Incremental mode refreshes rows as edges arrive (``add_edge``).
+        cols = []
+        for s, svt in enumerate(et.vertex_types):
+            if fixed_np[svt.name].any():
+                cols.append(1.0 - data.fixed[svt.name][b.vidx[:, s]]
+                            .astype(np_dtype))
+            else:
+                cols.append(jnp.ones((n,), np_dtype))
+        d_ = dict(new_plans.get(name) or {})
+        d_["free_mask"] = jnp.stack(cols, axis=1)
+        new_plans[name] = d_
+        new_edges[name] = b
+    # dims-major constants for bucketed batches, likewise produced ON
+    # DEVICE (host duplication would double the transfer)
+    for name in bucket_specs:
+        b = new_edges[name]
+        d_ = new_plans[name]
+        d_["meas_t"] = jnp.asarray(b.meas).T
+        d_["info_t"] = jnp.asarray(b.info).transpose(1, 2, 0)
+        d_["free_mask_t"] = jnp.asarray(d_["free_mask"]).T
+    data = data._replace(edges=new_edges, plans=new_plans)
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
                    bucket_specs=bucket_specs, uniform_kernel=uniform_kernel,
