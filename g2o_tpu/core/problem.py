@@ -145,15 +145,17 @@ class Problem:
         self.type_bases = type_bases          # name -> flat tangent base offset
         self.total_dim = int(total_dim)
         self.dtype = dtype
-        # MIXED-PRECISION trajectory accuracy: estimates, measurements,
-        # residual evaluation, chi2 and the oplus update run at
-        # ``state_dtype`` (f64) while Jacobians, H/b assembly and the
-        # solvers run at ``dtype`` (f32).  f32 pose coordinates quantize
-        # at ~3e-6 relative, drowning late LM decrements (~0.1-1 chi2) in
-        # representation noise — measured: manhattan3500 TPU-f32 stalls at
-        # chi2 9332 where f64 evaluation reaches the reference 9139.8.
-        # Jacobian/solve errors only perturb the convergence RATE, not
-        # the fixed point, so they stay on the fast f32 path.
+        # MIXED-PRECISION trajectory accuracy: the whole linearization —
+        # estimates, measurements, residuals, Jacobians, robust weights,
+        # H/b assembly, chi2, oplus — runs at ``state_dtype`` (f64); the
+        # LinearizedSystem leaves are rounded to ``dtype`` (f32) once at
+        # the end, so the SOLVERS stay on the fast narrow path.  f32 pose
+        # coordinates quantize at ~3e-6 relative and f32 b-assembly leaves
+        # absolute summation noise; both floor manhattan3500 above the
+        # reference gn_var fixed point (9134+ vs 9116.756).  Rounding the
+        # wide-assembled b/J is only a RELATIVE error, so GN + a direct
+        # f32 solve reaches 9116.76 exactly (measured, round 4).  Solve
+        # errors perturb the convergence rate, not the fixed point.
         self.state_dtype = state_dtype if state_dtype is not None else dtype
         self._edge_jac_fns = {
             name: self._make_jac_fn(et) for name, et in edge_types.items()
@@ -490,19 +492,29 @@ class Problem:
         return out
 
     def linearize_fn(self, data: ProblemData, estimates) -> LinearizedSystem:
+        # MIXED mode (state_dtype wider than dtype): the WHOLE linearization
+        # — residual, Jacobians, robust weights, H/b assembly — runs WIDE,
+        # and the LinearizedSystem leaves are rounded to the solver dtype
+        # ONCE at the end.  Rounding the assembled b is a RELATIVE error
+        # (vanishes with |b|), so the GN/LM fixed point is the wide-dtype
+        # one; assembling b in f32 instead leaves ABSOLUTE summation noise
+        # that floors manhattan3500 at chi2 ~9134 where the reference
+        # gn_var fixed point is 9116.756 (measured, round 4).  Solvers see
+        # only narrow leaves and stay on the fast f32 path.
+        mixed = self.state_dtype != self.dtype
         b_blocks = {
-            t: jnp.zeros((self.counts[t], vt.tangent_dim), dtype=self.dtype)
+            t: jnp.zeros((self.counts[t], vt.tangent_dim),
+                         dtype=self.state_dtype)
             for t, vt in self.vertex_types.items()
         }
         diag = {
             t: jnp.zeros((self.counts[t], vt.tangent_dim, vt.tangent_dim),
-                         dtype=self.dtype)
+                         dtype=self.state_dtype)
             for t, vt in self.vertex_types.items()
         }
         jacs, weights, errors, extras = {}, {}, {}, {}
         chi2_r = jnp.zeros((), dtype=self.state_dtype)
         chi2_p = jnp.zeros((), dtype=self.state_dtype)
-        mixed = self.state_dtype != self.dtype
 
         for name, et in self.edge_types.items():
             batch = data.edges[name]
@@ -527,22 +539,15 @@ class Problem:
                     info_t = batch.info.transpose(1, 2, 0)
                 param_t = batch.param.T
                 rj = self._edge_res_jac_fns[name]
-                if rj is not None and not mixed:
+                if rj is not None:
                     e_t, Jt = jax.vmap(rj, in_axes=-1, out_axes=-1)(
                         states_t, meas_t, param_t)
                 else:
                     e_t = jax.vmap(
                         lambda *a: et.residual(a[:-2], a[-2], a[-1]),
                         in_axes=-1, out_axes=-1)(*states_t, meas_t, param_t)
-                    if mixed:
-                        st32 = tuple(x.astype(self.dtype) for x in states_t)
-                        Jt = jax.vmap(self._edge_jac_fns[name], in_axes=-1,
-                                      out_axes=-1)(
-                            st32, meas_t.astype(self.dtype),
-                            param_t.astype(self.dtype))
-                    else:
-                        Jt = jax.vmap(self._edge_jac_fns[name], in_axes=-1,
-                                      out_axes=-1)(states_t, meas_t, param_t)
+                    Jt = jax.vmap(self._edge_jac_fns[name], in_axes=-1,
+                                  out_axes=-1)(states_t, meas_t, param_t)
                 if not isinstance(Jt, (tuple, list)):
                     Jt = (Jt,)
                 fm_t = plan.get("free_mask_t")
@@ -567,9 +572,8 @@ class Problem:
                 act_s = batch.active.astype(self.state_dtype)
                 chi2_r = chi2_r + jnp.sum(rho[:, 0] * act_s)
                 chi2_p = chi2_p + jnp.sum(e2 * act_s)
-                e_c = e_t.astype(self.dtype) if mixed else e_t
-                Wt = info_t.astype(self.dtype) * (
-                    rho[:, 1] * act_s).astype(self.dtype)[None, None, :]
+                e_c = e_t
+                Wt = info_t * (rho[:, 1] * act_s)[None, None, :]
                 Wet = jnp.sum(Wt * e_c[None, :, :], axis=1)      # (r, E)
 
                 segp = data.plans[name]["segp"]
@@ -651,17 +655,8 @@ class Problem:
                 continue
 
             states, e = self._edge_residuals(et, batch, estimates, name, data.plans)
-            if mixed:
-                # Jacobians on the fast compute-dtype path: cast the f64
-                # states/constants down — J errors shift only the
-                # convergence rate (see state_dtype note in __init__)
-                states32 = tuple(x.astype(self.dtype) for x in states)
-                Js = jax.vmap(self._edge_jac_fns[name])(
-                    states32, batch.meas.astype(self.dtype),
-                    batch.param.astype(self.dtype))
-            else:
-                Js = jax.vmap(self._edge_jac_fns[name])(states, batch.meas,
-                                                        batch.param)
+            Js = jax.vmap(self._edge_jac_fns[name])(states, batch.meas,
+                                                    batch.param)
             if not isinstance(Js, (tuple, list)):
                 Js = (Js,)
             # zero Jacobian columns of fixed vertices — the masking analogue
@@ -686,11 +681,8 @@ class Problem:
             chi2_p = chi2_p + jnp.sum(e2 * act_s)
             # robust information: rho' * Omega (reference
             # ``BaseEdge::robustInformation``; the rho'' term is disabled
-            # there as well).  W/We/e feed the compute-dtype assembly.
-            if mixed:
-                e = e.astype(self.dtype)
-            W = batch.info.astype(self.dtype) \
-                * (rho[:, 1] * act_s).astype(self.dtype)[:, None, None]
+            # there as well).
+            W = batch.info * (rho[:, 1] * act_s)[:, None, None]
             # see assembly_precision in __init__ (HIGHEST unless the
             # caller opted into the bf16 fast path)
             hi = (jax.lax.Precision.HIGHEST
@@ -707,6 +699,18 @@ class Problem:
             jacs[name], weights[name], errors[name] = Js, W, e
 
         b = self.join_tangent(b_blocks)
+        if mixed:
+            # round the solver-facing leaves to the narrow dtype ONCE (see
+            # note at the top); chi2 stays wide
+            def _narrow(x):
+                return x.astype(self.dtype)
+
+            tm = jax.tree_util.tree_map
+            jacs, weights, errors, extras = (
+                tm(_narrow, jacs), tm(_narrow, weights),
+                tm(_narrow, errors), tm(_narrow, extras))
+            b = _narrow(b)
+            diag = tm(_narrow, diag)
         return LinearizedSystem(jacs, weights, errors, b, diag, chi2_r,
                                 chi2_p, extras)
 

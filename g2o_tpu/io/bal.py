@@ -189,6 +189,134 @@ def synthetic_bal_cached(n_cameras=49, n_points=7000, n_obs_per_point=6,
     return text
 
 
+def make_stress_bal(n_cameras=120, n_points=30_000, mean_obs_per_point=6,
+                    depth_sigma=0.8, hub_fraction=0.1, hub_boost=10.0,
+                    outlier_fraction=0.07, pixel_noise=1.0,
+                    estimate_noise=True, seed=0):
+    """Ill-conditioned synthetic BAL problem (VERDICT r3 item 5).
+
+    The well-conditioned arc scenes of :func:`make_synthetic_bal` understate
+    preconditioner and robust-kernel differences; real BAL captures are
+    unreachable offline (BASELINE.md).  This generator injects the
+    pathologies of real captures:
+
+    - **log-normal point depths** (``exp(N(ln 8, depth_sigma))``, ~1.5-60
+      units): near points carry huge reprojection Jacobians, far points
+      tiny ones — a wide Schur-complement spectrum.
+    - **degree skew / hub cameras**: ``hub_fraction`` of cameras get
+      ``hub_boost``x selection weight (Gumbel top-k weighted sampling
+      without replacement), so a few cameras dominate the observation
+      graph like loop-closure frames do.
+    - **variable per-point track length**: 2 + Poisson(mean-2).
+    - **outliers**: ``outlier_fraction`` of observations replaced with
+      uniform garbage pixels — exercises the Huber kernel
+      (``robust_kernel_impl.h``) on both sides of the comparison.
+    - **noisy intrinsics** (f +-5%, k1/k2 jittered) and **perturbed
+      initial estimates** (points sigma = 2% of depth; rotations 0.005 rad,
+      translations 0.05): the stored estimates are away from the optimum,
+      as in the real captures, so the optimizer does real work.
+
+    Observations come from the TRUE geometry + noise; the stored
+    camera/point values are the perturbed ones — both the reference
+    ``bal_example`` and our loader read the identical file 1:1.
+    """
+    rng = np.random.default_rng(seed)
+    C, P = n_cameras, n_points
+
+    # ground-truth cameras on two stacked arcs ~10 units from the cloud
+    cams = np.zeros((C, 9))
+    ang = 0.8 * (np.arange(C) / max(C - 1, 1) - 0.5)
+    cams[:, 1] = -ang                                   # yaw about y
+    cams[:, 0] = 0.05 * rng.standard_normal(C)          # slight tilt
+    cams[:, 3] = 2.0 * np.sin(ang)
+    cams[:, 4] = 0.4 * rng.standard_normal(C)
+    cams[:, 5] = -10.0 + np.cos(ang)
+    cams[:, 6] = 800.0 * (1.0 + 0.05 * rng.standard_normal(C))
+    cams[:, 7] = -1e-7 * (1.0 + 0.3 * rng.standard_normal(C))
+    cams[:, 8] = 1e-13 * (1.0 + 0.3 * rng.standard_normal(C))
+
+    # log-normal depths; lateral position within a ~30deg cone so every
+    # camera sees every point (bounded |proj|)
+    depth = np.exp(rng.normal(np.log(8.0), depth_sigma, P))
+    depth = np.clip(depth, 1.5, 60.0)
+    ux = rng.uniform(-0.45, 0.45, P)
+    uy = rng.uniform(-0.35, 0.35, P)
+    pts = np.stack([ux * depth, uy * depth, 10.0 - depth], axis=1)
+
+    # weighted track sampling: hub cameras get hub_boost x weight
+    w = np.ones(C)
+    w[rng.random(C) < hub_fraction] = hub_boost
+    k_per_pt = 2 + rng.poisson(max(mean_obs_per_point - 2, 0), P)
+    k_per_pt = np.minimum(k_per_pt, C)
+    kmax = int(k_per_pt.max())
+    gumbel = rng.gumbel(size=(P, C))
+    keys = np.log(w)[None, :] + gumbel
+    sel = np.argsort(-keys, axis=1)[:, :kmax]           # (P, kmax)
+    row_mask = np.arange(kmax)[None, :] < k_per_pt[:, None]
+    pt_idx = np.repeat(np.arange(P), kmax)[row_mask.ravel()]
+    cam_idx = sel.ravel()[row_mask.ravel()]
+
+    from g2o_tpu.types.bal import bal_project
+    import jax.numpy as jnp
+
+    uv = np.asarray(bal_project(jnp.asarray(cams[cam_idx]),
+                                jnp.asarray(pts[pt_idx])))
+    uv = uv + rng.normal(scale=pixel_noise, size=uv.shape)
+    out_mask = rng.random(len(uv)) < outlier_fraction
+    uv[out_mask] = rng.uniform(-500.0, 500.0, (int(out_mask.sum()), 2))
+
+    # perturbed stored estimates (the file's initial values)
+    cams_store = cams.copy()
+    pts_store = pts.copy()
+    if estimate_noise:
+        cams_store[:, :3] += 0.005 * rng.standard_normal((C, 3))
+        cams_store[:, 3:6] += 0.05 * rng.standard_normal((C, 3))
+        pts_store += (0.02 * depth)[:, None] * rng.standard_normal((P, 3))
+
+    lines = [f"{C} {P} {len(uv)}"]
+    lines += [f"{c} {j} {u:.6f} {v:.6f}"
+              for c, j, (u, v) in zip(cam_idx.tolist(), pt_idx.tolist(), uv)]
+    for i in range(C):
+        lines += [f"{v:.16g}" for v in cams_store[i]]
+    for j in range(P):
+        lines += [f"{v:.16g}" for v in pts_store[j]]
+    return "\n".join(lines) + "\n"
+
+
+def stress_bal_cached(cache_dir=None, **kw):
+    """Disk-cached :func:`make_stress_bal` text (see
+    :func:`synthetic_bal_cached` for the caching rationale)."""
+    import gzip
+    import os
+
+    defaults = dict(n_cameras=120, n_points=30_000, mean_obs_per_point=6,
+                    depth_sigma=0.8, hub_fraction=0.1, hub_boost=10.0,
+                    outlier_fraction=0.07, pixel_noise=1.0,
+                    estimate_noise=True, seed=0)
+    defaults.update(kw)
+    key = "-".join(f"{k}{v:g}" if isinstance(v, (int, float)) else f"{k}{v}"
+                   for k, v in sorted(defaults.items()))
+    fname = f"balstress-{key}.txt.gz"
+    repo_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "data", "bal_cache")
+    for d in ([cache_dir] if cache_dir else []) + [repo_dir, "/tmp/bal_cache"]:
+        path = os.path.join(d, fname)
+        if os.path.exists(path):
+            with gzip.open(path, "rt") as fh:
+                return fh.read()
+    text = make_stress_bal(**defaults)
+    for d in ([cache_dir] if cache_dir else []) + [repo_dir, "/tmp/bal_cache"]:
+        try:
+            os.makedirs(d, exist_ok=True)
+            with gzip.open(os.path.join(d, fname), "wt") as fh:
+                fh.write(text)
+            break
+        except OSError:
+            continue
+    return text
+
+
 def make_synthetic_bal(n_cameras=49, n_points=7000, n_obs_per_point=6,
                        pixel_noise=1.0, seed=0):
     """Ladybug-like synthetic BAL problem (no dataset download in this
