@@ -229,6 +229,7 @@ def make_gn_run(problem, solver, *, max_iters: int = 512):
 
     def run(data, estimates, n_iters, aux, sstate):
         chi_hist = jnp.full((max_iters,), jnp.nan, dtype=sdtype)
+        cg_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
         lin0 = p.linearize_fn(data, estimates)
 
         def cond(carry):
@@ -237,10 +238,12 @@ def make_gn_run(problem, solver, *, max_iters: int = 512):
                                    jnp.logical_not(stop))
 
         def body(carry):
-            it, stop, est, chi_hist, sstate, lin = carry
+            it, stop, est, chi_hist, cg_hist, sstate, lin = carry
             if solve_state_fn is not None:
-                dx, sstate, _ = solve_state_fn(
+                dx, sstate, st = solve_state_fn(
                     data, lin, jnp.asarray(0.0, dtype), aux, sstate)
+                cg_hist = cg_hist.at[it].add(
+                    jnp.asarray(st.get("cg_iterations", 0), jnp.int32))
             else:
                 dx = solve_fn(data, lin, jnp.asarray(0.0, dtype), aux)
             new = p.apply_update_fn(data, est, dx)
@@ -253,14 +256,14 @@ def make_gn_run(problem, solver, *, max_iters: int = 512):
             lin2 = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), lin_new, lin)
             chi_hist = chi_hist.at[it].set(lin.chi2_robust)
-            return (it + 1, jnp.logical_not(ok), est2, chi_hist, sstate,
-                    lin2)
+            return (it + 1, jnp.logical_not(ok), est2, chi_hist, cg_hist,
+                    sstate, lin2)
 
         init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), estimates,
-                chi_hist, sstate, lin0)
-        it, stop, est, chi_hist, sstate, lin_f = jax.lax.while_loop(
+                chi_hist, cg_hist, sstate, lin0)
+        it, stop, est, chi_hist, cg_hist, sstate, lin_f = jax.lax.while_loop(
             cond, body, init)
-        return est, it, chi_hist, lin_f.chi2_robust
+        return est, it, chi_hist, cg_hist, lin_f.chi2_robust
 
     return jax.jit(run, donate_argnums=(1,))
 
@@ -280,7 +283,7 @@ def optimize_fused_gn(problem, solver, max_iterations: int, *,
     if sstate is None or not hasattr(solver, "_solve_state_fn"):
         sstate = jnp.zeros((), problem.dtype)   # placeholder (unused)
     t0 = time.perf_counter()
-    est, iters, chi_hist, chi_f = run(
+    est, iters, chi_hist, cg_hist, chi_f = run(
         problem.data, problem.estimates,
         jnp.asarray(max_iterations, jnp.int32), solver.aux, sstate)
     jax.block_until_ready(est)
@@ -291,6 +294,7 @@ def optimize_fused_gn(problem, solver, max_iterations: int, *,
         "iterations": n,
         "wall_s": wall,
         "chi2_per_iteration": np.asarray(chi_hist)[:n].tolist(),
+        "cg_per_iteration": np.asarray(cg_hist)[:n].tolist(),
         "chi2_final": float(chi_f),
     }
 
