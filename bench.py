@@ -92,7 +92,7 @@ def bench_sphere(dev):
     # bf16 assembly: sphere stops far from the noise floor (chi2 ~29.6k,
     # band target crossed at default precision in every round) and the
     # exact-f32 assembly einsums cost ~2 ms/iter here
-    p = g.compile(assembly_precision="default")
+    p = g.compile(assembly_precision="default", dtype=jnp.float32)
     # chunked block-tridiagonal preconditioner + eta-forcing tol (sweep
     # notes: ROADMAP.md round-1 item 1) — best measured time-to-target
     solver = PCGSolver(max_iter=50, tol=1e-1, precond="chunk", chunk_size=16)
@@ -113,6 +113,8 @@ def bench_sphere(dev):
 
 
 def bench_manhattan(dev):
+    import jax.numpy as jnp
+
     import g2o_tpu.types  # noqa: F401
     from g2o_tpu.core.lm_fused import optimize_fused_gn
     from g2o_tpu.core.solvers import PCGSolver
@@ -120,7 +122,7 @@ def bench_manhattan(dev):
 
     t0 = time.perf_counter()
     g = create_manhattan(n_poses=3500, seed=0)
-    p = g.compile()
+    p = g.compile(dtype=jnp.float32)
     build_s = time.perf_counter() - t0
     # PHASE 1 — fast descent: two-level Schwarz preconditioner (chunk
     # solves + coarse chunk-graph correction propagating loop closures);
@@ -152,6 +154,35 @@ def bench_manhattan(dev):
     polish_wall = time.perf_counter() - t1
     spi2 = polish_wall / max(res2["iterations"], 1)
 
+    # PHASE 3 — the gn_var fixed point (VERDICT r3 item 1): the reference's
+    # BEST manhattan config (CSparse f64 GN) converges to chi2 9116.756.
+    # The Jacobi-scaled Hessian has kappa ~2e9, beyond ANY f32 solve
+    # (direct or CG both floor ~9135-9155), so this phase runs f64 GN with
+    # deep chunk2-preconditioned CG — f64 VECTORS + broadcast lane-work
+    # matvecs (f64 dots are emulated 20-80x slower on TPU; elementwise is
+    # ~free, scripts/probe_f64_tpu.py) and an f32 preconditioner
+    # (rate-only).  Reference: optimization_algorithm_gauss_newton.cpp:50,
+    # baseline_measured.json chi2_converged.
+    est_pl = {t: np.array(v) for t, v in p.estimates.items()}
+    p64 = g.compile(dtype=jnp.float64)
+    exact = PCGSolver(max_iter=4096, tol=1e-6, precond="chunk2",
+                      chunk_size=16, carry_factor=0.0,
+                      precond_dtype=jnp.float32)
+    p64.set_estimates({t: jnp.asarray(v, dtype=jnp.float64)
+                       for t, v in est_pl.items()})
+    optimize_fused_gn(p64, exact, 1)              # warm-up/compile
+    p64.set_estimates({t: jnp.asarray(v, dtype=jnp.float64)
+                       for t, v in est_pl.items()})
+    t2 = time.perf_counter()
+    res3 = optimize_fused_gn(p64, exact, 4)
+    exact_wall = time.perf_counter() - t2
+    spi3 = exact_wall / max(res3["iterations"], 1)
+    chis3 = res3["chi2_per_iteration"] + [res3["chi2_final"]]
+    gn_target = _ref().get("manhattan3500", {}).get("chi2_converged",
+                                                    9116.757)
+    cross3 = next((i for i, c in enumerate(chis3)
+                   if c <= gn_target + 0.25), None)
+
     ref = _ref().get("manhattan3500", {})
     vs = vs_tt = 0.0
     tt = None
@@ -171,16 +202,32 @@ def bench_manhattan(dev):
         cross = next((i for i, c in enumerate(chis2) if c <= target), None)
         if cross is not None:
             tt_exact = round(res["wall_s"] + cross * spi2, 3)
-    out["chi2_final"] = res2["chi2_final"]
+    # cumulative wall to the gn_var fixed point: fast + f32 polish + the
+    # crossing prefix of the f64 exact phase
+    tt_gn = None
+    if cross3 is not None:
+        tt_gn = round(res["wall_s"] + polish_wall + cross3 * spi3, 3)
+    ref_gn_total = ref.get("sec_per_gn_iter", 0.0112) * \
+        (ref.get("converged_at_iteration", 5) + 1)
+    out["chi2_final"] = res3["chi2_final"]
     out.update(dataset="manhattan3500 (create_manhattan seed=0)",
                build_s=round(build_s, 2),
                solver="PCG chunk2(16) tol=1e-2 cap=32 (fused LM) "
-                      "+ GN deep-CG polish",
+                      "+ GN deep-CG polish + f64 GN exact",
                polish={"algorithm": "GN, chunk2 cap=128 tol=1e-6 "
                                     "carry=0.01 matvec=HIGHEST",
                        "iterations": res2["iterations"],
                        "sec_per_iter": round(spi2, 5),
                        "chi2_final": res2["chi2_final"]},
+               exact={"algorithm": "f64 GN, chunk2(16) cap=4096 tol=1e-6 "
+                                   "carry=0 precond_dtype=f32",
+                      "iterations": res3["iterations"],
+                      "sec_per_iter": round(spi3, 4),
+                      "cg_per_iteration": res3.get("cg_per_iteration"),
+                      "chi2_final": res3["chi2_final"],
+                      "reference_gn_var_chi2": gn_target,
+                      "time_to_gn_var_chi2_s": tt_gn,
+                      "reference_gn_var_time_s": round(ref_gn_total, 4)},
                vs_baseline=round(vs, 4),
                time_to_reference_chi2_s=tt,
                time_to_reference_chi2_exact_s=tt_exact,
@@ -192,6 +239,8 @@ def bench_manhattan(dev):
 
 def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
                label):
+    import jax.numpy as jnp
+
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
     from g2o_tpu.io.bal import load_bal_problem, synthetic_bal_cached
 
@@ -202,9 +251,13 @@ def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
                                 n_obs_per_point=n_obs_per_point,
                                 pixel_noise=1.0, seed=0)
     # loaded EXACTLY as the reference's bal_example loads it (no robust
-    # kernel, unperturbed estimates): chi2 and per-iteration time compare
-    # 1:1 with baseline_measured.json
-    p = load_bal_problem(io.StringIO(text), huber=0.0, bucket_landmarks=True)
+    # kernel, unperturbed estimates, and NO fixed camera — bal_example
+    # leaves the full gauge to lambda damping; fixing camera 0 constrains
+    # the problem to a different optimum, measured +4 chi2 units at the
+    # ladybug floor): chi2 and per-iteration time compare 1:1 with
+    # baseline_measured.json
+    p = load_bal_problem(io.StringIO(text), huber=0.0, bucket_landmarks=True,
+                         fix_first_camera=False, dtype=jnp.float32)
     build_s = time.perf_counter() - t0
     solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi")
     res, sec_per_iter, out = _run(p, solver, n_iters, dev)
@@ -232,12 +285,16 @@ def bench_stress(dev):
     their claims (CG counts grow 4->70 over 10 iters vs 3-9 on the easy
     Venice scene).  Reference: Huber-patched ``bal_example`` PCG on the
     identical file (``baseline_measured.json`` "bal_stress")."""
+    import jax.numpy as jnp
+
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
     from g2o_tpu.io.bal import load_bal_problem, stress_bal_cached
 
     t0 = time.perf_counter()
     text = stress_bal_cached()
-    p = load_bal_problem(io.StringIO(text), huber=1.0, bucket_landmarks=True)
+    # free gauge, like the reference run (see _bench_bal note)
+    p = load_bal_problem(io.StringIO(text), huber=1.0, bucket_landmarks=True,
+                         fix_first_camera=False, dtype=jnp.float32)
     build_s = time.perf_counter() - t0
     # schur-jacobi preconditioner: ~10% fewer CG iterations than
     # Hpp-jacobi on this conditioning (measured round 4)
@@ -273,6 +330,10 @@ def main():
 
     import jax
 
+    # x64 is needed by the manhattan_exact f64 polish phase (the gn_var
+    # fixed point needs an f64-quality solve); every other config passes
+    # dtype=float32 explicitly so nothing else widens
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     dev = jax.devices()[0]

@@ -740,12 +740,34 @@ class Problem:
         the dense ``onehot(vidx) @ v`` / ``onehot(vidx)^T @ contrib``
         formulation is several times faster per CG iteration."""
         pre = {}
+        f64 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float64)
         for name in self.edge_types:
             Js = self.edge_jacs(lin, name)
             Jcat = jnp.concatenate(Js, axis=2)                 # (E, r, K)
-            WJ = jnp.einsum("ers,esk->erk", self.edge_weights(lin, name),
-                            Jcat, precision=precision)
+            if f64:
+                # f64 dots are EMULATED on TPU (~20-80x f32, measured
+                # scripts/probe_f64_tpu.py) while f64 elementwise is ~free:
+                # write the tiny batched contractions as broadcast-
+                # multiply-reduce lane work
+                WJ = (self.edge_weights(lin, name)[:, :, :, None]
+                      * Jcat[:, None, :, :]).sum(axis=2)
+            else:
+                WJ = jnp.einsum("ers,esk->erk",
+                                self.edge_weights(lin, name),
+                                Jcat, precision=precision)
             pre[name] = (Jcat, WJ)
+
+        def _mv(A, v):
+            # "erk,ek->er" — bcast form when f64 (see note above)
+            if f64:
+                return (A * v[:, None, :]).sum(axis=2)
+            return jnp.einsum("erk,ek->er", A, v, precision=precision)
+
+        def _mtv(A, z):
+            # "erk,er->ek"
+            if f64:
+                return (A * z[:, :, None]).sum(axis=1)
+            return jnp.einsum("erk,er->ek", A, z, precision=precision)
 
         hi = jax.lax.Precision.HIGHEST
 
@@ -780,10 +802,8 @@ class Problem:
                     t, d, k = tnames[0], dims[0], len(dims)
                     rows = gather_rows(vb, t, vidx.reshape(E * k)).reshape(
                         E, k * d)
-                    z = jnp.einsum("erk,ek->er", WJ, rows,
-                                    precision=precision)
-                    contrib = jnp.einsum("erk,er->ek", Jcat, z,
-                                          precision=precision)
+                    z = _mv(WJ, rows)
+                    contrib = _mtv(Jcat, z)
                     out[t] = scatter_rows(
                         out[t], t, vidx.reshape(E * k),
                         contrib.reshape(E * k, d))
@@ -791,10 +811,8 @@ class Problem:
                     rows = jnp.concatenate(
                         [gather_rows(vb, t, vidx[:, s])
                          for s, t in enumerate(tnames)], axis=1)
-                    z = jnp.einsum("erk,ek->er", WJ, rows,
-                                    precision=precision)
-                    contrib = jnp.einsum("erk,er->ek", Jcat, z,
-                                          precision=precision)
+                    z = _mv(WJ, rows)
+                    contrib = _mtv(Jcat, z)
                     off = 0
                     for s, (t, d) in enumerate(zip(tnames, dims)):
                         out[t] = scatter_rows(out[t], t, vidx[:, s],

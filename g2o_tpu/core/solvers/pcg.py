@@ -56,9 +56,20 @@ class PCGSolver:
                  absolute_tolerance: bool = True,
                  carry_factor: float = 0.5,
                  matvec_precision: str = "default",
-                 precond_mode: str = "per_solve"):
+                 precond_mode: str = "per_solve",
+                 precond_dtype=None):
         if precond_mode not in ("per_solve", "frozen"):
             raise ValueError(f"unknown precond_mode {precond_mode!r}")
+        # preconditioner dtype override: an f64 CG (needed when the solve
+        # must resolve kappa ~1e9 small modes, e.g. the manhattan gn_var
+        # fixed point) keeps its VECTORS and matvec in f64 — but f64
+        # factorizations/matmuls are emulated on TPU (20-80x f32, measured
+        # scripts/probe_f64_tpu.py).  The preconditioner only shifts the
+        # convergence RATE, so both its BUILD (chunk Cholesky + coarse
+        # inverse) and APPLY run at precond_dtype (f32) with boundary
+        # casts: application rounding is a ~1e-7 relative perturbation of
+        # a fixed SPD operator.
+        self.precond_dtype = precond_dtype
         self.max_iter = int(max_iter)
         self.tol = float(tol)
         self.abs_tol = float(abs_tol)
@@ -141,7 +152,8 @@ class PCGSolver:
         (:meth:`refresh_chunk_maps`; the capacity-padded incremental
         arrays keep all shapes constant)."""
         base, c, nc = cfg["base"], cfg["c"], cfg["nc"]
-        dtype = problem.dtype
+        dtype = (jnp.dtype(self.precond_dtype) if self.precond_dtype
+                 else problem.dtype)
         maps = {}
         for name in cfg["binary"]:
             et = problem.edge_types[name]
@@ -222,21 +234,27 @@ class PCGSolver:
         carry_factor = self.carry_factor
         chunk_cfg = self._setup_chunk_precond(problem)
         dtype = problem.dtype
+        # all preconditioner build+apply work runs at pdtype (see __init__)
+        pdtype = (jnp.dtype(self.precond_dtype) if self.precond_dtype
+                  else dtype)
         p = problem
 
         def apply_precond_jacobi(data, minv, rb):
             # pure batched einsum per type — no gather/scatter
-            return {t: jnp.einsum("nij,nj->ni", minv[t], rb[t])
+            return {t: jnp.einsum("nij,nj->ni", minv[t],
+                                  rb[t].astype(pdtype)).astype(dtype)
                     for t in p.vertex_types}
 
         def build_precond_jacobi(data, lin, lam):
+            lamp = lam.astype(pdtype) if hasattr(lam, "astype") \
+                else jnp.asarray(lam, pdtype)
             minv = {}
             for t, vt in p.vertex_types.items():
                 d = vt.tangent_dim
-                eye = jnp.eye(d, dtype=dtype)
-                blocks = lin.diag[t] + lam * eye
+                eye = jnp.eye(d, dtype=pdtype)
+                blocks = lin.diag[t].astype(pdtype) + lamp * eye
                 # fixed vertices (zero rows in J) get a unit block -> dx = 0
-                fx = data.fixed[t].astype(dtype)[:, None, None]
+                fx = data.fixed[t].astype(pdtype)[:, None, None]
                 blocks = blocks * (1.0 - fx) + eye * fx
                 minv[t] = inv_small(blocks)
             return minv
@@ -258,33 +276,42 @@ class PCGSolver:
                     return M
                 return jnp.pad(M, ((0, 0), (0, d - a), (0, d - b2)))
 
-            eye_d = jnp.eye(d, dtype=dtype)
+            eye_d = jnp.eye(d, dtype=pdtype)
+
+            def _jw(lin, name):
+                """Edge Jacobians/weights cast to the precond dtype."""
+                Js = [J.astype(pdtype) for J in p.edge_jacs(lin, name)]
+                W = p.edge_weights(lin, name).astype(pdtype)
+                return Js, W
 
             def stacked_diag(data, lin, lam):
                 """Global (n, d, d) padded diagonal with damping, unit
                 padding slots and identity on fixed vertices."""
-                D = jnp.zeros((n, d, d), dtype=dtype)
+                lamp = lam.astype(pdtype) if hasattr(lam, "astype") \
+                    else jnp.asarray(lam, pdtype)
+                D = jnp.zeros((n, d, d), dtype=pdtype)
                 for t in tnames:
                     dt = dims[t]
-                    blk = lin.diag[t] + lam * jnp.eye(dt, dtype=dtype)
-                    fx = data.fixed[t].astype(dtype)[:, None, None]
-                    blk = blk * (1.0 - fx) + jnp.eye(dt, dtype=dtype) * fx
+                    blk = lin.diag[t].astype(pdtype) \
+                        + lamp * jnp.eye(dt, dtype=pdtype)
+                    fx = data.fixed[t].astype(pdtype)[:, None, None]
+                    blk = blk * (1.0 - fx) + jnp.eye(dt, dtype=pdtype) * fx
                     blk = _pad_block(blk)
                     if dt < d:
                         pad_eye = jnp.diag(jnp.concatenate(
-                            [jnp.zeros((dt,), dtype), jnp.ones((d - dt,),
-                                                               dtype)]))
+                            [jnp.zeros((dt,), pdtype), jnp.ones((d - dt,),
+                                                                pdtype)]))
                         blk = blk + pad_eye[None]
                     D = D.at[tbase[t]:tbase[t] + counts[t]].set(blk)
                 return D
 
             def stacked_vec(data, rb, mask_fixed=False):
                 """{type: (N_t, d_t)} -> global (n, d) padded."""
-                v = jnp.zeros((n, d), dtype=dtype)
+                v = jnp.zeros((n, d), dtype=pdtype)
                 for t in tnames:
-                    r = rb[t]
+                    r = rb[t].astype(pdtype)
                     if mask_fixed:
-                        r = r * (1.0 - data.fixed[t].astype(dtype)[:, None])
+                        r = r * (1.0 - data.fixed[t].astype(pdtype)[:, None])
                     if dims[t] < d:
                         r = jnp.pad(r, ((0, 0), (0, d - dims[t])))
                     v = v.at[tbase[t]:tbase[t] + counts[t]].set(r)
@@ -308,7 +335,7 @@ class PCGSolver:
                     D = jnp.concatenate([D, pad], axis=0)
                 # chunk diagonals: pure broadcast (a (n_pad,)-row scatter
                 # would serialize per row on TPU)
-                eye_c = jnp.eye(c, dtype=dtype)
+                eye_c = jnp.eye(c, dtype=pdtype)
                 M = (D.reshape(nc, c, 1, d, d)
                      * eye_c[None, :, :, None, None])
                 if two_level:
@@ -318,8 +345,7 @@ class PCGSolver:
                     for name in binary:
                         m = cmaps[name]
                         ci, l0, l1 = m["ci"], m["l0"], m["l1"]
-                        Js = p.edge_jacs(lin, name)
-                        W = p.edge_weights(lin, name)
+                        Js, W = _jw(lin, name)
                         # HIGHEST: these blocks feed the chunk Cholesky —
                         # bf16 MXU off-diagonal error (~1e-3 rel) can turn
                         # near-singular chunk blocks indefinite → NaN
@@ -336,22 +362,21 @@ class PCGSolver:
                         vals = jnp.concatenate(
                             [Hab, jnp.swapaxes(Hab, -1, -2)]
                         ).reshape(2 * Ei, d * d)
-                        ohq = jax.nn.one_hot(colid, c, dtype=dtype)
+                        ohq = jax.nn.one_hot(colid, c, dtype=pdtype)
                         spread = (ohq[:, :, None]
                                   * vals[:, None, :]).reshape(2 * Ei,
                                                               c * d * d)
-                        ohp = jax.nn.one_hot(rowid, nc * c, dtype=dtype)
+                        ohp = jax.nn.one_hot(rowid, nc * c, dtype=pdtype)
                         Mi = jax.lax.dot_general(
                             ohp, spread, (((0,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=dtype)
+                            preferred_element_type=pdtype)
                         M = M + Mi.reshape(nc, c, c, d, d)
                 else:
                     # chain off-diagonals (both fixed-masked ends)
                     for name in binary:
                         m = cmaps[name]
-                        Js = p.edge_jacs(lin, name)
-                        W = p.edge_weights(lin, name)
+                        Js, W = _jw(lin, name)
                         Hab = _pad_block(jnp.einsum(
                             "erd,ers,esf->edf", Js[0], W, Js[1],
                             precision=jax.lax.Precision.HIGHEST))
@@ -369,7 +394,7 @@ class PCGSolver:
                 # single batched einsum (a cho_solve per application costs
                 # ~4x a CG iteration; the explicit inverse amortizes it)
                 Lc = jnp.linalg.cholesky(Md)
-                eye_c = jnp.broadcast_to(jnp.eye(cd, dtype=dtype),
+                eye_c = jnp.broadcast_to(jnp.eye(cd, dtype=pdtype),
                                          (nc, cd, cd))
                 return jax.scipy.linalg.cho_solve((Lc, True), eye_c)
 
@@ -380,38 +405,40 @@ class PCGSolver:
                 eye = eye_d
                 # damped diagonal with fixed vertices ZEROED (restriction
                 # ignores them) and no padding-slot identity yet
-                Dm = jnp.zeros((n, d, d), dtype=dtype)
+                lamp = lam.astype(pdtype) if hasattr(lam, "astype") \
+                    else jnp.asarray(lam, pdtype)
+                Dm = jnp.zeros((n, d, d), dtype=pdtype)
                 for t in tnames:
                     dt = dims[t]
-                    blk = lin.diag[t] + lam * jnp.eye(dt, dtype=dtype)
-                    fxt = data.fixed[t].astype(dtype)[:, None, None]
+                    blk = lin.diag[t].astype(pdtype) \
+                        + lamp * jnp.eye(dt, dtype=pdtype)
+                    fxt = data.fixed[t].astype(pdtype)[:, None, None]
                     blk = _pad_block(blk * (1.0 - fxt))
                     Dm = Dm.at[tbase[t]:tbase[t] + counts[t]].set(blk)
                 if n_pad > n:
                     Dm = jnp.concatenate(
-                        [Dm, jnp.zeros((n_pad - n, d, d), dtype=dtype)])
+                        [Dm, jnp.zeros((n_pad - n, d, d), dtype=pdtype)])
                 Dc = Dm.reshape(nc, c, d, d).sum(axis=1)   # chunk aggregate
                 # every edge block onto its (chunk_a, chunk_b) entry via a
                 # TWO-SIDED one-hot MXU product (a (nc²)-segment scatter
                 # would serialize per row): S[a,b] = Σ_e 1[ca=a]·H_e·1[cb=b]
-                S = jnp.zeros((nc, d * d, nc), dtype=dtype)
+                S = jnp.zeros((nc, d * d, nc), dtype=pdtype)
                 for name in binary:
                     seg = cmaps[name]["seg"]
-                    Js = p.edge_jacs(lin, name)
-                    W = p.edge_weights(lin, name)
+                    Js, W = _jw(lin, name)
                     Hab = _pad_block(jnp.einsum(
                         "erd,ers,esf->edf", Js[0], W, Js[1],
                         precision=jax.lax.Precision.HIGHEST))
                     E = Hab.shape[0]
-                    oha = jax.nn.one_hot(seg // nc, nc, dtype=dtype)
-                    ohb = jax.nn.one_hot(seg % nc, nc, dtype=dtype)
+                    oha = jax.nn.one_hot(seg // nc, nc, dtype=pdtype)
+                    ohb = jax.nn.one_hot(seg % nc, nc, dtype=pdtype)
                     spread = (oha[:, :, None]
                               * Hab.reshape(E, 1, d * d)).reshape(
                                   E, nc * d * d)
                     Si = jax.lax.dot_general(
                         spread, ohb, (((0,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=dtype)
+                        preferred_element_type=pdtype)
                     S = S + Si.reshape(nc, d * d, nc)
                 S = jnp.moveaxis(S.reshape(nc, d, d, nc), 3, 1)
                 Hc = S + jnp.swapaxes(S, 0, 1).transpose(0, 1, 3, 2)
@@ -439,7 +466,7 @@ class PCGSolver:
                 from g2o_tpu.core.solvers.supernodal import (
                     _chol_batched, _solve_lower_batched)
                 L = _chol_batched(Hd[None], panel)
-                eye_p = jnp.eye(ncd_pad, dtype=dtype)[None]
+                eye_p = jnp.eye(ncd_pad, dtype=pdtype)[None]
                 Linv = _solve_lower_batched(L, eye_p, panel)[0]
                 return jnp.einsum("ki,kj->ij", Linv, Linv,
                                   precision=jax.lax.Precision.HIGHEST)
@@ -460,7 +487,7 @@ class PCGSolver:
                 rv = stacked_vec(data, rb)                   # (n, d) padded
                 if n_pad > n:
                     rv = jnp.concatenate(
-                        [rv, jnp.zeros((n_pad - n, d), dtype=dtype)], axis=0)
+                        [rv, jnp.zeros((n_pad - n, d), dtype=pdtype)], axis=0)
                 rc = rv.reshape(nc, cd)
                 y = jnp.einsum("cij,cj->ci", Minv, rc)
                 z = y.reshape(n_pad, d)[:n]
@@ -468,7 +495,7 @@ class PCGSolver:
                     rm = stacked_vec(data, rb, mask_fixed=True)
                     if n_pad > n:
                         rm = jnp.concatenate(
-                            [rm, jnp.zeros((n_pad - n, d), dtype=dtype)],
+                            [rm, jnp.zeros((n_pad - n, d), dtype=pdtype)],
                             axis=0)
                     rcoarse = rm.reshape(nc, c, d).sum(axis=1).reshape(ncd)
                     if ncd_pad > ncd:
@@ -477,11 +504,12 @@ class PCGSolver:
                                     precision=jax.lax.Precision.HIGHEST)
                     zc = yc[:ncd].reshape(nc, d)
                     gfm = stacked_vec(
-                        data, {t: 1.0 - data.fixed[t].astype(dtype)[:, None]
-                               * jnp.ones((1, dims[t]), dtype)
+                        data, {t: 1.0 - data.fixed[t].astype(pdtype)[:, None]
+                               * jnp.ones((1, dims[t]), pdtype)
                                for t in tnames})
                     z = z + gfm * jnp.repeat(zc, c, axis=0)[:n]
-                return unstacked_vec(z)
+                return {t: v.astype(dtype)
+                        for t, v in unstacked_vec(z).items()}
 
             self._dbg_parts = {
                 "chunk_blocks": build_chunk_blocks,
