@@ -150,6 +150,11 @@ def main(argv=None):
     ap.add_argument("-htmlPlot", default=None,
                     help="render the optimized graph to a standalone "
                          "interactive HTML file (pan/zoom)")
+    ap.add_argument("-replayHtml", default=None,
+                    help="record per-iteration estimates and write a "
+                         "standalone HTML replay (slider + play through "
+                         "the optimization) — the no-GUI analogue of "
+                         "viewer stepping; forces the host-loop path")
     args = ap.parse_args(argv)
 
     _build_solver_table()
@@ -265,6 +270,11 @@ def main(argv=None):
     n_iter = abs(args.iterations)
     use_gain = args.iterations < 0
 
+    if args.replayHtml and args.fused:
+        print("# -replayHtml needs per-iteration estimates: using the "
+              "host-loop path", file=sys.stderr)
+        args.fused = False
+
     if args.fused and algo_name == "lm":
         from g2o_tpu.core.lm_fused import optimize_fused
 
@@ -297,6 +307,16 @@ def main(argv=None):
                               verbose=args.verbose)
         if use_gain:
             opt.terminate_gain_threshold = args.gainThreshold
+        replay_frames, replay_chi2 = [], []
+        if args.replayHtml:
+            replay_frames.append(p.estimates_by_vid())
+            replay_chi2.append(float(opt.chi2()))
+
+            def _record(o, it):
+                replay_frames.append(o.problem.estimates_by_vid())
+                replay_chi2.append(float(o.current_chi2))
+
+            opt.post_iteration_actions.append(_record)
         t0 = time.perf_counter()
         done = opt.optimize(n_iter)
         wall = time.perf_counter() - t0
@@ -344,6 +364,13 @@ def main(argv=None):
                             estimates_by_vid=p.estimates_by_vid(),
                             title=str(args.input))
             print(f"wrote {args.htmlPlot}", file=sys.stderr)
+    if args.replayHtml:
+        from g2o_tpu.io import viz
+
+        viz.render_replay_html(g, args.replayHtml, replay_frames,
+                               replay_chi2, title=str(args.input))
+        print(f"wrote {args.replayHtml} ({len(replay_frames)} frames)",
+              file=sys.stderr)
     return 0
 
 

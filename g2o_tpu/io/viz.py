@@ -194,6 +194,117 @@ fit();
 """
 
 
+_REPLAY_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+ body {{ margin: 0; font: 13px sans-serif; }}
+ #hud {{ position: fixed; top: 8px; left: 8px; background: #fffc;
+        padding: 6px 10px; border-radius: 4px; }}
+ #hud input[type=range] {{ width: 320px; vertical-align: middle; }}
+ canvas {{ display: block; }}
+</style></head><body>
+<div id="hud"><b>{title}</b> — {nv} vertices, {ne} edges<br>
+ <button id="play">&#9654;</button>
+ <input type="range" id="frame" min="0" max="{nf_1}" value="0" step="1">
+ iteration <span id="it">0</span>/{nf_1} &nbsp;
+ chi2 <span id="chi">-</span><br>
+ drag to pan, wheel to zoom, double-click to reset</div>
+<canvas id="c"></canvas>
+<script>
+const DATA = {data};
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+const slider = document.getElementById('frame');
+const itEl = document.getElementById('it'), chiEl = document.getElementById('chi');
+let tx=0, ty=0, scale=1, drag=null, f=0, timer=null;
+function fit() {{
+  cv.width = innerWidth; cv.height = innerHeight;
+  let x0=1e30,x1=-1e30,y0=1e30,y1=-1e30;
+  for (const P of DATA.frames) for (const p of P) {{
+    if (p[0]<x0) x0=p[0]; if (p[0]>x1) x1=p[0];
+    if (p[1]<y0) y0=p[1]; if (p[1]>y1) y1=p[1];
+  }}
+  const m = 40;
+  scale = Math.min((cv.width-2*m)/Math.max(x1-x0,1e-9),
+                   (cv.height-2*m)/Math.max(y1-y0,1e-9));
+  tx = m - x0*scale + (cv.width-2*m-(x1-x0)*scale)/2;
+  ty = cv.height - m + y0*scale - (cv.height-2*m-(y1-y0)*scale)/2;
+  draw();
+}}
+function draw() {{
+  const P = DATA.frames[f];
+  ctx.clearRect(0,0,cv.width,cv.height);
+  ctx.strokeStyle = '#3b6ea5'; ctx.lineWidth = 0.7;
+  ctx.beginPath();
+  for (const [a,b] of DATA.segs) {{
+    ctx.moveTo(P[a][0]*scale+tx, -P[a][1]*scale+ty);
+    ctx.lineTo(P[b][0]*scale+tx, -P[b][1]*scale+ty);
+  }}
+  ctx.stroke();
+  ctx.fillStyle = '#222';
+  for (let i=0;i<P.length;i++) if (!DATA.fixed[i])
+    ctx.fillRect(P[i][0]*scale+tx-1, -P[i][1]*scale+ty-1, 2, 2);
+  ctx.fillStyle = '#d62728';
+  for (let i=0;i<P.length;i++) if (DATA.fixed[i])
+    ctx.fillRect(P[i][0]*scale+tx-3, -P[i][1]*scale+ty-3, 6, 6);
+  itEl.textContent = f;
+  chiEl.textContent = DATA.chi2s.length ? DATA.chi2s[f].toPrecision(8) : '-';
+}}
+slider.oninput = () => {{ f = +slider.value; draw(); }};
+document.getElementById('play').onclick = function() {{
+  if (timer) {{ clearInterval(timer); timer = null;
+                this.innerHTML = '&#9654;'; return; }}
+  this.innerHTML = '&#10074;&#10074;';
+  timer = setInterval(() => {{
+    f = (f + 1) % DATA.frames.length; slider.value = f; draw();
+    if (f === DATA.frames.length - 1) {{ clearInterval(timer);
+      timer = null; document.getElementById('play').innerHTML='&#9654;'; }}
+  }}, 250);
+}};
+cv.onmousedown = e => drag = [e.clientX - tx, e.clientY - ty];
+cv.onmousemove = e => {{ if (drag) {{ tx = e.clientX - drag[0];
+  ty = e.clientY - drag[1]; draw(); }} }};
+cv.onmouseup = () => drag = null;
+cv.ondblclick = fit;
+cv.onwheel = e => {{ e.preventDefault();
+  const fz = Math.exp(-e.deltaY*0.001);
+  tx = e.clientX + (tx-e.clientX)*fz; ty = e.clientY + (ty-e.clientY)*fz;
+  scale *= fz; draw(); }};
+addEventListener('resize', fit);
+fit();
+</script></body></html>
+"""
+
+
+def render_replay_html(graph, path, frames, chi2_per_frame=None, *,
+                       title="g2o_tpu optimization replay"):
+    """Standalone HTML REPLAY of an optimization: ``frames`` is a list of
+    ``estimates_by_vid`` snapshots (one per iteration, e.g. recorded by a
+    post-iteration action); the page gets a slider + play button stepping
+    the graph through them — the no-GUI analogue of the reference
+    viewer's step-and-redraw loop (``g2o/apps/g2o_viewer``,
+    ``g2o_qglviewer.cpp`` draw on ``optimize()`` steps)."""
+    if not frames:
+        raise ValueError("render_replay_html: no frames recorded")
+    P0, segs, _, fixed, vids = _collect(graph, frames[0])
+    Ps = [np.round(P0[:, :2], 5).tolist()]
+    for est in frames[1:]:
+        P, _, _, _, _ = _collect(graph, est)
+        Ps.append(np.round(P[:, :2], 5).tolist())
+    data = {
+        "frames": Ps,
+        "segs": segs.tolist(),
+        "fixed": fixed.astype(int).tolist(),
+        "chi2s": ([round(float(c), 4) for c in chi2_per_frame]
+                  if chi2_per_frame is not None else []),
+    }
+    html = _REPLAY_TEMPLATE.format(
+        title=title, nv=len(P0), ne=len(segs), nf_1=len(Ps) - 1,
+        data=json.dumps(data, separators=(",", ":")))
+    with open(path, "w") as fh:
+        fh.write(html)
+    return path
+
+
 def render_html(graph, path, estimates_by_vid=None, *,
                 chi2_by_edge=None, title="g2o_tpu graph"):
     """Standalone interactive HTML rendering (pan/zoom canvas, fixed
