@@ -1148,48 +1148,60 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     # cold process); jax.device_put on the full pytree batches them
     data, estimates = jax.device_put((data, estimates))
     # device-side EXPANSION of the elided uniform constants + free-mask
-    # derivation: a handful of one-time device ops replacing ~30 MB of
-    # tunnel transfer at Venice scale
+    # derivation + dims-major bucketed constants, replacing ~30 MB of
+    # tunnel transfer at Venice scale.  ONE jitted call: as separate
+    # eager ops these paid remote-compile latency per op per process
+    # (sub-1 s compiles are not persisted in the compilation cache —
+    # measured ~7 s of build regression at manhattan scale).
     np_dtype = _np_dtype(dtype)
-    new_edges = {}
+    state_np = _np_dtype(state_dtype)
+
+    def _expand_fn(dat):
+        new_edges = {}
+        plan_extra = {}
+        for name, b in dat.edges.items():
+            sp = expand_specs[name]
+            n, et = sp["n"], edge_types[name]
+            if sp["info_u"]:
+                b = b._replace(info=jnp.tile(b.info, (n, 1, 1)))
+            if sp["kern_u"]:
+                b = b._replace(kernel=jnp.full((n,), sp["kern0"],
+                                               jnp.int32))
+            if sp["delta_u"]:
+                b = b._replace(delta=jnp.full((n,), sp["delta0"],
+                                              state_np))
+            if sp["act_u"]:
+                b = b._replace(
+                    active=(jnp.arange(n, dtype=jnp.int32) < sp["n_used"]
+                            if sp["n_used"] < n
+                            else jnp.ones((n,), bool)))
+            # per-edge fixed-vertex Jacobian multiplier (1.0 free / 0.0
+            # fixed).  The per-LINEARIZE device gather was the expensive
+            # case (7.2 ms/slot at Venice scale); once at build it is
+            # noise.  Incremental mode refreshes rows via ``add_edge``.
+            cols = []
+            for s, svt in enumerate(et.vertex_types):
+                if fixed_np[svt.name].any():
+                    cols.append(1.0 - dat.fixed[svt.name][b.vidx[:, s]]
+                                .astype(np_dtype))
+                else:
+                    cols.append(jnp.ones((n,), np_dtype))
+            fm = jnp.stack(cols, axis=1)
+            extra = {"free_mask": fm}
+            if name in bucket_specs:
+                # dims-major constants (host duplication would double
+                # the transfer)
+                extra["meas_t"] = b.meas.T
+                extra["info_t"] = b.info.transpose(1, 2, 0)
+                extra["free_mask_t"] = fm.T
+            new_edges[name] = b
+            plan_extra[name] = extra
+        return new_edges, plan_extra
+
+    new_edges, plan_extra = jax.jit(_expand_fn)(data)
     new_plans = dict(data.plans)
-    for name, b in data.edges.items():
-        sp = expand_specs[name]
-        n, et = sp["n"], edge_types[name]
-        if sp["info_u"]:
-            b = b._replace(info=jnp.tile(b.info, (n, 1, 1)))
-        if sp["kern_u"]:
-            b = b._replace(kernel=jnp.full((n,), sp["kern0"], jnp.int32))
-        if sp["delta_u"]:
-            b = b._replace(delta=jnp.full((n,), sp["delta0"],
-                                          _np_dtype(state_dtype)))
-        if sp["act_u"]:
-            b = b._replace(active=(jnp.arange(n) < sp["n_used"]
-                                   if sp["n_used"] < n
-                                   else jnp.ones((n,), bool)))
-        # per-edge fixed-vertex Jacobian multiplier (1.0 free / 0.0
-        # fixed).  The per-LINEARIZE device gather was the expensive
-        # case (7.2 ms/slot at Venice scale); once at build it is noise.
-        # Incremental mode refreshes rows as edges arrive (``add_edge``).
-        cols = []
-        for s, svt in enumerate(et.vertex_types):
-            if fixed_np[svt.name].any():
-                cols.append(1.0 - data.fixed[svt.name][b.vidx[:, s]]
-                            .astype(np_dtype))
-            else:
-                cols.append(jnp.ones((n,), np_dtype))
-        d_ = dict(new_plans.get(name) or {})
-        d_["free_mask"] = jnp.stack(cols, axis=1)
-        new_plans[name] = d_
-        new_edges[name] = b
-    # dims-major constants for bucketed batches, likewise produced ON
-    # DEVICE (host duplication would double the transfer)
-    for name in bucket_specs:
-        b = new_edges[name]
-        d_ = new_plans[name]
-        d_["meas_t"] = jnp.asarray(b.meas).T
-        d_["info_t"] = jnp.asarray(b.info).transpose(1, 2, 0)
-        d_["free_mask_t"] = jnp.asarray(d_["free_mask"]).T
+    for name, extra in plan_extra.items():
+        new_plans[name] = {**(new_plans.get(name) or {}), **extra}
     data = data._replace(edges=new_edges, plans=new_plans)
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
