@@ -238,7 +238,7 @@ def bench_manhattan(dev):
 
 
 def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
-               label):
+               label, matvec="auto"):
     import jax.numpy as jnp
 
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
@@ -259,7 +259,8 @@ def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
     p = load_bal_problem(io.StringIO(text), huber=0.0, bucket_landmarks=True,
                          fix_first_camera=False, dtype=jnp.float32)
     build_s = time.perf_counter() - t0
-    solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi")
+    solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi",
+                                 matvec_precision=matvec)
     res, sec_per_iter, out = _run(p, solver, n_iters, dev)
 
     ref = _ref().get(ref_key, {})
@@ -297,9 +298,12 @@ def bench_stress(dev):
                          fix_first_camera=False, dtype=jnp.float32)
     build_s = time.perf_counter() - t0
     # schur-jacobi preconditioner: ~10% fewer CG iterations than
-    # Hpp-jacobi on this conditioning (measured round 4)
+    # Hpp-jacobi on this conditioning; exact-f32 matvecs: bf16 S·v noise
+    # stalls CG at the cap under this conditioning (chi2@10 13368517 vs
+    # 13338690, and SLOWER — measured round 4)
     solver = ImplicitSchurSolver(max_iter=100, tol=1e-2,
-                                 precond="schur_jacobi")
+                                 precond="schur_jacobi",
+                                 matvec_precision="highest")
     res, sec_per_iter, out = _run(p, solver, 10, dev)
 
     ref = _ref().get("bal_stress", {})
@@ -343,8 +347,12 @@ def main():
     runners = [
         ("sphere2500", lambda: bench_sphere(dev)),
         ("manhattan3500", lambda: bench_manhattan(dev)),
+        # exact-f32 matvecs: under "auto" the bf16 S·v passes stall CG at
+        # the cap once LM converges (ladybug chi2@10 48791.0 vs the
+        # reference 48790.33; highest reaches 48790.34 at the same speed)
         ("ladybug_ba", lambda: _bench_bal(
-            dev, 49, 7000, 5, 10, "ladybug_ba", "synthetic-ladybug49")),
+            dev, 49, 7000, 5, 10, "ladybug_ba", "synthetic-ladybug49",
+            matvec="highest")),
         ("venice_ba", lambda: _bench_bal(
             dev, 800, 150_000, 6, 10, "venice_ba",
             "synthetic-venice800 (see BASELINE.md synthetic caveat)")),
