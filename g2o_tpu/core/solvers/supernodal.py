@@ -185,7 +185,8 @@ def _bucket(x: int, buckets):
 
 
 def build_supernodal_schedule(sym, *, d: int, smax: int = 24,
-                              zeta: float = 0.35):
+                              zeta: float = 0.35,
+                              bucket_merge: str = "size"):
     """Full symbolic pipeline: partition, closure, pattern, level schedule.
 
     Returns ``(sched_aux, off_slot_v, meta)`` where ``sched_aux`` is the
@@ -223,14 +224,26 @@ def build_supernodal_schedule(sym, *, d: int, smax: int = 24,
     for li in range(L):
         sns = np.nonzero(depth == li)[0]
         buckets: dict = {}
-        for k in sns:
-            c0, c1 = int(starts[k]), int(starts[k + 1])
-            s = c1 - c0
-            m = len(rowsets[k])
-            key = (_bucket(s, s_buckets),
-                   _bucket(m, [0, 4, 8, 16, 32, 64, 128, 256, 512, 1024,
-                               4096, 1 << 20]))
-            buckets.setdefault(key, []).append(k)
+        if bucket_merge == "level":
+            # ONE padded bucket per level (invalid slots are -1, already
+            # masked by the gather/scatter/unit-diag machinery).  Measured
+            # at sphere2500: NO win over size buckets (108 vs 103 ms
+            # same-day) — the factor phase is dominated by the row-serial
+            # grid scatter-adds (sum of S*mp^2 block rows), not per-call
+            # overhead, and merging inflates the padded upd grids.  Kept
+            # as an option for narrower-spread schedules.
+            sp_max = max(int(starts[k + 1] - starts[k]) for k in sns)
+            mp_max = max((len(rowsets[k]) for k in sns), default=0)
+            buckets[(sp_max, mp_max)] = list(sns)
+        else:
+            for k in sns:
+                c0, c1 = int(starts[k]), int(starts[k + 1])
+                s = c1 - c0
+                m = len(rowsets[k])
+                key = (_bucket(s, s_buckets),
+                       _bucket(m, [0, 4, 8, 16, 32, 64, 128, 256, 512,
+                                   1024, 4096, 1 << 20]))
+                buckets.setdefault(key, []).append(k)
 
         blevel = []
         for (sp, mp), ks in sorted(buckets.items()):
@@ -332,12 +345,25 @@ _SAFE_XLA_DIM = 96
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _use_pallas_chol(dtype) -> bool:
+    from g2o_tpu.ops.pallas_chol import use_pallas
+
+    return use_pallas(dtype)
+
+
 def _chol_batched(D, d: int):
     """Batched lower Cholesky of (S, sd, sd), d-blocked when sd is past
     the XLA expander's full-precision range."""
     sd = D.shape[-1]
     if sd <= _SAFE_XLA_DIM or sd % d:
         return jnp.linalg.cholesky(D)
+    if _use_pallas_chol(D.dtype):
+        # past the XLA expander's full-precision range the in-kernel
+        # per-column pallas recurrence is both exact f32 AND faster than
+        # the d-blocked emulation (ops/pallas_chol.py)
+        from g2o_tpu.ops.pallas_chol import chol_batched
+
+        return chol_batched(D)
     sp = sd // d
     L = jnp.zeros_like(D)
     for k in range(sp):
@@ -361,6 +387,10 @@ def _solve_lower_batched(L, B, d: int):
     sd = L.shape[-1]
     if sd <= _SAFE_XLA_DIM or sd % d:
         return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    if _use_pallas_chol(L.dtype):
+        from g2o_tpu.ops.pallas_chol import solve_lower_batched
+
+        return solve_lower_batched(L, B)
     sp = sd // d
     for k in range(sp):
         a = k * d
@@ -380,6 +410,10 @@ def _solve_upper_batched(L, B, d: int):
     if sd <= _SAFE_XLA_DIM or sd % d:
         return jax.scipy.linalg.solve_triangular(
             jnp.swapaxes(L, -1, -2), B, lower=False)
+    if _use_pallas_chol(L.dtype):
+        from g2o_tpu.ops.pallas_chol import solve_upper_batched
+
+        return solve_upper_batched(L, B)
     sp = sd // d
     for k in reversed(range(sp)):
         a = k * d
@@ -508,9 +542,11 @@ class SupernodalCholeskySolver:
     name = "supernodal"
 
     def __init__(self, *, smax: int = 24, zeta: float = 0.35,
-                 min_separator_size: int = 32, refine: int = 1):
+                 min_separator_size: int = 32, refine: int = 1,
+                 bucket_merge: str = "size"):
         self.smax = int(smax)
         self.zeta = float(zeta)
+        self.bucket_merge = bucket_merge
         self.min_size = int(min_separator_size)
         # mixed-precision iterative-refinement sweeps: in f32 (the TPU
         # default) the factorization of an ill-conditioned pose-graph
@@ -549,7 +585,8 @@ class SupernodalCholeskySolver:
 
         sym = symbolic_factorization(n, pairs, min_size=self.min_size)
         levels, off_slot_v, meta = build_supernodal_schedule(
-            sym, d=d, smax=self.smax, zeta=self.zeta)
+            sym, d=d, smax=self.smax, zeta=self.zeta,
+            bucket_merge=self.bucket_merge)
         self.meta = meta
         inv = sym["inv"].astype(np.int64)
 
