@@ -334,6 +334,10 @@ def main():
 
     import jax
 
+    # deep fused-loop traces (f64 GN polish inside lax.while_loop nests)
+    # exceed CPython's default 1000-frame recursion limit when lowered
+    # through the TPU plugin path
+    sys.setrecursionlimit(100_000)
     # x64 is needed by the manhattan_exact f64 polish phase (the gn_var
     # fixed point needs an f64-quality solve); every other config passes
     # dtype=float32 explicitly so nothing else widens
@@ -362,7 +366,10 @@ def main():
         try:
             configs[name] = fn()
         except Exception as e:          # noqa: BLE001 — report, keep going
+            import traceback
+
             errors[name] = f"{type(e).__name__}: {e}"
+            traceback.print_exc(file=sys.stderr)
 
     head = configs.get("sphere2500", {})
     result = {

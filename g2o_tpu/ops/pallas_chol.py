@@ -41,10 +41,13 @@ _VMEM_BUDGET = 4 * 1024 * 1024           # bytes per buffer set; pallas
 
 
 def _batch_tile(S, per_item_bytes, nbuf):
-    """Largest batch tile (multiple of 8 sublanes) within the VMEM budget."""
+    """Largest batch tile within the VMEM budget: a multiple of 8
+    sublanes when possible, down to single items for very large n."""
     t = int(_VMEM_BUDGET // max(per_item_bytes * nbuf, 1))
-    t = max((t // 8) * 8, 8)                 # floor to sublane multiple
-    return min(t, S) if t < S else S
+    if t >= 8:
+        t = (t // 8) * 8                     # floor to sublane multiple
+    t = max(t, 1)
+    return min(t, S)
 
 
 def _lane_pad(n):
@@ -56,19 +59,30 @@ def _chol_kernel(a_ref, u_ref, *, n):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def step(j, _):
+        # masks via jnp.where selects ONLY: both i1->f32
+        # convert_element_type and i1 minor-dim broadcasts break Mosaic
+        # (infinite lowering recursion at n >= ~256, unsupported reshape
+        # at any n)
         row = u_ref[:, pl.ds(j, 1), :][:, 0, :]          # (S, n)
-        pivot = jnp.sum(row * (lane == j), axis=1)        # (S,)
+        zero = jnp.zeros((), row.dtype)   # dtype-matched: a Python
+        # 0.0 becomes an f64 scalar under x64 and Mosaic's f64
+        # convert lowering recurses infinitely
+        pivot = jnp.sum(jnp.where(lane == j, row, zero), axis=1)  # (S,)
         d = jnp.sqrt(pivot)
-        c = jnp.where(lane >= j, row, 0.0) / d[:, None]   # (S, n)
+        c = jnp.where(lane >= j, row, zero) / d[:, None]  # (S, n)
         u_ref[:, pl.ds(j, 1), :] = c[:, None, :]
         # rank-1 trailing update on rows STRICTLY below j — row j just
-        # became U row j and rows < j are finished U rows.  (f32 mask
-        # multiply: Mosaic cannot minor-dim-broadcast i1 vectors.)
-        rmask = (lane > j).astype(c.dtype)                # (1, n)
-        u_ref[:] = u_ref[:] - (c * rmask)[:, :, None] * c[:, None, :]
-        return 0
+        # became U row j and rows < j are finished U rows
+        cs = jnp.where(lane > j, c, zero)
+        u_ref[:] = u_ref[:] - cs[:, :, None] * c[:, None, :]
+        return _
 
-    jax.lax.fori_loop(0, n, step, 0)
+    # i32-typed bounds: under x64 a Python-int bound makes the
+    # induction variable i64, promoting the iota comparisons to
+    # 64-bit vectors Mosaic cannot lower
+    jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
+                      jnp.asarray(n, jnp.int32), step,
+                      jnp.asarray(0, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("lower", "interpret"))
@@ -82,11 +96,14 @@ def chol_batched(D, lower: bool = True, interpret: bool = False):
         eye = jnp.eye(n, dtype=D.dtype)
         D = jnp.concatenate(
             [D, jnp.broadcast_to(eye, (Sp - S, n, n))], axis=0)
+    # index maps derive i32 zeros from the (i32) grid index: weak
+    # Python-int zeros become i64 under x64, which Mosaic cannot
+    # legalize, and captured jnp constants are rejected outright
     U = pl.pallas_call(
         functools.partial(_chol_kernel, n=n),
         grid=(Sp // St,),
-        in_specs=[pl.BlockSpec((St, n, n), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((St, n, n), lambda i: (i, 0, 0)),
+        in_specs=[pl.BlockSpec((St, n, n), lambda i: (i, i * 0, i * 0))],
+        out_specs=pl.BlockSpec((St, n, n), lambda i: (i, i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((Sp, n, n), D.dtype),
         interpret=interpret,
     )(D)[:S]
@@ -99,14 +116,20 @@ def _solve_lower_kernel(u_ref, b_ref, y_ref, *, n):
 
     def step(j, _):
         urow = u_ref[:, pl.ds(j, 1), :][:, 0, :]          # (S, n)
-        denom = jnp.sum(urow * (lane == j), axis=1)       # (S,)
+        zero = jnp.zeros((), urow.dtype)
+        denom = jnp.sum(jnp.where(lane == j, urow, zero), axis=1)  # (S,)
         yj = y_ref[:, pl.ds(j, 1), :][:, 0, :] / denom[:, None]   # (S, m)
         y_ref[:, pl.ds(j, 1), :] = yj[:, None, :]
-        colL = urow * (lane > j).astype(urow.dtype)       # L[i, j], i > j
+        colL = jnp.where(lane > j, urow, zero)            # L[i, j], i > j
         y_ref[:] = y_ref[:] - colL[:, :, None] * yj[:, None, :]
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, n, step, 0)
+    # i32-typed bounds: under x64 a Python-int bound makes the
+    # induction variable i64, promoting the iota comparisons to
+    # 64-bit vectors Mosaic cannot lower
+    jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
+                      jnp.asarray(n, jnp.int32), step,
+                      jnp.asarray(0, jnp.int32))
 
 
 def _solve_upper_kernel(u_ref, b_ref, x_ref, *, n):
@@ -116,16 +139,22 @@ def _solve_upper_kernel(u_ref, b_ref, x_ref, *, n):
     def step(k, _):
         j = n - 1 - k
         urow = u_ref[:, pl.ds(j, 1), :][:, 0, :]          # (S, n)
-        denom = jnp.sum(urow * (lane == j), axis=1)
+        zero = jnp.zeros((), urow.dtype)
+        denom = jnp.sum(jnp.where(lane == j, urow, zero), axis=1)
         # r = sum_{i>j} U[j, i] x[i, :]
-        r = jnp.sum((urow * (lane > j).astype(urow.dtype))[:, :, None]
+        r = jnp.sum(jnp.where(lane > j, urow, zero)[:, :, None]
                     * x_ref[:], axis=1)                   # (S, m)
         bj = b_ref[:, pl.ds(j, 1), :][:, 0, :]
         x_ref[:, pl.ds(j, 1), :] = \
             ((bj - r) / denom[:, None])[:, None, :]
-        return 0
+        return _
 
-    jax.lax.fori_loop(0, n, step, 0)
+    # i32-typed bounds: under x64 a Python-int bound makes the
+    # induction variable i64, promoting the iota comparisons to
+    # 64-bit vectors Mosaic cannot lower
+    jax.lax.fori_loop(jnp.asarray(0, jnp.int32),
+                      jnp.asarray(n, jnp.int32), step,
+                      jnp.asarray(0, jnp.int32))
 
 
 def _solve(kernel, L_is_lower, L, B, interpret=False):
@@ -146,9 +175,9 @@ def _solve(kernel, L_is_lower, L, B, interpret=False):
     out = pl.pallas_call(
         functools.partial(kernel, n=n),
         grid=(Sp // St,),
-        in_specs=[pl.BlockSpec((St, n, n), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((St, n, m), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((St, n, m), lambda i: (i, 0, 0)),
+        in_specs=[pl.BlockSpec((St, n, n), lambda i: (i, i * 0, i * 0)),
+                  pl.BlockSpec((St, n, m), lambda i: (i, i * 0, i * 0))],
+        out_specs=pl.BlockSpec((St, n, m), lambda i: (i, i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((Sp, n, m), B.dtype),
         interpret=interpret,
     )(U, B)
