@@ -345,10 +345,10 @@ _SAFE_XLA_DIM = 96
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _use_pallas_chol(dtype) -> bool:
+def _use_pallas_chol(dtype, n: int = 0, m: int = 0) -> bool:
     from g2o_tpu.ops.pallas_chol import use_pallas
 
-    return use_pallas(dtype)
+    return use_pallas(dtype, n, m)
 
 
 def _chol_batched(D, d: int):
@@ -357,7 +357,7 @@ def _chol_batched(D, d: int):
     sd = D.shape[-1]
     if sd <= _SAFE_XLA_DIM or sd % d:
         return jnp.linalg.cholesky(D)
-    if _use_pallas_chol(D.dtype):
+    if _use_pallas_chol(D.dtype, sd):
         # past the XLA expander's full-precision range the in-kernel
         # per-column pallas recurrence is both exact f32 AND faster than
         # the d-blocked emulation (ops/pallas_chol.py)
@@ -387,7 +387,7 @@ def _solve_lower_batched(L, B, d: int):
     sd = L.shape[-1]
     if sd <= _SAFE_XLA_DIM or sd % d:
         return jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    if _use_pallas_chol(L.dtype):
+    if _use_pallas_chol(L.dtype, sd, B.shape[-1]):
         from g2o_tpu.ops.pallas_chol import solve_lower_batched
 
         return solve_lower_batched(L, B)
@@ -410,7 +410,7 @@ def _solve_upper_batched(L, B, d: int):
     if sd <= _SAFE_XLA_DIM or sd % d:
         return jax.scipy.linalg.solve_triangular(
             jnp.swapaxes(L, -1, -2), B, lower=False)
-    if _use_pallas_chol(L.dtype):
+    if _use_pallas_chol(L.dtype, sd, B.shape[-1]):
         from g2o_tpu.ops.pallas_chol import solve_upper_batched
 
         return solve_upper_batched(L, B)

@@ -196,12 +196,20 @@ def solve_upper_batched(L, B, interpret: bool = False):
     return _solve(_solve_upper_kernel, True, L, B, interpret)
 
 
-def use_pallas(dtype) -> bool:
+def use_pallas(dtype, n: int = 0, m: int = 0) -> bool:
     """Route batched small-chol/trisolve through Pallas: TPU + f32 only
-    (CPU LAPACK is faster on host; f64 is unsupported in Pallas TPU)."""
+    (CPU LAPACK is faster on host; f64 is unsupported in Pallas TPU),
+    and only while a SINGLE batch item fits the VMEM budget — a
+    (1, 2688, 2688) coarse factor is 27.6 MB and cannot be tiled by this
+    whole-rows-in-VMEM formulation."""
     import os
 
     if os.environ.get("G2O_TPU_PALLAS_CHOL", "1") == "0":
         return False
+    if n:
+        item = _lane_pad(n) * n * 4 + (_lane_pad(m) * n * 4 * 2 if m else
+                                       _lane_pad(n) * n * 4)
+        if item > _VMEM_BUDGET:
+            return False
     return (jax.default_backend() == "tpu"
             and jnp.dtype(dtype) == jnp.dtype(jnp.float32))
