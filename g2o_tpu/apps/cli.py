@@ -150,6 +150,10 @@ def main(argv=None):
     ap.add_argument("-htmlPlot", default=None,
                     help="render the optimized graph to a standalone "
                          "interactive HTML file (pan/zoom)")
+    ap.add_argument("-writeDebug", default=None, metavar="DIR",
+                    help="on a failed step, dump the linearized system "
+                         "(H diag blocks, b, lambda) to DIR as .npz "
+                         "(reference writeDebug, solver.h:128)")
     ap.add_argument("-replayHtml", default=None,
                     help="record per-iteration estimates and write a "
                          "standalone HTML replay (slider + play through "
@@ -305,6 +309,7 @@ def main(argv=None):
         apply_properties(solver, algorithm)
         opt = SparseOptimizer(p, algorithm=algorithm, solver=solver,
                               verbose=args.verbose)
+        opt.write_debug = args.writeDebug
         if use_gain:
             opt.terminate_gain_threshold = args.gainThreshold
         replay_frames, replay_chi2 = [], []
@@ -314,7 +319,11 @@ def main(argv=None):
 
             def _record(o, it):
                 replay_frames.append(o.problem.estimates_by_vid())
-                replay_chi2.append(float(o.current_chi2))
+                # post_iteration_actions fire even on rejected steps, where
+                # current_chi2 may still be None (already-converged input)
+                c2 = o.current_chi2
+                replay_chi2.append(float(c2) if c2 is not None
+                                   else replay_chi2[-1])
 
             opt.post_iteration_actions.append(_record)
         t0 = time.perf_counter()

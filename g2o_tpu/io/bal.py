@@ -82,13 +82,18 @@ def load_bal_problem(path_or_file, *, fix_first_camera: bool = True,
     # 37 MB Venice text (0.8 s vs 2.1 s); deprecated but validated against
     # the split path (falls back on any disagreement in token count)
     import warnings
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        tokens = np.fromstring(text, dtype=np.float64, sep=" ")
-    need = 3
-    if len(tokens) >= 3:
-        need = 3 + 4 * int(tokens[2]) + 9 * int(tokens[0]) + 3 * int(tokens[1])
-    if len(tokens) < need:
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            tokens = np.fromstring(text, dtype=np.float64, sep=" ")
+        need = 3
+        if len(tokens) >= 3:
+            need = (3 + 4 * int(tokens[2]) + 9 * int(tokens[0])
+                    + 3 * int(tokens[1]))
+        if len(tokens) < need:
+            tokens = np.array(text.split(), dtype=np.float64)
+    except (AttributeError, TypeError, DeprecationWarning):
+        # np.fromstring removed/errored on a future numpy: slow path
         tokens = np.array(text.split(), dtype=np.float64)
     C, P, O = int(tokens[0]), int(tokens[1]), int(tokens[2])
     pos = 3

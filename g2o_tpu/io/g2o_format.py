@@ -192,9 +192,33 @@ def _fmt(vals) -> str:
     return " ".join(f"{float(v):.10g}" for v in np.asarray(vals).reshape(-1))
 
 
-def save(g: Graph, path_or_file, estimates_by_vid=None):
+def save(g: Graph, path_or_file, estimates_by_vid=None,
+         vertex_subset=None, edge_subset=None, level=None):
     """Write the graph (optionally with updated estimates) — order matches
-    the reference saver: params, vertices (+FIX), edges."""
+    the reference saver: params, vertices (+FIX), edges.
+
+    Subset variants (reference ``OptimizableGraph::saveSubset``,
+    ``g2o/core/optimizable_graph.cpp:719,749``):
+
+    * ``vertex_subset`` (iterable of vids): write only these vertices and
+      the edges at ``level`` whose vertices ALL lie in the subset
+      (vset overload, ``:719``).
+    * ``edge_subset`` (iterable of edge records from ``g.edges()``): write
+      these edges and exactly the vertices they touch
+      (eset overload, ``:749``).
+    * ``level``: when given (and no edge_subset), only edges at this level
+      are written (``save`` overload's level filter, ``:681``).
+    """
+    if edge_subset is not None:
+        edges = list(edge_subset)
+        vset = {v for e in edges for v in e.vids}
+    else:
+        edges = [e for e in g.edges()
+                 if level is None or e.level == level]
+        vset = None
+        if vertex_subset is not None:
+            vset = set(int(v) for v in vertex_subset)
+            edges = [e for e in edges if all(v in vset for v in e.vids)]
     if hasattr(path_or_file, "write"):
         fh = path_or_file
         close = False
@@ -212,6 +236,8 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
                                                      "PARAMS_UNKNOWN")
             fh.write(f"{tag} {pid} {_fmt(vals)}\n")
         for vid in sorted(g.vertices()):
+            if vset is not None and vid not in vset:
+                continue
             rec = g.vertices()[vid]
             est = rec.estimate if estimates_by_vid is None else estimates_by_vid[vid]
             if rec.vtype.to_vector is not None:
@@ -221,7 +247,7 @@ def save(g: Graph, path_or_file, estimates_by_vid=None):
                 fh.write(raw + "\n")
             if rec.fixed:
                 fh.write(f"FIX {vid}\n")
-        for e in g.edges():
+        for e in edges:
             meas = e.measurement
             if e.etype.meas_to_vector is not None:
                 meas = e.etype.meas_to_vector(meas)

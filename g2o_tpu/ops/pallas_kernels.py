@@ -1,20 +1,19 @@
-"""Pallas TPU kernels for the hot assembly ops.
+"""Pallas TPU kernel for the hot Schur pair-product aggregation.
 
 ``segment_sum_mxu``: segment-sum of (N, D) rows into (S, D) buckets computed
 as a sequence of one-hot MXU matmuls instead of an XLA scatter-add.  TPU
 scatters serialize per update; reformulating the reduction as
 ``onehot(seg_ids)^T @ values`` turns the hottest accumulation of the Schur
 complement (pair-product aggregation into unique camera-block pairs,
-``g2o_tpu/core/solvers/schur.py``) and of H/b assembly into dense systolic
-work.  The grid is (segment tiles, row tiles) with the row axis innermost so
-each output tile stays resident in VMEM across the reduction.
+``g2o_tpu/core/solvers/schur.py``) into dense systolic work.  The grid is
+(segment tiles, row tiles) with the row axis innermost so each output tile
+stays resident in VMEM across the reduction.
 
-``gather_mxu``: the inverse lookup ``table[idx]`` as per-row-tile one-hot
-MXU matmuls with the whole (S, D) table resident in VMEM — the (N, S)
-one-hot mask only ever exists one VMEM tile at a time, so no HBM buffer of
-that shape is materialised regardless of how XLA schedules the surrounding
-loop body (the XLA ``dot(one_hot(idx), table)`` form relies on operand
-fusion that does not always fire inside ``lax.while_loop`` bodies).
+Two further generations of experimental one-hot gather/scatter kernels
+(per-row-tile gridded v1; single-grid-step double-buffered-DMA v2) were
+built, measured SLOWER than the operand-fused XLA dot form on every shape
+(tables in ``ops/onehot.py``), and moved to
+``scripts/pallas_onehot_experimental.py`` as documented dead ends.
 """
 
 from __future__ import annotations
@@ -53,362 +52,6 @@ def _kernel(seg_ref, val_ref, out_ref):
         precision=jax.lax.Precision.HIGHEST,
     )
 
-
-def _block_n_for(n_seg: int) -> int:
-    # keep the per-tile one-hot (block_n, S) under ~8 MB of VMEM
-    if n_seg <= 2048:
-        return 1024
-    return max(128, (8 << 20) // (4 * n_seg) // 128 * 128)
-
-
-def _onehot_of(idx_ref, n_seg, dtype):
-    idx = idx_ref[:]                                   # (block_n, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n_seg), 1)
-    return jnp.equal(idx, cols).astype(dtype)          # (block_n, n_seg)
-
-
-def _mk_gather_kernel(precision, dims_major):
-    def kernel(idx_ref, table_ref, out_ref):
-        oh = _onehot_of(idx_ref, table_ref.shape[0], table_ref.dtype)
-        if dims_major:                                  # out (D, block_n)
-            out_ref[:] = jax.lax.dot_general(
-                table_ref[:], oh, (((0,), (1,)), ((), ())),
-                preferred_element_type=out_ref.dtype, precision=precision)
-        else:                                           # out (block_n, D)
-            out_ref[:] = jax.lax.dot_general(
-                oh, table_ref[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=out_ref.dtype, precision=precision)
-    return kernel
-
-
-def _mk_scatter_kernel(precision, dims_major):
-    def kernel(idx_ref, val_ref, out_ref):
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-        oh = _onehot_of(idx_ref, out_ref.shape[0], val_ref.dtype)
-        if dims_major:                                  # val (D, block_n)
-            out_ref[:] += jax.lax.dot_general(
-                oh, val_ref[:], (((0,), (1,)), ((), ())),
-                preferred_element_type=out_ref.dtype, precision=precision)
-        else:                                           # val (block_n, D)
-            out_ref[:] += jax.lax.dot_general(
-                oh, val_ref[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=out_ref.dtype, precision=precision)
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
-def gather_t_mxu(idx, table, *, precision=None, interpret: bool = False):
-    """Dims-major gather ``table[idx]`` → ``(D, N)`` as per-row-tile
-    one-hot MXU matmuls: the (N, S) one-hot exists one VMEM tile at a
-    time.  Out-of-range ids yield zero rows (XLA one-hot semantics).
-    Measured vs the XLA ``dot(table, one_hot(idx))`` form at Venice
-    shapes (900k rows, 800 segments, D=9): 1.15 → ~0.1 ms (HIGHEST)."""
-    S, d = table.shape
-    n = idx.shape[0]
-    block_n = _block_n_for(S)
-    n_pad = (-n) % block_n
-    if n_pad:
-        idx = jnp.concatenate([idx, jnp.full((n_pad,), S, idx.dtype)])
-    grid = (_cdiv(n + n_pad, block_n),)
-    out = pl.pallas_call(
-        _mk_gather_kernel(precision, True),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((d, block_n), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, n + n_pad), table.dtype),
-        interpret=interpret,
-    )(idx.astype(jnp.int32)[:, None], table)
-    return out[:, :n]
-
-
-@functools.partial(jax.jit, static_argnames=("n_seg", "precision",
-                                             "interpret"))
-def segment_sum_t_mxu(idx, rows_t, n_seg: int, *, precision=None,
-                      interpret: bool = False):
-    """Dims-major segment sum: rows ``(D, N)`` summed by ``idx`` into
-    ``(n_seg, D)`` — per-row-tile one-hot MXU matmuls accumulated in a
-    VMEM-resident output (grid steps run sequentially on TPU).
-    Out-of-range ids drop their rows."""
-    d, n = rows_t.shape
-    block_n = _block_n_for(n_seg)
-    n_pad = (-n) % block_n
-    if n_pad:
-        idx = jnp.concatenate([idx, jnp.full((n_pad,), n_seg, idx.dtype)])
-        rows_t = jnp.concatenate(
-            [rows_t, jnp.zeros((d, n_pad), rows_t.dtype)], axis=1)
-    grid = (_cdiv(n + n_pad, block_n),)
-    return pl.pallas_call(
-        _mk_scatter_kernel(precision, True),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block_n), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n_seg, d), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_seg, d), rows_t.dtype),
-        interpret=interpret,
-    )(idx.astype(jnp.int32)[:, None], rows_t)
-
-
-@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
-def gather_mxu_rows(idx, table, *, precision=None, interpret: bool = False):
-    """Edge-major gather ``table[idx]`` → ``(N, D)`` (see
-    :func:`gather_t_mxu`)."""
-    S, d = table.shape
-    n = idx.shape[0]
-    block_n = _block_n_for(S)
-    n_pad = (-n) % block_n
-    if n_pad:
-        idx = jnp.concatenate([idx, jnp.full((n_pad,), S, idx.dtype)])
-    grid = (_cdiv(n + n_pad, block_n),)
-    out = pl.pallas_call(
-        _mk_gather_kernel(precision, False),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_n, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n + n_pad, d), table.dtype),
-        interpret=interpret,
-    )(idx.astype(jnp.int32)[:, None], table)
-    return out[:n]
-
-
-@functools.partial(jax.jit, static_argnames=("n_seg", "precision",
-                                             "interpret"))
-def segment_sum_rows_mxu(idx, rows, n_seg: int, *, precision=None,
-                         interpret: bool = False):
-    """Edge-major segment sum: rows ``(N, D)`` → ``(n_seg, D)`` (see
-    :func:`segment_sum_t_mxu`)."""
-    n, d = rows.shape
-    block_n = _block_n_for(n_seg)
-    n_pad = (-n) % block_n
-    if n_pad:
-        idx = jnp.concatenate([idx, jnp.full((n_pad,), n_seg, idx.dtype)])
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((n_pad, d), rows.dtype)], axis=0)
-    grid = (_cdiv(n + n_pad, block_n),)
-    return pl.pallas_call(
-        _mk_scatter_kernel(precision, False),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((n_seg, d), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_seg, d), rows.dtype),
-        interpret=interpret,
-    )(idx.astype(jnp.int32)[:, None], rows)
-
-
-# --------------------------------------------------------------------- #
-# v2: single-grid-step kernels with an IN-KERNEL double-buffered DMA loop
-# over row sub-tiles.  Round 1's gridded kernels paid ~50 µs of grid-step
-# overhead per tile on this platform (~880 tiles at Venice scale → 10×
-# slower than the XLA dot form, see ops/onehot._use_pallas).  Here the
-# whole reduction is ONE grid step: row tiles are DMA'd HBM→VMEM by hand
-# (double-buffered, overlapping the one-hot MXU product of the previous
-# tile), and the (S, D) accumulator stays VMEM-resident throughout.
-# --------------------------------------------------------------------- #
-
-
-# Only the DIMS-MAJOR (D, N) variants exist in v2: Mosaic HBM memref
-# slices must be 128-aligned along the minor (lane) dimension, so an
-# edge-major (N, 9) tile slice cannot be DMA'd without padding the rows
-# to 128 lanes (14× the bandwidth).  Dims-major keeps the big N axis on
-# lanes — tile slices are aligned, and it is also the layout the
-# production bucketed path uses (``ops/onehot`` ``*_t`` functions).
-# The index array rides along in HBM as (1, N) and is DMA'd per tile.
-
-
-def _mk_segsum2_kernel(block: int, n_tiles: int, precision, d: int):
-    def kernel(idx_hbm, rows_hbm, out_ref):
-        def body(vbuf, ibuf, sems, isems):
-            def get_dma(slot, t):
-                return pltpu.make_async_copy(
-                    rows_hbm.at[:, pl.ds(t * block, block)],
-                    vbuf.at[slot], sems.at[slot])
-
-            def idx_dma(slot, t):
-                return pltpu.make_async_copy(
-                    idx_hbm.at[:, pl.ds(t * block, block)],
-                    ibuf.at[slot], isems.at[slot])
-
-            get_dma(0, 0).start()
-            idx_dma(0, 0).start()
-            out_ref[:] = jnp.zeros_like(out_ref)
-            S = out_ref.shape[0]
-
-            def loop(t, carry):
-                cur = jax.lax.rem(t, 2)
-                nxt = jax.lax.rem(t + 1, 2)
-
-                @pl.when(t + 1 < n_tiles)
-                def _():
-                    get_dma(nxt, t + 1).start()
-                    idx_dma(nxt, t + 1).start()
-
-                get_dma(cur, t).wait()
-                idx_dma(cur, t).wait()
-                idx = ibuf[cur]                          # (1, block), lanes
-                # one-hot in (S, block) orientation: the compare broadcasts
-                # along lanes — no sublane/lane relayout of idx
-                rows_s = jax.lax.broadcasted_iota(jnp.int32, (S, block), 0)
-                oh = jnp.equal(rows_s, idx).astype(out_ref.dtype)
-                vals = vbuf[cur]                         # (d, block)
-                out_ref[:] += jax.lax.dot_general(
-                    oh, vals, (((1,), (1,)), ((), ())),
-                    preferred_element_type=out_ref.dtype,
-                    precision=precision)
-                return carry
-
-            jax.lax.fori_loop(0, n_tiles, loop, 0)
-
-        pl.run_scoped(body,
-                      vbuf=pltpu.VMEM((2, d, block), out_ref.dtype),
-                      ibuf=pltpu.VMEM((2, 1, block), jnp.int32),
-                      sems=pltpu.SemaphoreType.DMA((2,)),
-                      isems=pltpu.SemaphoreType.DMA((2,)))
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("n_seg", "precision", "block",
-                                             "interpret"))
-def segment_sum_t_mxu2(idx, rows_t, n_seg: int, *, precision=None,
-                       block: int = 2048, interpret: bool = False):
-    """Dims-major (D, N) → (n_seg, D) segment sum, v2 (single grid step,
-    in-kernel double-buffered DMA loop over row tiles).  D is padded to the
-    8-sublane granularity Mosaic requires of HBM memref slices."""
-    d, n = rows_t.shape
-    d_pad = -(-d // 8) * 8
-    n_pad = (-n) % block
-    if n_pad:
-        idx = jnp.concatenate([idx, jnp.full((n_pad,), n_seg, idx.dtype)])
-    if n_pad or d_pad > d:
-        rows_t = jnp.pad(rows_t, ((0, d_pad - d), (0, n_pad)))
-    n_tiles = (n + n_pad) // block
-    out = pl.pallas_call(
-        _mk_segsum2_kernel(block, n_tiles, precision, d_pad),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),     # idx (1, N) in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),     # rows (D, N) in HBM
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_seg, d_pad), rows_t.dtype),
-        interpret=interpret,
-    )(idx.astype(jnp.int32)[None, :], rows_t)
-    return out[:, :d]
-
-
-def _mk_gather2_kernel(block: int, n_tiles: int, precision):
-    def kernel(idx_hbm, table_ref, out_hbm):
-        def body(obuf, ibuf, sems, isems):
-            S = table_ref.shape[0]
-
-            def out_dma(slot, t):
-                return pltpu.make_async_copy(
-                    obuf.at[slot], out_hbm.at[:, pl.ds(t * block, block)],
-                    sems.at[slot])
-
-            def idx_dma(slot, t):
-                return pltpu.make_async_copy(
-                    idx_hbm.at[:, pl.ds(t * block, block)],
-                    ibuf.at[slot], isems.at[slot])
-
-            idx_dma(0, 0).start()
-
-            def loop(t, carry):
-                cur = jax.lax.rem(t, 2)
-
-                @pl.when(t + 1 < n_tiles)
-                def _():
-                    idx_dma(jax.lax.rem(t + 1, 2), t + 1).start()
-
-                # wait for the output DMA that used this slot 2 tiles ago
-                @pl.when(t >= 2)
-                def _():
-                    out_dma(cur, t - 2).wait()
-
-                idx_dma(cur, t).wait()
-                idx = ibuf[cur]                          # (1, block)
-                rows_s = jax.lax.broadcasted_iota(jnp.int32, (S, block), 0)
-                oh = jnp.equal(rows_s, idx).astype(table_ref.dtype)
-                # (d, S) @ (S, block): N=block on lanes — the widest MXU
-                # orientation available for a (S, d) table
-                obuf[cur] = jax.lax.dot_general(
-                    table_ref[:], oh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=table_ref.dtype,
-                    precision=precision)
-                out_dma(cur, t).start()
-                return carry
-
-            jax.lax.fori_loop(0, n_tiles, loop, 0)
-
-            @pl.when(n_tiles >= 2)
-            def _():
-                out_dma(jax.lax.rem(n_tiles, 2), n_tiles - 2).wait()
-
-            @pl.when(n_tiles >= 1)
-            def _():
-                out_dma(jax.lax.rem(n_tiles + 1, 2), n_tiles - 1).wait()
-
-        d = table_ref.shape[1]
-        pl.run_scoped(body,
-                      obuf=pltpu.VMEM((2, d, block), table_ref.dtype),
-                      ibuf=pltpu.VMEM((2, 1, block), jnp.int32),
-                      sems=pltpu.SemaphoreType.DMA((2,)),
-                      isems=pltpu.SemaphoreType.DMA((2,)))
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("precision", "block",
-                                             "interpret"))
-def gather_t_mxu2(idx, table, *, precision=None, block: int = 2048,
-                  interpret: bool = False):
-    """Dims-major gather ``table[idx]`` → (D, N), v2 (single grid step,
-    in-kernel DMA loop; output tiles DMA'd back to HBM double-buffered).
-    D is padded to the 8-sublane granularity Mosaic requires of HBM
-    memref slices."""
-    S, d = table.shape
-    d_pad = -(-d // 8) * 8
-    if d_pad > d:
-        table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
-    n = idx.shape[0]
-    n_pad = (-n) % block
-    if n_pad:
-        idx = jnp.concatenate([idx, jnp.full((n_pad,), S, idx.dtype)])
-    n_tiles = (n + n_pad) // block
-    out = pl.pallas_call(
-        _mk_gather2_kernel(block, n_tiles, precision),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((d_pad, n + n_pad), table.dtype),
-        interpret=interpret,
-    )(idx.astype(jnp.int32)[None, :], table)
-    return out[:d, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "block_n",

@@ -15,6 +15,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -31,7 +32,7 @@ def main():
     # variants are measurable/useful, which is also what the production
     # bucketed path uses (onehot_*_t).
     from g2o_tpu.ops.onehot import onehot_gather_t, onehot_scatter_add_t
-    from g2o_tpu.ops.pallas_kernels import (
+    from pallas_onehot_experimental import (  # noqa: E501
         gather_t_mxu, gather_t_mxu2, segment_sum_t_mxu, segment_sum_t_mxu2)
 
     HI = jax.lax.Precision.HIGHEST

@@ -115,3 +115,46 @@ DEPRECATED_EDGE_SE3:QUAT 0 1 1 0 0 0 0 0 1 1 0 0 0 0 0 1 0 0 0 0 1 0 0 0 1 0 0 1
     g = g2o_format.loads(text)
     assert g.num_vertices == 2 and g.num_edges == 1
     assert g.edges()[0].etype.name == "EDGE_SE3:QUAT"
+
+
+def test_save_subset_vertices():
+    """saveSubset vset overload (optimizable_graph.cpp:719): only subset
+    vertices, only edges fully inside the subset."""
+    g = g2o_format.loads(SAMPLE)
+    text = g2o_format.dumps(g, vertex_subset=[0, 1])
+    g2 = g2o_format.loads(text)
+    assert sorted(g2.vertices()) == [0, 1]
+    assert g2.num_edges == 1           # EDGE_SE2_XY touches vertex 2 -> out
+    assert g2.edges()[0].vids == (0, 1)
+    assert g2.vertex(0).fixed
+
+
+def test_save_subset_edges():
+    """saveSubset eset overload (optimizable_graph.cpp:749): the given
+    edges plus exactly their vertices."""
+    g = g2o_format.loads(SAMPLE)
+    eset = [e for e in g.edges() if 2 in e.vids]
+    text = g2o_format.dumps(g, edge_subset=eset)
+    g2 = g2o_format.loads(text)
+    assert sorted(g2.vertices()) == [1, 2]
+    assert g2.num_edges == 1
+    assert g2.edges()[0].vids == (1, 2)
+
+
+def test_save_level_filter():
+    """save(level=) writes only edges at that level
+    (optimizable_graph.cpp:681)."""
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.types.slam2d import EdgeSE2, VertexSE2
+
+    g = Graph()
+    g.add_vertex(0, VertexSE2, np.zeros(3))
+    g.add_vertex(1, VertexSE2, np.array([1.0, 0, 0]))
+    g.add_edge(EdgeSE2, [0, 1], np.array([1.0, 0, 0]), np.eye(3), level=0)
+    g.add_edge(EdgeSE2, [0, 1], np.array([1.1, 0, 0]), np.eye(3), level=1)
+    t0 = g2o_format.dumps(g, level=0)
+    t1 = g2o_format.dumps(g, level=1)
+    assert g2o_format.loads(t0).num_edges == 1
+    assert g2o_format.loads(t1).num_edges == 1
+    np.testing.assert_allclose(
+        g2o_format.loads(t1).edges()[0].measurement[0], 1.1)

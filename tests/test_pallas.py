@@ -29,10 +29,15 @@ def test_segment_sum_mxu_empty_segments():
 
 @pytest.mark.parametrize("dims_major", [True, False])
 def test_onehot_kernels_match_xla(dims_major):
-    """The tile-local one-hot gather/segment-sum kernels must match the
-    XLA dot forms exactly in f32 (interpret mode; on TPU they replace the
-    XLA form for big batches via onehot._use_pallas)."""
-    from g2o_tpu.ops.pallas_kernels import (gather_mxu_rows, gather_t_mxu,
+    """The tile-local one-hot gather/segment-sum kernels (experimental
+    dead-ends, kept under scripts/ — measured slower than the XLA dot form
+    on TPU, tables in ops/onehot.py) must still match the XLA dot forms
+    exactly in f32 (interpret mode)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from pallas_onehot_experimental import (gather_mxu_rows, gather_t_mxu,
                                             segment_sum_rows_mxu,
                                             segment_sum_t_mxu)
 
