@@ -63,6 +63,11 @@ def _build_solver_table():
 
         return SupernodalCholeskySolver()
 
+    def host_chol():
+        from g2o_tpu.core.solvers.host_chol import HostCholSolver
+
+        return HostCholSolver()
+
     for algo in ("gn", "lm", "dl"):
         SOLVERS[f"{algo}_dense"] = (algo, dense)
         SOLVERS[f"{algo}_pcg"] = (algo, pcg)
@@ -73,6 +78,9 @@ def _build_solver_table():
         SOLVERS[f"{algo}_schur_implicit"] = (algo, schur_implicit)
         SOLVERS[f"{algo}_schur_implicit_bucketed"] = (
             algo, schur_implicit_bucketed)
+        # hybrid: device linearize/assembly + native host f64 sparse
+        # Cholesky (the reference csparse/cholmod analogue, host-loop only)
+        SOLVERS[f"{algo}_host_chol"] = (algo, host_chol)
         # reference-style aliases: variable/fixed block sizes all map onto
         # the same array-typed pipeline
         for alias in ("var", "fix6_3", "fix7_3", "fix3_2"):
@@ -277,6 +285,10 @@ def main(argv=None):
     if args.replayHtml and args.fused:
         print("# -replayHtml needs per-iteration estimates: using the "
               "host-loop path", file=sys.stderr)
+        args.fused = False
+    if args.fused and "host_chol" in args.solver:
+        print("# host_chol factorizes on the host CPU and cannot run in a "
+              "fused device loop: using the host-loop path", file=sys.stderr)
         args.fused = False
 
     if args.fused and algo_name == "lm":

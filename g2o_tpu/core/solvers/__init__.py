@@ -12,4 +12,7 @@ def __getattr__(name):  # lazy: keep package import light
     if name == "SparseCholeskySolver":
         from g2o_tpu.core.solvers.sparse_chol import SparseCholeskySolver
         return SparseCholeskySolver
+    if name == "HostCholSolver":
+        from g2o_tpu.core.solvers.host_chol import HostCholSolver
+        return HostCholSolver
     raise AttributeError(name)

@@ -18,7 +18,7 @@ _LIB = None
 _TRIED = False
 
 
-_SOURCES = ("fastparse.cpp", "symchol.cpp")
+_SOURCES = ("fastparse.cpp", "symchol.cpp", "hostchol.cpp")
 
 
 def _build_lib() -> str | None:
@@ -93,8 +93,71 @@ def get_lib():
                                    ctypes.POINTER(ctypes.c_int64)]
     lib.g2o_sym_release.restype = None
     lib.g2o_sym_release.argtypes = [ctypes.c_void_p]
+    # host scalar sparse Cholesky (numeric phase)
+    lib.g2o_hostchol_sym.restype = ctypes.c_void_p
+    lib.g2o_hostchol_sym.argtypes = [ctypes.c_int32,
+                                     ctypes.POINTER(ctypes.c_int64),
+                                     ctypes.POINTER(ctypes.c_int32)]
+    lib.g2o_hostchol_lnz.restype = ctypes.c_int64
+    lib.g2o_hostchol_lnz.argtypes = [ctypes.c_void_p]
+    lib.g2o_hostchol_factor.restype = ctypes.c_int32
+    lib.g2o_hostchol_factor.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_double)]
+    lib.g2o_hostchol_solve.restype = None
+    lib.g2o_hostchol_solve.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_double)]
+    lib.g2o_hostchol_release.restype = None
+    lib.g2o_hostchol_release.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
+
+
+class HostCholesky:
+    """Reusable host sparse-Cholesky handle over a fixed upper-CSC pattern
+    (``native/hostchol.cpp``).  ``factor(Ax)`` + ``solve(b)`` per system;
+    the symbolic structure is computed once."""
+
+    def __init__(self, n: int, Ap, Ai):
+        import numpy as np
+
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.n = int(n)
+        self._Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+        self._Ai = np.ascontiguousarray(Ai, dtype=np.int32)
+        self._h = lib.g2o_hostchol_sym(
+            self.n, self._Ap.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            self._Ai.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if not self._h:
+            raise RuntimeError("hostchol symbolic phase failed")
+        self.lnz = int(lib.g2o_hostchol_lnz(self._h))
+
+    def factor(self, Ax) -> int:
+        """0 on success, -(i+1) when not PD at scalar column i."""
+        import numpy as np
+
+        Ax = np.ascontiguousarray(Ax, dtype=np.float64)
+        return int(self._lib.g2o_hostchol_factor(
+            self._h, Ax.ctypes.data_as(ctypes.POINTER(ctypes.c_double))))
+
+    def solve(self, b):
+        import numpy as np
+
+        out = np.array(b, dtype=np.float64, copy=True)
+        self._lib.g2o_hostchol_solve(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            try:
+                self._lib.g2o_hostchol_release(h)
+            except Exception:
+                pass
+            self._h = None
 
 
 def symbolic_analysis(n: int, pairs, min_size: int = 32):
