@@ -23,7 +23,7 @@ def main():
 
     from g2o_tpu.core.graph import Graph
     from g2o_tpu.core.lm_fused import optimize_fused
-    from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
     from g2o_tpu.ops import lie
     from g2o_tpu.types.sba import (
         CAM_PARAM_ID, EdgeProjectPSI2UV, VertexPointXYZ, VertexSE3Expmap,
@@ -78,7 +78,11 @@ def main():
         vid += 1
 
     p = g.compile()
-    res = optimize_fused(p, PCGSolver(max_iter=150), 15)
+    # the marginalized psi points ride the general implicit-Schur path
+    # (3-ary PSI2UV edges: both camera slots couple through per-slot B
+    # blocks — the reference Schur-marginalizes these the same way,
+    # block_solver.hpp:224-253)
+    res = optimize_fused(p, ImplicitSchurSolver(max_iter=150, tol=1e-8), 15)
 
     # recover world points: X = T_anchor^-1 * (u, v, 1)/rho
     errs = []

@@ -200,9 +200,8 @@ class HostCholSolver:
 
         hi = jax.lax.Precision.HIGHEST
 
-        def assemble(data, lin):
-            """Device-side H block production (diag blocks come free from
-            lin.diag; off-diag blocks are one exact einsum per slot pair)."""
+        def off_blocks(lin):
+            """Off-diagonal H_ab blocks, one exact einsum per slot pair."""
             out_off = {}
             for name, et in p.edge_types.items():
                 if not edge_pairs[name]:
@@ -212,8 +211,14 @@ class HostCholSolver:
                 for a, b in edge_pairs[name]:
                     out_off[(name, a, b)] = jnp.einsum(
                         "erd,ers,esf->edf", Js[a], W, Js[b], precision=hi)
-            return lin.diag, out_off, lin.b
+            return out_off
 
+        def assemble(data, lin):
+            """Device-side H block production (diag blocks come free from
+            lin.diag)."""
+            return lin.diag, off_blocks(lin), lin.b
+
+        self._off_blocks = off_blocks
         self._assemble_jit = jax.jit(assemble)
         return self
 
@@ -243,6 +248,34 @@ class HostCholSolver:
         self._base_cache = (lin, (Ax, bh))
         return Ax, bh
 
+    def _fill_and_solve(self, diag, off, b, lam):
+        """Host-side: scatter fetched block values into Ax, factor, solve.
+        Returns the flat-tangent dx as float64 numpy (NaN on non-PD)."""
+        idx_l, val_l = [], []
+        for t, (posm, iu, ju) in self._diag_maps.items():
+            idx_l.append(posm.ravel())
+            val_l.append(np.asarray(diag[t], dtype=np.float64)
+                         [:, iu, ju].ravel())
+        for key, (posm, valid) in self._off_maps.items():
+            H = np.asarray(off[key], dtype=np.float64)
+            E, da, db = H.shape
+            idx_l.append(posm[valid].ravel())
+            val_l.append(H.reshape(E, da * db)[valid].ravel())
+        Ax = np.bincount(np.concatenate(idx_l),
+                         weights=np.concatenate(val_l),
+                         minlength=self._nnz)
+        Ax[self._fix_pos] += 1.0
+        if lam:
+            Ax[self._lam_pos] += float(lam)
+        rc = self._hc.factor(Ax)
+        if rc != 0:
+            return np.full(self._N, np.nan), Ax
+        bh = np.asarray(b, dtype=np.float64)[self._scal_from_flat]
+        x = self._hc.solve(bh)
+        dx = np.zeros(self._N, dtype=np.float64)
+        dx[self._scal_from_flat] = x
+        return dx, Ax
+
     def solve(self, data, lin, lam=0.0):
         Ax0, bh = self._base_ax(data, lin)
         Ax = Ax0.copy()
@@ -258,3 +291,51 @@ class HostCholSolver:
         dx = np.zeros(self._N, dtype=np.float64)
         dx[self._scal_from_flat] = x
         return jnp.asarray(dx, dtype=p.dtype)
+
+
+def optimize_gn_host(problem, solver, n_iters, lam=0.0):
+    """Minimum-round-trip host-GN driver for the hybrid solver.
+
+    Per iteration exactly ONE device→host fetch (linearize + H/b assembly
+    fused into a single jit) and ONE host→device push (dx into the fused
+    apply jit) — the TPU tunnel's per-dispatch latency, not the factor
+    time, dominates a 10k-dim hybrid step.  ``lam`` adds constant Tikhonov
+    damping (0 = pure GN, the reference gn_var,
+    ``optimization_algorithm_gauss_newton.cpp:50``).
+
+    Returns {"chi2_per_iteration", "chi2_final", "iter_walls", "wall_s"}.
+    """
+    import time
+
+    p = problem
+    if getattr(solver, "_p", None) is not p:
+        solver.setup(p)
+
+    def step1(data, est):
+        lin = p.linearize_fn(data, est)
+        return (lin.diag, solver._off_blocks(lin), lin.b,
+                lin.chi2_robust)
+
+    step1_jit = jax.jit(step1)
+    apply_jit = p.apply_jit
+
+    est = p.estimates
+    chis = []
+    iter_walls = []
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        t1 = time.perf_counter()
+        diag, off, b, chi2 = jax.device_get(step1_jit(p.data, est))
+        chis.append(float(chi2))
+        dx, _ = solver._fill_and_solve(diag, off, b, lam)
+        if not np.all(np.isfinite(dx)):
+            iter_walls.append(time.perf_counter() - t1)
+            break
+        est = apply_jit(p.data, est, jnp.asarray(dx, dtype=p.dtype))
+        iter_walls.append(time.perf_counter() - t1)
+    wall = time.perf_counter() - t0
+    chi2_final, _ = jax.device_get(p.chi2_jit(p.data, est))
+    p.set_estimates(est)
+    return {"chi2_per_iteration": chis, "chi2_final": float(chi2_final),
+            "iter_walls": iter_walls, "wall_s": wall,
+            "iterations": len(iter_walls)}

@@ -99,34 +99,72 @@ class ImplicitSchurSolver:
     # ------------------------------------------------------------------ #
 
     def _classify(self, problem):
+        """General per-vertex classification.
+
+        Returns ``(lm_types, pose_types, obs_specs, pose_edge_types,
+        partial, general)`` where ``obs_specs`` entries are
+        ``(name, pose_slots tuple, lm_slot)``.  An edge type is an
+        observation iff at least one endpoint vertex in its marginal slot
+        is actually marginalized; the reference builds its Schur pattern
+        per-vertex the same way (``block_solver.hpp:224-253``) and its
+        n-ary quadratic form provides all slot-pair blocks
+        (``base_multi_edge.h:51,115``).  Edges coupling TWO marginalized
+        vertices would break the block-diagonal Hll the Schur trick needs
+        (also assumed by the reference) and are rejected."""
         p = problem
-        marg = {t: bool(m.all()) for t, m in p.marginalized.items()}
-        for t, m in p.marginalized.items():
-            if m.any() and not m.all():
-                raise NotImplementedError(
-                    f"ImplicitSchurSolver: type {t} partially marginalized")
-        lm_types = [t for t, v in marg.items() if v]
-        pose_types = [t for t, v in marg.items() if not v]
+        marg_np = {t: np.asarray(m) for t, m in p.marginalized.items()}
+        lm_types = [t for t, m in marg_np.items() if m.any()]
+        pose_types = [t for t in p.vertex_types if t not in lm_types]
+        partial = {t: bool(marg_np[t].any() and not marg_np[t].all())
+                   for t in p.vertex_types}
         if not lm_types:
             raise ValueError("ImplicitSchurSolver: no marginalized vertices")
 
-        # observations (one pose slot + one landmark slot) vs pose-only edges
         obs_specs, pose_edge_types = [], []
         for name, et in p.edge_types.items():
-            slots_marg = [marg[vt.name] for vt in et.vertex_types]
-            if not any(slots_marg):
+            lm_slots = [s for s, vt in enumerate(et.vertex_types)
+                        if vt.name in lm_types]
+            if not lm_slots:
                 pose_edge_types.append(name)
                 continue
-            if len(slots_marg) != 2 or all(slots_marg):
+            vidx = np.asarray(p.data.edges[name].vidx)
+            hot = [s for s in lm_slots
+                   if marg_np[et.vertex_types[s].name][
+                       np.minimum(vidx[:, s],
+                                  len(marg_np[et.vertex_types[s].name]) - 1)
+                   ].any()]
+            if len(hot) > 1:
                 raise NotImplementedError(
-                    f"unsupported landmark edge pattern in {name}")
-            lm_slot = slots_marg.index(True)
-            obs_specs.append((name, 1 - lm_slot, lm_slot))
-        return lm_types, pose_types, obs_specs, pose_edge_types
+                    f"{name}: edges coupling two marginalized vertices are "
+                    "not supported (Hll must stay block-diagonal)")
+            if not hot:
+                pose_edge_types.append(name)
+                continue
+            ls = hot[0]
+            pose_slots = tuple(s for s in range(et.num_slots) if s != ls)
+            obs_specs.append((name, pose_slots, ls))
+        general = (any(partial[t] for t in lm_types)
+                   or any(len(pslots) != 1 for _, pslots, _ in obs_specs))
+        return (lm_types, pose_types, obs_specs, pose_edge_types, partial,
+                general)
 
     def setup(self, problem):
         p = problem
-        lm_types, pose_types, obs_specs, pose_edge_types = self._classify(p)
+        (lm_types, pose_types, obs_specs, pose_edge_types, partial,
+         general) = self._classify(p)
+        if general:
+            # n-ary observation edges and/or per-vertex partial
+            # marginalization: the exact rows-layout general path (the
+            # bucketed fast paths cover the standard binary BA pattern)
+            if self.layout == "bucketed":
+                raise NotImplementedError(
+                    "layout='bucketed' supports the standard binary "
+                    "pose-landmark pattern only; this graph needs the "
+                    "general path (layout='rows'/'auto')")
+            return self._setup_general(p, lm_types, pose_types, obs_specs,
+                                       pose_edge_types, partial)
+        obs_specs = [(name, pslots[0], ls)
+                     for name, pslots, ls in obs_specs]
         dtype = p.dtype
         max_iter, tol = self.max_iter, self.tol
         tmap = jax.tree_util.tree_map
@@ -725,6 +763,303 @@ class ImplicitSchurSolver:
         if self.absolute_tolerance:
             # stateful protocol: drivers thread the residual carry through
             # their iteration loops (``lm_fused`` detects _solve_state_fn)
+            self._solve_state_fn = solve_state
+            self._solve_state_jit = jax.jit(solve_state)
+            self.state0 = jnp.asarray(-1.0, dtype)
+        self._host_state = None
+        return self
+
+    def _setup_general(self, problem, lm_types, pose_types, obs_specs,
+                       pose_edge_types, partial):
+        """Exact rows-layout path for the GENERAL marginalization patterns
+        the reference supports (``block_solver.hpp:224-253,315-447``,
+        ``base_multi_edge.h:51,115``):
+
+        * n-ary observation edges — multiple pose slots per edge, e.g.
+          inverse-depth ``EdgeProjectPSI2UV`` (point-psi, anchor, observer;
+          ``types/sba/types_six_dof_expmap.h:183``): every pose-slot pair
+          contributes an Hpp coupling; every pose slot couples to the
+          marginalized slot through its own B block.
+        * per-vertex partial marginalization — a strict subset of a type's
+          vertices is eliminated (per-edge ``elim`` mask); retained
+          vertices of that type ride the reduced CG system alongside the
+          pose types, pinned to zero on eliminated rows.
+        """
+        p = problem
+        dtype = p.dtype
+        max_iter, tol = self.max_iter, self.tol
+        tmap = jax.tree_util.tree_map
+        use_schur_precond = self.precond == "schur_jacobi"
+        cg_types = pose_types + [t for t in lm_types if partial[t]]
+        full_lm = [t for t in lm_types if not partial[t]]
+
+        # static masks -> aux (solver-owned arrays travel as jit arguments)
+        aux = {"marg": {}, "elim": {}}
+        marg_np = {t: np.asarray(p.marginalized[t]) for t in lm_types}
+        for t in lm_types:
+            if partial[t]:
+                aux["marg"][t] = jnp.asarray(marg_np[t].astype(np.float64),
+                                             dtype=dtype)
+        for name, pslots, ls in obs_specs:
+            lt = p.edge_types[name].vertex_types[ls].name
+            vl = np.asarray(p.data.edges[name].vidx)[:, ls]
+            elim = marg_np[lt][np.minimum(vl, len(marg_np[lt]) - 1)]
+            aux["elim"][name] = jnp.asarray(elim.astype(np.float64),
+                                            dtype=dtype)
+        self.aux = aux
+        hi = _HI
+
+        def damped_diag(data, lin, lam, types):
+            out = {}
+            for t in types:
+                d = p.vertex_types[t].tangent_dim
+                eye = jnp.eye(d, dtype=dtype)
+                blocks = lin.diag[t] + lam * eye
+                fx = data.fixed[t].astype(dtype)[:, None, None]
+                out[t] = blocks * (1.0 - fx) + eye * fx
+            return out
+
+        def pdot(a, b):
+            return sum(jnp.sum(a[t] * b[t]) for t in cg_types)
+
+        def solve_full(data, lin, lam, aux=(), carry=None):
+            aux = aux or self.aux
+            eyes = {t: jnp.eye(p.vertex_types[t].tangent_dim, dtype=dtype)
+                    for t in p.vertex_types}
+            # eliminated-block inverses: damped diag on marginalized rows,
+            # unit elsewhere (unused there — back-substitution masks)
+            Dfull = damped_diag(data, lin, lam, lm_types)
+            Dinv = {}
+            for t in lm_types:
+                if partial[t]:
+                    mu = aux["marg"][t][:, None, None]
+                    Dinv[t] = inv_small(Dfull[t] * mu
+                                        + eyes[t] * (1.0 - mu))
+                else:
+                    Dinv[t] = inv_small(Dfull[t])
+
+            # B blocks: one per (edge type, pose slot)
+            B = {}
+            for name, pslots, ls in obs_specs:
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
+                B[name] = {s: jnp.einsum("erd,ers,esf->edf", Js[s], W,
+                                         Js[ls], precision=hi)
+                           for s in pslots}
+
+            ball = p.split_tangent(lin.b)
+            bl = {t: ball[t] for t in lm_types}
+            y = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t])
+                 for t in lm_types}
+
+            # reduced rhs over the retained system
+            bschur = {}
+            for t in cg_types:
+                if t in lm_types:          # partial type: retained rows
+                    bschur[t] = ball[t] * (1.0 - aux["marg"][t][:, None])
+                else:
+                    bschur[t] = ball[t]
+            for name, pslots, ls in obs_specs:
+                et = p.edge_types[name]
+                lt = et.vertex_types[ls].name
+                vidx = data.edges[name].vidx
+                el = aux["elim"][name][:, None]
+                yl = y[lt][vidx[:, ls]]
+                for s in pslots:
+                    ts = et.vertex_types[s].name
+                    bschur[ts] = bschur[ts].at[vidx[:, s]].add(
+                        -el * jnp.einsum("edl,el->ed", B[name][s], yl))
+
+            # preconditioner
+            diag_blocks = damped_diag(data, lin, lam, cg_types)
+            for t in cg_types:
+                if t in lm_types:
+                    mu = aux["marg"][t][:, None, None]
+                    diag_blocks[t] = (diag_blocks[t] * (1.0 - mu)
+                                      + eyes[t] * mu)
+            sdiag = dict(diag_blocks)
+            if use_schur_precond:
+                for name, pslots, ls in obs_specs:
+                    et = p.edge_types[name]
+                    lt = et.vertex_types[ls].name
+                    vidx = data.edges[name].vidx
+                    el = aux["elim"][name][:, None, None]
+                    Dl = Dinv[lt][vidx[:, ls]]
+                    for s in pslots:
+                        ts = et.vertex_types[s].name
+                        C = jnp.einsum("edl,elm,efm->edf", B[name][s], Dl,
+                                       B[name][s], precision=hi)
+                        sdiag[ts] = sdiag[ts].at[vidx[:, s]].add(-el * C)
+            minv = {t: inv_small(sdiag[t]) for t in cg_types}
+
+            def S_vec(vb):
+                out = {t: jnp.einsum("nij,nj->ni", diag_blocks[t], vb[t])
+                       for t in cg_types}
+                # pose-only edges: all slot-pair couplings
+                for name in pose_edge_types:
+                    et = p.edge_types[name]
+                    vidx = data.edges[name].vidx
+                    Js = p.edge_jacs(lin, name)
+                    W = p.edge_weights(lin, name)
+                    k = len(Js)
+                    for i in range(k):
+                        ti = et.vertex_types[i].name
+                        acc = None
+                        for j in range(k):
+                            if i == j:
+                                continue
+                            tj = et.vertex_types[j].name
+                            h = jnp.einsum(
+                                "erd,ers,esf,ef->ed", Js[i], W, Js[j],
+                                vb[tj][vidx[:, j]])
+                            acc = h if acc is None else acc + h
+                        if acc is not None:
+                            out[ti] = out[ti].at[vidx[:, i]].add(acc)
+                # observation edges
+                for name, pslots, ls in obs_specs:
+                    et = p.edge_types[name]
+                    lt = et.vertex_types[ls].name
+                    vidx = data.edges[name].vidx
+                    el = aux["elim"][name][:, None]
+                    Js = p.edge_jacs(lin, name)
+                    W = p.edge_weights(lin, name)
+                    # (a) direct Hpp couplings between pose-slot pairs
+                    #     (ALL edges — these blocks live in the retained
+                    #     system whether or not the landmark is eliminated)
+                    for i in pslots:
+                        ti = et.vertex_types[i].name
+                        acc = None
+                        for j in pslots:
+                            if i == j:
+                                continue
+                            tj = et.vertex_types[j].name
+                            h = jnp.einsum(
+                                "erd,ers,esf,ef->ed", Js[i], W, Js[j],
+                                vb[tj][vidx[:, j]])
+                            acc = h if acc is None else acc + h
+                        if acc is not None:
+                            out[ti] = out[ti].at[vidx[:, i]].add(acc)
+                    # (b) retained-landmark couplings (non-eliminated rows)
+                    if lt in cg_types:
+                        vl = vb[lt][vidx[:, ls]]
+                        accl = None
+                        for s in pslots:
+                            ts = et.vertex_types[s].name
+                            out[ts] = out[ts].at[vidx[:, s]].add(
+                                (1.0 - el) * jnp.einsum(
+                                    "edl,el->ed", B[name][s], vl))
+                            hl = jnp.einsum("edl,ed->el", B[name][s],
+                                            vb[ts][vidx[:, s]])
+                            accl = hl if accl is None else accl + hl
+                        if accl is not None:
+                            out[lt] = out[lt].at[vidx[:, ls]].add(
+                                (1.0 - el) * accl)
+                # (c) Schur term − Σ_s B_s Dinv (Σ_s' B_s'ᵀ v) over
+                #     eliminated rows
+                tl = {t: jnp.zeros_like(y[t]) for t in lm_types}
+                for name, pslots, ls in obs_specs:
+                    et = p.edge_types[name]
+                    lt = et.vertex_types[ls].name
+                    vidx = data.edges[name].vidx
+                    el = aux["elim"][name][:, None]
+                    acc = None
+                    for s in pslots:
+                        ts = et.vertex_types[s].name
+                        h = jnp.einsum("edl,ed->el", B[name][s],
+                                       vb[ts][vidx[:, s]])
+                        acc = h if acc is None else acc + h
+                    if acc is not None:       # unary landmark priors: none
+                        tl[lt] = tl[lt].at[vidx[:, ls]].add(el * acc)
+                s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t])
+                      for t in lm_types}
+                for name, pslots, ls in obs_specs:
+                    et = p.edge_types[name]
+                    lt = et.vertex_types[ls].name
+                    vidx = data.edges[name].vidx
+                    el = aux["elim"][name][:, None]
+                    sl = s_[lt][vidx[:, ls]]
+                    for s in pslots:
+                        ts = et.vertex_types[s].name
+                        out[ts] = out[ts].at[vidx[:, s]].add(
+                            -el * jnp.einsum("edl,el->ed", B[name][s], sl))
+                return out
+
+            def precond(rb):
+                return {t: jnp.einsum("nij,nj->ni", minv[t], rb[t])
+                        for t in cg_types}
+
+            x0 = tmap(jnp.zeros_like, bschur)
+            r0 = bschur
+            z0 = precond(r0)
+            rz0 = pdot(r0, z0)
+            rhs2 = pdot(bschur, bschur)
+            thresh = tol * tol * rhs2
+            if carry is not None:
+                thresh = jnp.maximum(thresh, carry.astype(thresh.dtype))
+
+            def cond(c):
+                return jnp.logical_and(c[5] < max_iter,
+                                       pdot(c[1], c[1]) > thresh)
+
+            def body(c):
+                x, r, z, pv, rz, it = c
+                Ap = S_vec(pv)
+                alpha = rz / pdot(pv, Ap)
+                x = tmap(lambda a, b_: a + alpha * b_, x, pv)
+                r = tmap(lambda a, b_: a - alpha * b_, r, Ap)
+                z = precond(r)
+                rz2 = pdot(r, z)
+                pv = tmap(lambda a, b_: a + (rz2 / rz) * b_, z, pv)
+                return (x, r, z, pv, rz2, it + 1)
+
+            dxp, r_f, _, _, _, cg_iters = jax.lax.while_loop(
+                cond, body, (x0, r0, z0, z0, rz0, 0))
+
+            # back-substitute eliminated rows: dxl = Dinv (bl − Σ B_sᵀ dxp)
+            wl = {t: jnp.zeros_like(bl[t]) for t in lm_types}
+            for name, pslots, ls in obs_specs:
+                et = p.edge_types[name]
+                lt = et.vertex_types[ls].name
+                vidx = data.edges[name].vidx
+                el = aux["elim"][name][:, None]
+                acc = None
+                for s in pslots:
+                    ts = et.vertex_types[s].name
+                    h = jnp.einsum("edl,ed->el", B[name][s],
+                                   dxp[ts][vidx[:, s]])
+                    acc = h if acc is None else acc + h
+                if acc is not None:
+                    wl[lt] = wl[lt].at[vidx[:, ls]].add(el * acc)
+            dxl = {}
+            for t in full_lm:
+                dxl[t] = jnp.einsum("nij,nj->ni", Dinv[t], bl[t] - wl[t])
+            out = dict(dxl)
+            for t in cg_types:
+                if t in lm_types:      # partial: merge retained + eliminated
+                    mu = aux["marg"][t][:, None]
+                    out[t] = (dxp[t] * (1.0 - mu)
+                              + mu * jnp.einsum("nij,nj->ni", Dinv[t],
+                                                bl[t] - wl[t]))
+                else:
+                    out[t] = dxp[t]
+
+            res2 = pdot(r_f, r_f)
+            stats = {"cg_iterations": cg_iters, "residual2": res2,
+                     "rhs2": rhs2, "carry": 0.5 * res2}
+            return p.join_tangent(out), stats
+
+        def solve(data, lin, lam, aux=()):
+            return solve_full(data, lin, lam, aux)[0]
+
+        def solve_state(data, lin, lam, aux, state):
+            dx, st = solve_full(data, lin, lam, aux, carry=state)
+            return dx, st["carry"], st
+
+        self._solve_full = solve_full
+        self._solve_full_jit = jax.jit(solve_full)
+        self._solve_fn = solve
+        self._solve_jit = jax.jit(solve)
+        if self.absolute_tolerance:
             self._solve_state_fn = solve_state
             self._solve_state_jit = jax.jit(solve_state)
             self.state0 = jnp.asarray(-1.0, dtype)
