@@ -154,28 +154,30 @@ def bench_manhattan(dev):
     polish_wall = time.perf_counter() - t1
     spi2 = polish_wall / max(res2["iterations"], 1)
 
-    # PHASE 3 — the gn_var fixed point (VERDICT r3 item 1): the reference's
-    # BEST manhattan config (CSparse f64 GN) converges to chi2 9116.756.
-    # The Jacobi-scaled Hessian has kappa ~2e9, beyond ANY f32 solve
-    # (direct or CG both floor ~9135-9155), so this phase runs f64 GN with
-    # deep chunk2-preconditioned CG — f64 VECTORS + broadcast lane-work
-    # matvecs (f64 dots are emulated 20-80x slower on TPU; elementwise is
-    # ~free, scripts/probe_f64_tpu.py) and an f32 preconditioner
-    # (rate-only).  Reference: optimization_algorithm_gauss_newton.cpp:50,
+    # PHASE 3 — the gn_var fixed point (VERDICT r3 item 1 / r4 item 1): the
+    # reference's BEST manhattan config (CSparse f64 GN) converges to chi2
+    # 9116.756 in 6 iterations.  The Jacobi-scaled Hessian has kappa ~2e9,
+    # beyond ANY f32 solve (direct or CG both floor ~9135-9155), and TPU
+    # f64 dots are emulated 20-80x slower — so this exact tail runs the
+    # HYBRID: f64 linearize + H/b assembly on the TPU (one fused jit,
+    # ~0.5 MB shipped), native host sparse Cholesky (native/hostchol.cpp)
+    # for the sequential factorization, apples-to-apples with the
+    # reference's own CSparse-on-CPU gn_var — from the ORIGINAL estimates,
+    # like the reference run.  Round-4's all-device f64 deep-CG route took
+    # 5.0 s (4 GN solves x ~1100 f64-CG iterations); the hybrid crosses in
+    # ~0.45 s.  Reference: optimization_algorithm_gauss_newton.cpp:50,
     # baseline_measured.json chi2_converged.
-    est_pl = {t: np.array(v) for t, v in p.estimates.items()}
+    from g2o_tpu.core.solvers.host_chol import (HostCholSolver,
+                                                optimize_gn_host)
+
     p64 = g.compile(dtype=jnp.float64)
-    exact = PCGSolver(max_iter=4096, tol=1e-6, precond="chunk2",
-                      chunk_size=16, carry_factor=0.0,
-                      precond_dtype=jnp.float32)
+    est_orig = {t: np.array(v) for t, v in p64.estimates.items()}
+    host = HostCholSolver().setup(p64)
+    optimize_gn_host(p64, host, 2)                # warm-up/compile
     p64.set_estimates({t: jnp.asarray(v, dtype=jnp.float64)
-                       for t, v in est_pl.items()})
-    optimize_fused_gn(p64, exact, 1)              # warm-up/compile
-    p64.set_estimates({t: jnp.asarray(v, dtype=jnp.float64)
-                       for t, v in est_pl.items()})
-    t2 = time.perf_counter()
-    res3 = optimize_fused_gn(p64, exact, 4)
-    exact_wall = time.perf_counter() - t2
+                       for t, v in est_orig.items()})
+    res3 = optimize_gn_host(p64, host, 8)
+    exact_wall = res3["wall_s"]
     spi3 = exact_wall / max(res3["iterations"], 1)
     chis3 = res3["chi2_per_iteration"] + [res3["chi2_final"]]
     gn_target = _ref().get("manhattan3500", {}).get("chi2_converged",
@@ -202,28 +204,31 @@ def bench_manhattan(dev):
         cross = next((i for i, c in enumerate(chis2) if c <= target), None)
         if cross is not None:
             tt_exact = round(res["wall_s"] + cross * spi2, 3)
-    # cumulative wall to the gn_var fixed point: fast + f32 polish + the
-    # crossing prefix of the f64 exact phase
+    # wall to the gn_var fixed point: the hybrid GN runs from the ORIGINAL
+    # estimates (the reference gn_var trajectory), so its crossing prefix
+    # IS the whole time — no fast/polish phase in front
     tt_gn = None
     if cross3 is not None:
-        tt_gn = round(res["wall_s"] + polish_wall + cross3 * spi3, 3)
+        tt_gn = round(sum(res3["iter_walls"][:cross3]), 3)
     ref_gn_total = ref.get("sec_per_gn_iter", 0.0112) * \
         (ref.get("converged_at_iteration", 5) + 1)
     out["chi2_final"] = res3["chi2_final"]
     out.update(dataset="manhattan3500 (create_manhattan seed=0)",
                build_s=round(build_s, 2),
                solver="PCG chunk2(16) tol=1e-2 cap=32 (fused LM) "
-                      "+ GN deep-CG polish + f64 GN exact",
+                      "+ GN deep-CG polish + hybrid host-chol f64 GN exact",
                polish={"algorithm": "GN, chunk2 cap=128 tol=1e-6 "
                                     "carry=0.01 matvec=HIGHEST",
                        "iterations": res2["iterations"],
                        "sec_per_iter": round(spi2, 5),
                        "chi2_final": res2["chi2_final"]},
-               exact={"algorithm": "f64 GN, chunk2(16) cap=4096 tol=1e-6 "
-                                   "carry=0 precond_dtype=f32",
+               exact={"algorithm": "f64 GN from scratch, hybrid host "
+                                   "native sparse Cholesky "
+                                   "(native/hostchol.cpp)",
                       "iterations": res3["iterations"],
                       "sec_per_iter": round(spi3, 4),
-                      "cg_per_iteration": res3.get("cg_per_iteration"),
+                      "iter_walls": [round(w, 4)
+                                     for w in res3["iter_walls"]],
                       "chi2_final": res3["chi2_final"],
                       "reference_gn_var_chi2": gn_target,
                       "time_to_gn_var_chi2_s": tt_gn,

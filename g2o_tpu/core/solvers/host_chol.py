@@ -220,6 +220,16 @@ class HostCholSolver:
 
         self._off_blocks = off_blocks
         self._assemble_jit = jax.jit(assemble)
+
+        def step1(data, est):
+            """Fused linearize + H/b assembly (the host-GN driver's single
+            fetch per iteration — see :func:`optimize_gn_host`)."""
+            lin = p.linearize_fn(data, est)
+            return lin.diag, off_blocks(lin), lin.b, lin.chi2_robust
+
+        # built ONCE here: a fresh jax.jit wrapper per driver call would
+        # re-trace every run (~2.5 s per optimize_gn_host call, measured)
+        self._step1_jit = jax.jit(step1)
         return self
 
     def _base_ax(self, data, lin):
@@ -310,13 +320,7 @@ def optimize_gn_host(problem, solver, n_iters, lam=0.0):
     p = problem
     if getattr(solver, "_p", None) is not p:
         solver.setup(p)
-
-    def step1(data, est):
-        lin = p.linearize_fn(data, est)
-        return (lin.diag, solver._off_blocks(lin), lin.b,
-                lin.chi2_robust)
-
-    step1_jit = jax.jit(step1)
+    step1_jit = solver._step1_jit
     apply_jit = p.apply_jit
 
     est = p.estimates

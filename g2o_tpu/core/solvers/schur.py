@@ -64,7 +64,10 @@ class SchurSolver:
         for t, m in problem.marginalized.items():
             if m.any() and not m.all():
                 raise NotImplementedError(
-                    f"SchurSolver: vertex type {t} is partially marginalized"
+                    f"SchurSolver: vertex type {t} is partially "
+                    "marginalized — use ImplicitSchurSolver, whose general "
+                    "path supports per-vertex marginalization and n-ary "
+                    "observation edges exactly"
                 )
         lm_types = [t for t, v in marg.items() if v]
         pose_types = [t for t, v in marg.items() if not v]

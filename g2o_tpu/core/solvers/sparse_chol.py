@@ -551,7 +551,9 @@ class SparseCholeskySolver:
     so the factor/solve/selected-inverse machinery stays one uniform
     batched schedule (the TPU answer to the reference's
     variable-blocksize ``BlockSolverX``, ``core/block_solver.h:196``).
-    Binary edges only (ternary calib edges go through PCG/Schur)."""
+    N-ary (hyper) edges contribute one H block per slot pair, exactly as
+    the reference builds its pattern from whatever blocks exist
+    (``block_solver.hpp:142-214``)."""
 
     name = "sparse_chol"
 
@@ -573,21 +575,24 @@ class SparseCholeskySolver:
             acc += p.counts[t]
         n = acc
 
-        # block pattern from binary edges (global block ids across types)
+        # block pattern: ALL vertex pairs of every edge — n-ary edges
+        # (ternary calib etc.) contribute each slot pair, exactly as the
+        # reference builds its pattern from whatever H blocks exist
+        # (``g2o/core/block_solver.hpp:142-214``)
         pair_set = set()
+        slot_pairs = {name: [(a, b)
+                             for a in range(et.num_slots)
+                             for b in range(a + 1, et.num_slots)]
+                      for name, et in p.edge_types.items()}
         for name, et in p.edge_types.items():
             vidx = np.asarray(p.data.edges[name].vidx)
-            if et.num_slots == 1:
-                continue
-            if et.num_slots != 2:
-                raise NotImplementedError(
-                    "SparseCholeskySolver: edges with >2 vertices not "
-                    "supported yet")
-            ga = base[et.vertex_types[0].name] + vidx[:, 0]
-            gb = base[et.vertex_types[1].name] + vidx[:, 1]
-            for a, b in zip(ga.tolist(), gb.tolist()):
-                if a != b:
-                    pair_set.add((min(a, b), max(a, b)))
+            for a, b in slot_pairs[name]:
+                ga = base[et.vertex_types[a].name] + vidx[:, a]
+                gb = base[et.vertex_types[b].name] + vidx[:, b]
+                lo = np.minimum(ga, gb)
+                hi = np.maximum(ga, gb)
+                m = lo != hi
+                pair_set.update(zip(lo[m].tolist(), hi[m].tolist()))
         pairs = np.asarray(sorted(pair_set), dtype=np.int64).reshape(-1, 2)
 
         sym = symbolic_factorization(n, pairs, min_size=self.min_size)
@@ -599,25 +604,25 @@ class SparseCholeskySolver:
         off_slot = sched.pop("off_slot")
         off_slot_v = sched.pop("off_slot_v")
 
-        # per-edge-type slot/transpose maps for scattering H_ab blocks
+        # per-(edge type, slot pair) maps for scattering H_ab blocks
         # (vectorized: block (hi, lo) with hi > lo holds H[a,b] when
         # inv[a] > inv[b], H[b,a] — the transpose — otherwise)
         edge_maps = {}
         for name, et in p.edge_types.items():
-            if et.num_slots != 2:
-                continue
             vidx = np.asarray(p.data.edges[name].vidx)
-            ga = base[et.vertex_types[0].name] + vidx[:, 0]
-            gb = base[et.vertex_types[1].name] + vidx[:, 1]
-            i = inv[ga]
-            j = inv[gb]
-            valid = ga != gb
-            lo = np.where(valid, np.minimum(i, j), 0)
-            hi = np.where(valid, np.maximum(i, j), 1)
-            slots = np.where(valid, off_slot_v(hi, lo), 0)
-            transpose = i < j
-            edge_maps[name] = (jnp.asarray(slots), jnp.asarray(transpose),
-                               jnp.asarray(valid))
+            for a, b in slot_pairs[name]:
+                ga = base[et.vertex_types[a].name] + vidx[:, a]
+                gb = base[et.vertex_types[b].name] + vidx[:, b]
+                i = inv[ga]
+                j = inv[gb]
+                valid = ga != gb
+                lo = np.where(valid, np.minimum(i, j), 0)
+                hi = np.where(valid, np.maximum(i, j), 1)
+                slots = np.where(valid, off_slot_v(hi, lo), 0)
+                transpose = i < j
+                edge_maps[(name, a, b)] = (jnp.asarray(slots),
+                                           jnp.asarray(transpose),
+                                           jnp.asarray(valid))
 
         # global (n,) fixed mask + per-slot validity (padding slots off)
         fixed_np = np.zeros(n, dtype=bool)
@@ -679,19 +684,20 @@ class SparseCholeskySolver:
             fx = aux["gfixed"].astype(dtype)[:, None, None]
             diag = diag * (1.0 - fx) + eye * fx
             blocks = blocks.at[:n].set(diag[aux["perm"]])
-            # off-diagonal H blocks
+            # off-diagonal H blocks (every slot pair of every edge)
             for name, et in p.edge_types.items():
-                if et.num_slots != 2:
+                if not slot_pairs[name]:
                     continue
                 Js = p.edge_jacs(lin, name)
                 W = p.edge_weights(lin, name)
-                Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[0], W,
-                                            Js[1], precision=hi))
-                slots, transpose, valid = aux["edge_maps"][name]
-                Hab = jnp.where(transpose[:, None, None],
-                                jnp.swapaxes(Hab, -1, -2), Hab)
-                Hab = Hab * valid[:, None, None].astype(dtype)
-                blocks = blocks.at[slots].add(Hab)
+                for a, b in slot_pairs[name]:
+                    Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[a],
+                                                W, Js[b], precision=hi))
+                    slots, transpose, valid = aux["edge_maps"][(name, a, b)]
+                    Hab = jnp.where(transpose[:, None, None],
+                                    jnp.swapaxes(Hab, -1, -2), Hab)
+                    Hab = Hab * valid[:, None, None].astype(dtype)
+                    blocks = blocks.at[slots].add(Hab)
             return factorize(blocks, aux)
 
         def solve(data, lin, lam, aux):

@@ -534,10 +534,13 @@ def solve_supernodal(blocks, b, levels, d: int):
 # --------------------------------------------------------------------- #
 
 class SupernodalCholeskySolver:
-    """Direct supernodal block-Cholesky solver for uniform-block problems
-    (SE2/SE3 pose graphs) — the CHOLMOD-class direct solver.  Symbolic
-    analysis + amalgamation run once at setup; each ``solve`` re-runs the
-    batched dense numeric phase with the current lambda."""
+    """Direct supernodal block-Cholesky solver — the CHOLMOD-class direct
+    solver.  Symbolic analysis + amalgamation run once at setup; each
+    ``solve`` re-runs the batched dense numeric phase with the current
+    lambda.  Mixed vertex types ride global block ids with top-left
+    padding to the max tangent dim (CHOLMOD covers this with variable
+    block sizes, ``linear_solver_cholmod.h:76``); n-ary edges contribute
+    one H block per slot pair (``block_solver.hpp:142-214``)."""
 
     name = "supernodal"
 
@@ -560,27 +563,35 @@ class SupernodalCholeskySolver:
 
     def setup(self, problem):
         p = problem
-        if len(p.vertex_types) != 1:
-            raise NotImplementedError(
-                "SupernodalCholeskySolver: single vertex type required "
-                f"(got {sorted(p.vertex_types)})")
-        (tname,) = p.vertex_types
-        vt = p.vertex_types[tname]
-        d = vt.tangent_dim
-        n = p.counts[tname]
+        tnames = list(p.vertex_types)
+        dims = {t: p.vertex_types[t].tangent_dim for t in tnames}
+        d = max(dims.values())               # padded uniform block dim
+        base = {}
+        acc = 0
+        for t in tnames:
+            base[t] = acc
+            acc += p.counts[t]
+        n = acc
 
+        # block pattern: ALL vertex pairs of every edge (n-ary included) on
+        # global block ids across types — mixed types ride the uniform
+        # batched schedule via top-left padding (the same scheme
+        # ``SparseCholeskySolver`` uses; the reference covers this with
+        # CHOLMOD's variable block sizes, ``linear_solver_cholmod.h:76``)
         pair_set = set()
+        slot_pairs = {name: [(a, b)
+                             for a in range(et.num_slots)
+                             for b in range(a + 1, et.num_slots)]
+                      for name, et in p.edge_types.items()}
         for name, et in p.edge_types.items():
-            if et.num_slots == 1:
-                continue
-            if et.num_slots != 2:
-                raise NotImplementedError(
-                    "SupernodalCholeskySolver: edges with >2 vertices not "
-                    "supported yet")
             vidx = np.asarray(p.data.edges[name].vidx)
-            for a, b in vidx:
-                if a != b:
-                    pair_set.add((min(int(a), int(b)), max(int(a), int(b))))
+            for a, b in slot_pairs[name]:
+                ga = base[et.vertex_types[a].name] + vidx[:, a]
+                gb = base[et.vertex_types[b].name] + vidx[:, b]
+                lo = np.minimum(ga, gb)
+                hi = np.maximum(ga, gb)
+                m = lo != hi
+                pair_set.update(zip(lo[m].tolist(), hi[m].tolist()))
         pairs = np.asarray(sorted(pair_set), dtype=np.int64).reshape(-1, 2)
 
         sym = symbolic_factorization(n, pairs, min_size=self.min_size)
@@ -592,24 +603,42 @@ class SupernodalCholeskySolver:
 
         edge_maps = {}
         for name, et in p.edge_types.items():
-            if et.num_slots != 2:
-                continue
             vidx = np.asarray(p.data.edges[name].vidx)
-            i = inv[vidx[:, 0]]
-            j = inv[vidx[:, 1]]
-            valid = vidx[:, 0] != vidx[:, 1]
-            lo = np.where(valid, np.minimum(i, j), 0)
-            hi = np.where(valid, np.maximum(i, j), 1)
-            slots = np.where(valid, off_slot_v(hi, lo), 0)
-            transpose = i < j
-            edge_maps[name] = (jnp.asarray(slots), jnp.asarray(transpose),
-                               jnp.asarray(valid))
+            for a, b in slot_pairs[name]:
+                ga = base[et.vertex_types[a].name] + vidx[:, a]
+                gb = base[et.vertex_types[b].name] + vidx[:, b]
+                i = inv[ga]
+                j = inv[gb]
+                valid = ga != gb
+                lo = np.where(valid, np.minimum(i, j), 0)
+                hi = np.where(valid, np.maximum(i, j), 1)
+                slots = np.where(valid, off_slot_v(hi, lo), 0)
+                transpose = i < j
+                edge_maps[(name, a, b)] = (jnp.asarray(slots),
+                                           jnp.asarray(transpose),
+                                           jnp.asarray(valid))
+
+        # global fixed mask + per-slot validity (padding slots off)
+        fixed_np = np.zeros(n, dtype=bool)
+        valid_np = np.zeros((n, d), dtype=np.float64)
+        for t in tnames:
+            fixed_np[base[t]:base[t] + p.counts[t]] = \
+                np.asarray(p.data.fixed[t])
+            valid_np[base[t]:base[t] + p.counts[t], :dims[t]] = 1.0
 
         perm = jnp.asarray(sym["perm"])
         dtype = p.dtype
         n_total = n + meta["nnz"]
-        self.aux = dict(levels=levels, perm=perm, edge_maps=edge_maps)
+        self.aux = dict(levels=levels, perm=perm, edge_maps=edge_maps,
+                        gfixed=jnp.asarray(fixed_np),
+                        gvalid=jnp.asarray(valid_np, dtype=dtype))
         eye = jnp.eye(d, dtype=dtype)
+
+        def _pad_block(M):
+            a, b = M.shape[-2], M.shape[-1]
+            if a == d and b == d:
+                return M
+            return jnp.pad(M, ((0, 0), (0, d - a), (0, d - b)))
 
         def assemble_and_factor(data, lin, lam, aux):
             # every H einsum at HIGHEST: on TPU the default is bf16 MXU
@@ -625,33 +654,42 @@ class SupernodalCholeskySolver:
                 W = p.edge_weights(lin, name)
                 vidx = data.edges[name].vidx
                 for s in range(et.num_slots):
+                    t = et.vertex_types[s].name
                     Hss = jnp.einsum("erd,ers,esf->edf", Js[s], W, Js[s],
                                      precision=_HI)
-                    diag = diag.at[vidx[:, s]].add(Hss)
-            fx = data.fixed[tname].astype(dtype)[:, None, None]
-            diag = diag + lam * eye
+                    diag = diag.at[base[t] + vidx[:, s]].add(
+                        _pad_block(Hss))
+            vmask = aux["gvalid"]                      # (n, d)
+            diag = diag + jnp.einsum("nd,de->nde", vmask, eye) * lam \
+                + jnp.einsum("nd,de->nde", 1.0 - vmask, eye)
+            fx = aux["gfixed"].astype(dtype)[:, None, None]
             diag = diag * (1.0 - fx) + eye * fx
             blocks = blocks.at[:n].set(diag[aux["perm"]])
             for name, et in p.edge_types.items():
-                if et.num_slots != 2:
+                if not slot_pairs[name]:
                     continue
                 Js = p.edge_jacs(lin, name)
                 W = p.edge_weights(lin, name)
-                Hab = jnp.einsum("erd,ers,esf->edf", Js[0], W, Js[1],
-                                 precision=_HI)
-                slots, transpose, valid = aux["edge_maps"][name]
-                Hab = jnp.where(transpose[:, None, None],
-                                jnp.swapaxes(Hab, -1, -2), Hab)
-                Hab = Hab * valid[:, None, None].astype(dtype)
-                blocks = blocks.at[slots].add(Hab)
+                for a, b in slot_pairs[name]:
+                    Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[a],
+                                                W, Js[b], precision=_HI))
+                    slots, transpose, valid = aux["edge_maps"][(name, a, b)]
+                    Hab = jnp.where(transpose[:, None, None],
+                                    jnp.swapaxes(Hab, -1, -2), Hab)
+                    Hab = Hab * valid[:, None, None].astype(dtype)
+                    blocks = blocks.at[slots].add(Hab)
             return factorize_supernodal(blocks, aux["levels"], d)
 
         n_refine = self.refine
 
         def solve(data, lin, lam, aux):
             blocks = assemble_and_factor(data, lin, lam, aux)
-            bblk = p.split_tangent(lin.b)[tname]
-            xperm = solve_supernodal(blocks, bblk[aux["perm"]],
+            bb = p.split_tangent(lin.b)
+            bfull = jnp.zeros((n, d), dtype=dtype)
+            for t in tnames:
+                bfull = bfull.at[base[t]:base[t] + p.counts[t],
+                                 :dims[t]].set(bb[t])
+            xperm = solve_supernodal(blocks, bfull[aux["perm"]],
                                      aux["levels"], d)
             x = jnp.zeros_like(xperm).at[aux["perm"]].set(xperm)
             if n_refine:
@@ -659,16 +697,24 @@ class SupernodalCholeskySolver:
                 # precision TPU einsums run bf16 MXU passes (~1e-3
                 # relative), turning the correction into bf16 noise
                 hvp = p.hvp_operator(data, lin, precision=_HI)
-                fx = data.fixed[tname].astype(dtype)[:, None]
                 for _ in range(n_refine):
-                    # r = b - (H + lam I) x  (identity rows on fixed slots)
-                    Ax = hvp({tname: x})[tname] \
-                        + lam * x * (1.0 - fx) + x * fx
-                    r = bblk - Ax
-                    dperm = solve_supernodal(blocks, r[aux["perm"]],
+                    xb = {t: x[base[t]:base[t] + p.counts[t], :dims[t]]
+                          for t in tnames}
+                    hv = hvp(xb)
+                    # padding slots: unit diagonal, b = 0, x = 0 -> r = 0
+                    rfull = jnp.zeros_like(bfull)
+                    for t in tnames:
+                        fxt = data.fixed[t].astype(dtype)[:, None]
+                        # r = b - (H + lam I) x (identity rows on fixed)
+                        Ax = hv[t] + lam * xb[t] * (1.0 - fxt) + xb[t] * fxt
+                        rfull = rfull.at[base[t]:base[t] + p.counts[t],
+                                         :dims[t]].set(bb[t] - Ax)
+                    dperm = solve_supernodal(blocks, rfull[aux["perm"]],
                                              aux["levels"], d)
                     x = x + jnp.zeros_like(x).at[aux["perm"]].set(dperm)
-            return p.join_tangent({tname: x})
+            return p.join_tangent(
+                {t: x[base[t]:base[t] + p.counts[t], :dims[t]]
+                 for t in tnames})
 
         self._factor_fn = assemble_and_factor
         self._solve_fn = solve

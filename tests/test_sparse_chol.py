@@ -137,3 +137,44 @@ def test_mixed_type_takahashi_marginals():
     d = compute_marginals(p, vids, lam=1e-4, method="dense")
     for v in vids:
         np.testing.assert_allclose(t[v], d[v], atol=1e-8)
+
+
+def test_ternary_calib_matches_dense():
+    """Hyper-edges through the direct csparse-analogue path: every slot
+    pair of an n-ary edge contributes an H block to the pattern
+    (block_solver.hpp:142-214)."""
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.core.solvers import DenseSolver
+    from g2o_tpu.core.solvers.sparse_chol import SparseCholeskySolver
+    from g2o_tpu.ops import lie
+    from g2o_tpu.types.sclam2d import EdgeSE2SensorCalib
+    from g2o_tpu.types.slam2d import EdgeSE2, VertexSE2
+
+    rng = np.random.default_rng(9)
+    offset_gt = np.array([0.3, 0.1, 0.2])
+    poses = [np.array([0.0, 0, 0])]
+    for i in range(12):
+        poses.append(poses[-1] + np.array([1.0, 0.1 * rng.normal(), 0.15]))
+    g = Graph()
+    for i, x in enumerate(poses):
+        g.add_vertex(i, VertexSE2, x + rng.normal(scale=0.03, size=3),
+                     fixed=(i == 0))
+    g.add_vertex(100, VertexSE2, [0.0, 0.0, 0.0])
+    info = np.eye(3) * 100
+    for i in range(len(poses) - 1):
+        a = lie.se2_compose(jnp.asarray(poses[i]), jnp.asarray(offset_gt))
+        b = lie.se2_compose(jnp.asarray(poses[i + 1]),
+                            jnp.asarray(offset_gt))
+        meas = np.asarray(lie.se2_compose(lie.se2_inverse(a), b))
+        g.add_edge(EdgeSE2SensorCalib, [i, i + 1, 100], meas, info)
+        g.add_edge(EdgeSE2, [i, i + 1], meas, info * 0.1)
+    p = g.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    lam = 1e-3
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, lam))
+    dx_s = np.asarray(
+        SparseCholeskySolver().setup(p).solve(p.data, lin, lam))
+    rel = np.linalg.norm(dx_s - dx_d) / np.linalg.norm(dx_d)
+    assert rel < 1e-9
