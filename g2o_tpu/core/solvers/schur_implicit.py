@@ -68,7 +68,8 @@ class ImplicitSchurSolver:
                  precond: str = "schur_jacobi", layout: str = "auto",
                  onehot_max_segments: int = 8192, max_buckets: int = 10,
                  matvec_precision: str = "auto",
-                 absolute_tolerance: bool = True):
+                 absolute_tolerance: bool = True,
+                 deflate_basis=None):
         if layout not in ("auto", "rows", "bucketed"):
             raise ValueError(f"unknown layout {layout!r}")
         if precond not in ("schur_jacobi", "jacobi"):
@@ -92,6 +93,15 @@ class ImplicitSchurSolver:
         # preconditioned residual into the next solve's stopping threshold
         # (``solvers/pcg/linear_solver_pcg.h:55``, ``.hpp:124-127,149``)
         self.absolute_tolerance = bool(absolute_tolerance)
+        # near-null-space deflation: ``{pose_type: (N, d, k)}`` ORTHONORMAL
+        # basis (flattened columns orthonormal).  The reduced CG runs on
+        # the orthogonal complement — rhs, preconditioned residuals and
+        # matvec outputs are projected, so the Krylov space never excites
+        # the λ-eigenvalue gauge cluster that otherwise costs 15-130
+        # iterations on free-gauge late solves (the gradient is exactly
+        # orthogonal to gauge orbits, so the discarded component is noise).
+        # Build with ``g2o_tpu.types.bal.bal_gauge_basis(problem)``.
+        self.deflate_basis = deflate_basis
         self.aux = ()
         self._solve_fn = None
         self._solve_jit = None
@@ -227,6 +237,10 @@ class ImplicitSchurSolver:
                 }
                 bspec[name] = (plan.counts, plan.degrees,
                                int(len(plan.perm_src)))
+            self.aux = aux
+        if self.deflate_basis:
+            aux["deflate_G"] = {t: jnp.asarray(np.asarray(v), dtype=dtype)
+                                for t, v in self.deflate_basis.items()}
             self.aux = aux
 
         if self.matvec_precision == "default":
@@ -670,9 +684,28 @@ class ImplicitSchurSolver:
                 return {t: jnp.einsum("nij,nj->ni", minv[t], rb[t])
                         for t in pose_types}
 
+            # gauge deflation (free-gauge BA): run CG on the orthogonal
+            # complement of the analytic near-null basis — rhs, matvec
+            # outputs and preconditioned residuals are projected, so the
+            # λ-eigenvalue cluster never enters the Krylov space
+            G = aux.get("deflate_G") if isinstance(aux, dict) else None
+            if G is not None:
+                def project(vb):
+                    coef = None
+                    for t, Gt in G.items():
+                        c = jnp.einsum("ndk,nd->k", Gt, vb[t])
+                        coef = c if coef is None else coef + c
+                    out = dict(vb)
+                    for t, Gt in G.items():
+                        out[t] = vb[t] - jnp.einsum("ndk,k->nd", Gt, coef)
+                    return out
+            else:
+                def project(vb):
+                    return vb
+
             x0 = tmap(jnp.zeros_like, bschur)
-            r0 = bschur
-            z0 = precond(r0)
+            r0 = project(bschur)
+            z0 = project(precond(r0))
             rz0 = pdot(r0, z0)
             # termination: ||r||^2 <= max(tol^2 ||b||^2, carry), where
             # ``carry`` is half the final ||r||^2 of the PREVIOUS solve —
@@ -693,11 +726,11 @@ class ImplicitSchurSolver:
 
             def body(c):
                 x, r, z, pv, rz, it = c
-                Ap = S_vec(pv)
+                Ap = project(S_vec(pv))
                 alpha = rz / pdot(pv, Ap)
                 x = tmap(lambda a, b_: a + alpha * b_, x, pv)
                 r = tmap(lambda a, b_: a - alpha * b_, r, Ap)
-                z = precond(r)
+                z = project(precond(r))
                 rz2 = pdot(r, z)
                 pv = tmap(lambda a, b_: a + (rz2 / rz) * b_, z, pv)
                 return (x, r, z, pv, rz2, it + 1)

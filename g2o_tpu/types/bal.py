@@ -70,3 +70,84 @@ EdgeObservationBAL = register_edge(EdgeType(
     meas_dim=2,
     tags=("EDGE_OBSERVATION_BAL",),
 ))
+
+
+def _skew(v):
+    import numpy as np
+
+    return np.array([[0.0, -v[2], v[1]],
+                     [v[2], 0.0, -v[0]],
+                     [-v[1], v[0], 0.0]])
+
+
+def bal_gauge_directions(cams, pts=None):
+    """The 7 analytic gauge directions of a FREE-GAUGE BAL problem.
+
+    ``bal_example`` fixes no camera — a global similarity of the world
+    (rotation R_g, translation d, scale 1+s) composed with the
+    compensating camera motion leaves every reprojection invariant, so the
+    Hessian has an (at λ=0) exactly-null 7-dim subspace whose orbit
+    tangents are:
+
+    * rotation k (X → exp([e_k]×) X): ``δω_i = −J_r(ω_i)^{-1} e_k``
+      (right-perturbation of the additive Rodrigues parameterisation),
+      ``δX = e_k × X``;
+    * translation k (X → X + e_k): ``δt_i = −R(ω_i) e_k``, ``δX = e_k``;
+    * scale (X → (1+s) X): ``δt_i = t_i``, ``δX = X`` (the perspective
+      division −x/z and the radial term are scale-invariant).
+
+    Returns ``(Gcam (N, 9, 7), Gpt (M, 3, 7) or None)`` as numpy float64.
+    ``J·[Gcam; Gpt] = 0`` exactly (orbit tangents); the camera block alone
+    is the null space of the REDUCED Schur system — the deflation basis
+    for :class:`ImplicitSchurSolver` (late free-gauge λ→0 solves are
+    near-singular along it, costing 15-130 CG iterations at Venice scale).
+    """
+    import numpy as np
+
+    cams = np.asarray(cams, dtype=np.float64)
+    N = cams.shape[0]
+    Gcam = np.zeros((N, 9, 7))
+    for i in range(N):
+        w = cams[i, :3]
+        t = cams[i, 3:6]
+        th2 = float(w @ w)
+        W = _skew(w)
+        if th2 < 1e-12:
+            Jr_inv = np.eye(3) + 0.5 * W + (1.0 / 12.0) * (W @ W)
+        else:
+            th = np.sqrt(th2)
+            Jr_inv = (np.eye(3) + 0.5 * W
+                      + (1.0 / th2 - (1.0 + np.cos(th))
+                         / (2.0 * th * np.sin(th))) * (W @ W))
+        # R(w) columns via Rodrigues
+        R = np.asarray(rodrigues_rotate(
+            jnp.asarray(w)[None, :].repeat(3, 0), jnp.asarray(np.eye(3))))
+        R = R.T                       # rows were rotated basis vectors
+        Gcam[i, :3, 0:3] = -Jr_inv    # rotation gauge
+        Gcam[i, 3:6, 3:6] = -R        # translation gauge
+        Gcam[i, 3:6, 6] = t           # scale gauge
+    if pts is None:
+        return Gcam, None
+    pts = np.asarray(pts, dtype=np.float64)
+    M = pts.shape[0]
+    Gpt = np.zeros((M, 3, 7))
+    for k in range(3):
+        e = np.zeros(3)
+        e[k] = 1.0
+        Gpt[:, :, k] = np.cross(np.broadcast_to(e, pts.shape), pts)
+        Gpt[:, k, 3 + k] = 1.0
+    Gpt[:, :, 6] = pts
+    return Gcam, Gpt
+
+
+def bal_gauge_basis(problem, cam_type="VERTEX_CAMERA_BAL"):
+    """Orthonormal camera-space deflation basis ``{cam_type: (N, 9, 7)}``
+    from the problem's CURRENT estimates, ready for
+    ``ImplicitSchurSolver(deflate_basis=...)``."""
+    import numpy as np
+
+    cams = np.asarray(problem.estimates[cam_type])
+    Gcam, _ = bal_gauge_directions(cams)
+    N = Gcam.shape[0]
+    Q, _ = np.linalg.qr(Gcam.reshape(N * 9, 7))
+    return {cam_type: Q.reshape(N, 9, 7)}
