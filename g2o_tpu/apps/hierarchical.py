@@ -4,18 +4,23 @@ SURVEY.md §2.4):
 
 1. decompose the graph into *stars*: BFS balls of radius ``star_radius``
    around evenly spaced central poses (the reference grows stars over a
-   Dijkstra backbone, ``star.h:52``);
+   Dijkstra backbone, ``star.h:52``); landmarks (any non-backbone vertex
+   type) are assigned to the star that observes them most;
 2. optimize each star locally with its centre fixed (gauge);
 3. *edge labeling* (``edge_labeler.h:45``): for each star, create condensed
    level-1 edges centre→boundary whose measurement is the locally optimized
-   relative transform and whose information is the inverse of the boundary
-   vertex's marginal covariance in the star subproblem;
-4. optimize the level-1 skeleton over the centres;
-5. re-anchor every star rigidly to its optimized centre and run a final
-   low-level refinement.
+   relative transform (pose targets) or the locally optimized landmark
+   position in the centre frame (landmark targets — the reference's
+   ``EdgeCreator`` picks the pose→landmark observation edge for these,
+   ``edge_creator.h:45``), and whose information is the inverse of the
+   target's marginal covariance in the star subproblem;
+4. optimize the level-1 skeleton over the centres + boundary vertices;
+5. re-anchor every star rigidly to its optimized centre (landmarks move as
+   points under the rigid delta) and run a final low-level refinement.
 
-Works for any single vertex type with a group structure registered in
-``_GROUP_OPS`` (SE2 and SE3 here).
+Backbone vertex types with a group structure are registered in
+``_GROUP_OPS`` (SE2 and SE3); landmark types ride per-(pose, landmark)
+condensed-observation specs in ``_OBS_OPS`` (XY and TRACKXYZ).
 """
 
 from __future__ import annotations
@@ -34,26 +39,47 @@ _GROUP_OPS = {
         compose=lambda a, b: np.asarray(
             lie.se2_compose(jnp.asarray(a), jnp.asarray(b))),
         inverse=lambda a: np.asarray(lie.se2_inverse(jnp.asarray(a))),
+        act=lambda a, p: np.asarray(
+            lie.se2_act(jnp.asarray(a), jnp.asarray(p))),
         edge="EDGE_SE2",
     ),
     "VERTEX_SE3:QUAT": dict(
         compose=lambda a, b: np.asarray(
             lie.se3_compose(jnp.asarray(a), jnp.asarray(b))),
         inverse=lambda a: np.asarray(lie.se3_inverse(jnp.asarray(a))),
+        act=lambda a, p: np.asarray(
+            lie.se3_act(jnp.asarray(a), jnp.asarray(p))),
         edge="EDGE_SE3:QUAT",
     ),
 }
 
+# condensed centre→landmark observation edges, keyed by
+# (pose type, landmark type): the EdgeCreator table of the reference
+# (``apps/g2o_hierarchical/edge_creator.h:45`` builds the same
+# pose-landmark edge from the type pair).  ``param`` supplies the shared
+# parameter value for param-bearing edge types (identity sensor offset —
+# the condensed measurement is expressed directly in the centre frame).
+_OBS_OPS = {
+    ("VERTEX_SE2", "VERTEX_XY"): dict(edge="EDGE_SE2_XY", param=None),
+    ("VERTEX_SE3:QUAT", "VERTEX_TRACKXYZ"): dict(
+        edge="EDGE_SE3_TRACKXYZ",
+        param=np.array([0, 0, 0, 0, 0, 0, 1.0])),
+}
 
-def _bfs_stars(graph: Graph, star_radius: int):
-    """Partition vertices into stars; returns (centers, star_of_vid)."""
+
+def _bfs_stars(graph: Graph, star_radius: int, pose_type: str):
+    """Partition backbone (pose) vertices into stars over the pose-pose
+    adjacency; returns (centers, star_of_vid) covering poses only."""
+    is_pose = {vid: rec.vtype.name == pose_type
+               for vid, rec in graph.vertices().items()}
     adj: dict[int, set] = {}
     for e in graph.edges():
-        for a in e.vids:
-            for b in e.vids:
+        pv = [v for v in e.vids if is_pose[v]]
+        for a in pv:
+            for b in pv:
                 if a != b:
                     adj.setdefault(a, set()).add(b)
-    unassigned = set(graph.vertices())
+    unassigned = {v for v, p in is_pose.items() if p}
     star_of = {}
     centers = []
     order = sorted(unassigned)
@@ -78,6 +104,30 @@ def _bfs_stars(graph: Graph, star_radius: int):
     return centers, star_of
 
 
+def _assign_satellites(graph: Graph, star_of: dict, pose_type: str):
+    """Assign each non-backbone vertex to the star observing it most (the
+    reference adds a landmark to the star of its observing poses,
+    ``star.h`` star construction); isolated satellites fall back to any
+    already-assigned neighbour's star."""
+    votes: dict[int, dict] = {}
+    for e in graph.edges():
+        pose_stars = [star_of[v] for v in e.vids if v in star_of]
+        for v in e.vids:
+            if v in star_of or graph.vertex(v).vtype.name == pose_type:
+                continue
+            for s in pose_stars:
+                votes.setdefault(v, {})[s] = votes.get(v, {}).get(s, 0) + 1
+    for vid, rec in graph.vertices().items():
+        if vid in star_of or rec.vtype.name == pose_type:
+            continue
+        vv = votes.get(vid)
+        if vv:
+            star_of[vid] = max(sorted(vv), key=lambda s: vv[s])
+        else:
+            star_of[vid] = 0
+    return star_of
+
+
 def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
                           star_iterations: int = 10,
                           skeleton_iterations: int = 30,
@@ -92,15 +142,24 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
     depth analogue of the reference's ``Edge::level()`` hierarchy
     (``core/optimizable_graph.h:437-439``).  Returns a summary dict."""
     vtypes = {r.vtype.name for r in graph.vertices().values()}
-    if len(vtypes) != 1 or next(iter(vtypes)) not in _GROUP_OPS:
+    pose_types = vtypes & set(_GROUP_OPS)
+    if len(pose_types) != 1:
         raise NotImplementedError(
-            f"hierarchical: single SE2/SE3 vertex type required, got {vtypes}")
-    tname = next(iter(vtypes))
+            f"hierarchical: exactly one SE2/SE3 backbone type required, "
+            f"got {vtypes}")
+    tname = next(iter(pose_types))
+    sat_types = vtypes - pose_types
+    missing = [s for s in sat_types if (tname, s) not in _OBS_OPS]
+    if missing:
+        raise NotImplementedError(
+            f"hierarchical: no condensed-edge spec for landmark types "
+            f"{missing} under backbone {tname}")
     ops = _GROUP_OPS[tname]
     vt = graph.registry.vertex_types[tname]
     et_skel = graph.registry.edge_types[ops["edge"]]
 
-    centers, star_of = _bfs_stars(graph, star_radius)
+    centers, star_of = _bfs_stars(graph, star_radius, tname)
+    star_of = _assign_satellites(graph, star_of, tname)
     n_stars = len(centers)
 
     # --- per-star local optimization, BATCHED as one block-diagonal
@@ -118,6 +177,8 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
     center_set = set(centers)
 
     local_g = Graph(graph.registry)
+    for pid, val in graph._parameters.items():
+        local_g.add_parameter(pid, val)
     for vid in sorted(graph.vertices()):
         rec = graph.vertex(vid)
         local_g.add_vertex(vid, rec.vtype, rec.estimate,
@@ -128,7 +189,8 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
         sids = {star_of[v] for v in e.vids}
         if len(sids) == 1:
             local_g.add_edge(e.etype, e.vids, e.measurement, e.information,
-                             kernel=e.kernel, delta=e.delta)
+                             kernel=e.kernel, delta=e.delta,
+                             param_id=e.param_id)
             n_intra += 1
         else:
             for v in e.vids:
@@ -153,35 +215,64 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
     for sid, center in enumerate(centers):
         members = set(star_members[sid])
         targets = sorted(boundary_of[sid] - {center}) or \
-            sorted(members - {center})[:1]
+            sorted(m for m in members - {center}
+                   if graph.vertex(m).vtype.name == tname)[:1]
         targets_of.append(targets)
         all_targets.extend(targets)
     margs = compute_marginals(p, all_targets, lam=1e-9) if p is not None \
         else {}
 
     skeleton = Graph(graph.registry)
+    for pid, val in graph._parameters.items():
+        skeleton.add_parameter(pid, val)
+    obs_pids: dict[str, int] = {}      # identity-offset params we add
+
+    def _info_for(vid, dim):
+        if vid in margs:
+            cov = margs[vid]
+            return np.linalg.inv(cov + 1e-9 * np.eye(cov.shape[0]))
+        return np.eye(dim)
+
     for sid, center in enumerate(centers):
         if not skeleton.has_vertex(center):
             skeleton.add_vertex(center, vt, local[center],
                                 fixed=(sid == 0))
         for vid in targets_of[sid]:
+            rec = graph.vertex(vid)
             if not skeleton.has_vertex(vid):
-                skeleton.add_vertex(vid, vt, local[vid])
-            meas = ops["compose"](ops["inverse"](local[center]), local[vid])
-            if vid in margs:
-                cov = margs[vid]
-                info = np.linalg.inv(cov + 1e-9 * np.eye(cov.shape[0]))
+                skeleton.add_vertex(vid, rec.vtype, local[vid])
+            if rec.vtype.name == tname:
+                meas = ops["compose"](ops["inverse"](local[center]),
+                                      local[vid])
+                skeleton.add_edge(et_skel, [center, vid], meas,
+                                  _info_for(vid, vt.tangent_dim))
             else:
-                info = np.eye(vt.tangent_dim)
-            skeleton.add_edge(et_skel, [center, vid], meas, info)
+                # condensed observation: landmark in the centre frame
+                # (edge_labeler.h:45 virtual measurement; the information
+                # is the star-local marginal, as there)
+                spec = _OBS_OPS[(tname, rec.vtype.name)]
+                et_obs = graph.registry.edge_types[spec["edge"]]
+                meas = ops["act"](ops["inverse"](local[center]), local[vid])
+                pid = None
+                if spec["param"] is not None:
+                    if spec["edge"] not in obs_pids:
+                        newpid = max(skeleton._parameters, default=-1) + 1
+                        skeleton.add_parameter(newpid, spec["param"])
+                        obs_pids[spec["edge"]] = newpid
+                    pid = obs_pids[spec["edge"]]
+                skeleton.add_edge(et_obs, [center, vid], meas,
+                                  _info_for(vid, rec.vtype.tangent_dim),
+                                  param_id=pid)
 
-    # connect the skeleton: original edges crossing star boundaries
+    # connect the skeleton: original edges crossing star boundaries whose
+    # endpoints all survived condensation (pose-pose loop closures AND
+    # cross-star landmark observations)
     for e in graph.edges():
         sids = {star_of[v] for v in e.vids}
-        if len(sids) > 1 and all(skeleton.has_vertex(v) for v in e.vids) \
-                and e.etype.name == ops["edge"]:
+        if len(sids) > 1 and all(skeleton.has_vertex(v) for v in e.vids):
             skeleton.add_edge(e.etype, e.vids, e.measurement, e.information,
-                              kernel=e.kernel, delta=e.delta)
+                              kernel=e.kernel, delta=e.delta,
+                              param_id=e.param_id)
 
     levels_used = 2
     if max_levels > 2 and skeleton.num_vertices > recurse_threshold:
@@ -204,13 +295,19 @@ def optimize_hierarchical(graph: Graph, *, star_radius: int = 4,
         opt_s.optimize(skeleton_iterations)
         skel_est = ps.estimates_by_vid()
 
-    # --- re-anchor stars rigidly to the optimized centres ---
+    # --- re-anchor stars rigidly to the optimized centres (landmarks move
+    # as points under the rigid delta) ---
     for sid, center in enumerate(centers):
         old_c = est_after_star[center]
         new_c = np.asarray(skel_est[center])
         delta = ops["compose"](new_c, ops["inverse"](old_c))
         for vid in star_members[sid]:
-            graph.set_estimate(vid, ops["compose"](delta, est_after_star[vid]))
+            if graph.vertex(vid).vtype.name == tname:
+                graph.set_estimate(
+                    vid, ops["compose"](delta, est_after_star[vid]))
+            else:
+                graph.set_estimate(
+                    vid, ops["act"](delta, est_after_star[vid]))
 
     # --- final low-level refinement ---
     p_final = graph.compile()
