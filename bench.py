@@ -130,8 +130,14 @@ def bench_manhattan(dev):
     # (the compile default) is REQUIRED on TPU: bf16 assembly floors the
     # trajectory at chi2 ~9490, above even the +1% band
     # (scripts/probe_manhattan_tpu6.py).
+    # every_k preconditioner refresh: the chunk2 build (chunk Cholesky +
+    # coarse inverse) is ~40% of the per-solve iteration cost; a lax.cond-
+    # gated rebuild every 8th solve inside the fused loop keeps the
+    # trajectory (probe_r5b: chi2@60 9192.6 vs 9195.9, time-to-band
+    # 0.177 s vs 0.261 s) at 8.8 vs 14.5 ms/iter same-day
     solver = PCGSolver(max_iter=32, tol=1e-2, precond="chunk2",
-                       chunk_size=16)
+                       chunk_size=16, precond_mode="every_k",
+                       precond_refresh_every=8)
     res, sec_per_iter, out = _run(p, solver, 60, dev)
 
     # PHASE 2 — polish to the reference chi2 (NO band): Gauss-Newton with
@@ -215,8 +221,9 @@ def bench_manhattan(dev):
     out["chi2_final"] = res3["chi2_final"]
     out.update(dataset="manhattan3500 (create_manhattan seed=0)",
                build_s=round(build_s, 2),
-               solver="PCG chunk2(16) tol=1e-2 cap=32 (fused LM) "
-                      "+ GN deep-CG polish + hybrid host-chol f64 GN exact",
+               solver="PCG chunk2(16) tol=1e-2 cap=32 every8-refresh "
+                      "(fused LM) + GN deep-CG polish + hybrid host-chol "
+                      "f64 GN exact",
                polish={"algorithm": "GN, chunk2 cap=128 tol=1e-6 "
                                     "carry=0.01 matvec=HIGHEST",
                        "iterations": res2["iterations"],
@@ -243,7 +250,7 @@ def bench_manhattan(dev):
 
 
 def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
-               label, matvec="auto"):
+               label, matvec="auto", deflate=False):
     import jax.numpy as jnp
 
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
@@ -264,8 +271,18 @@ def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
     p = load_bal_problem(io.StringIO(text), huber=0.0, bucket_landmarks=True,
                          fix_first_camera=False, dtype=jnp.float32)
     build_s = time.perf_counter() - t0
-    solver = ImplicitSchurSolver(max_iter=100, tol=1e-2, precond="jacobi",
-                                 matvec_precision=matvec)
+    kw = dict(max_iter=100, tol=1e-2, precond="jacobi",
+              matvec_precision=matvec)
+    if deflate:
+        # free-gauge λ→0 solves are near-singular (the 7-dim gauge orbit);
+        # projecting the analytic gauge basis out of the Schur CG removes
+        # the λ-eigenvalue cluster from the Krylov space — measured at
+        # venice scale: the late-iteration 100-cap CG blowout disappears
+        # (max 21 iters), 72.9 -> 58.7 ms/iter same-day.  At ladybug/
+        # stress scale the A/B is a wash (probe_r5b) — venice-only.
+        from g2o_tpu.types.bal import bal_gauge_basis
+        kw["deflate_basis"] = bal_gauge_basis(p)
+    solver = ImplicitSchurSolver(**kw)
     res, sec_per_iter, out = _run(p, solver, n_iters, dev)
 
     ref = _ref().get(ref_key, {})
@@ -277,7 +294,8 @@ def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
                            ref["chi2_after_10_iters"] * 1.01)
     out.update(dataset=label, build_s=round(build_s, 1),
                n_observations=p.num_edges,
-               solver="implicit Schur CG tol=1e-2 (fused LM, bucketed)",
+               solver="implicit Schur CG tol=1e-2 (fused LM, bucketed)"
+                      + (" + gauge deflation" if deflate else ""),
                vs_baseline=round(vs, 4), time_to_reference_chi2_s=tt,
                reference_sec_per_iter=ref.get("sec_per_lm_iter_pcg"),
                reference_chi2_after_10_iters=ref.get("chi2_after_10_iters"))
@@ -364,7 +382,8 @@ def main():
             matvec="highest")),
         ("venice_ba", lambda: _bench_bal(
             dev, 800, 150_000, 6, 10, "venice_ba",
-            "synthetic-venice800 (see BASELINE.md synthetic caveat)")),
+            "synthetic-venice800 (see BASELINE.md synthetic caveat)",
+            deflate=True)),
         ("bal_stress", lambda: bench_stress(dev)),
     ]
     for name, fn in runners:

@@ -20,11 +20,26 @@ Semantics match the reference LM exactly: gain ratio
 
 from __future__ import annotations
 
+import itertools
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# per-solver-object cache token: ``id(solver)`` is NOT a safe cache key —
+# CPython reuses the id of a collected solver for the next allocation, so a
+# problem's runner cache could silently replay a DIFFERENT solver's compiled
+# program (observed: sequentially-created PCGSolvers sharing one problem)
+_SOLVER_TOKENS = itertools.count()
+
+
+def _solver_token(solver):
+    tok = solver.__dict__.get("_runner_token")
+    if tok is None:
+        tok = next(_SOLVER_TOKENS)
+        solver.__dict__["_runner_token"] = tok
+    return tok
 
 from g2o_tpu.core.optimizer import (
     BatchStatistics,
@@ -180,7 +195,8 @@ def optimize_fused(problem, solver, max_iterations: int, *,
         lam0 = float(tau * _max_abs_diag(problem, lin))
     max_iterations = min(int(max_iterations), history_cap)
     cache = problem.__dict__.setdefault("_lm_runner_cache", {})
-    key = (id(solver), max_trials, float(gain_threshold), history_cap)
+    key = (_solver_token(solver), max_trials, float(gain_threshold),
+           history_cap)
     run = cache.get(key)
     if run is None:
         run = make_lm_run(problem, solver, max_trials=max_trials,
@@ -274,7 +290,7 @@ def optimize_fused_gn(problem, solver, max_iterations: int, *,
     solver.setup(problem)
     max_iterations = min(int(max_iterations), history_cap)
     cache = problem.__dict__.setdefault("_gn_runner_cache", {})
-    key = (id(solver), history_cap)
+    key = (_solver_token(solver), history_cap)
     run = cache.get(key)
     if run is None:
         run = make_gn_run(problem, solver, max_iters=history_cap)

@@ -57,8 +57,9 @@ class PCGSolver:
                  carry_factor: float = 0.5,
                  matvec_precision: str = "default",
                  precond_mode: str = "per_solve",
+                 precond_refresh_every: int = 8,
                  precond_dtype=None):
-        if precond_mode not in ("per_solve", "frozen"):
+        if precond_mode not in ("per_solve", "frozen", "every_k"):
             raise ValueError(f"unknown precond_mode {precond_mode!r}")
         # preconditioner dtype override: an f64 CG (needed when the solve
         # must resolve kappa ~1e9 small modes, e.g. the manhattan gn_var
@@ -83,7 +84,13 @@ class PCGSolver:
         # sequential sparse-factor mutation with no SPMD formulation; a
         # slightly-stale preconditioner + CG achieves the same
         # reuse-across-updates economics on TPU)
+        # "every_k": per-solve rebuild is replaced by a lax.cond-gated
+        # rebuild every K-th solve INSIDE the fused loop — the chunk2
+        # build (chunk Cholesky + coarse inverse) is ~half the manhattan
+        # fast-phase iteration cost, and a K-solve-stale Schwarz
+        # preconditioner only shifts CG counts, not correctness
         self.precond_mode = precond_mode
+        self.precond_refresh_every = int(precond_refresh_every)
         # > 0: replace row gathers/scatters in the H·v product with exact
         # one-hot MXU matmuls for vertex types of at most this many vertices
         # (see Problem.hvp_operator) — a large per-CG-iteration win on TPU
@@ -533,8 +540,10 @@ class PCGSolver:
                    if self.matvec_precision == "highest" else None)
 
         frozen = self.precond_mode == "frozen"
+        every_k = self.precond_mode == "every_k"
+        refresh_k = self.precond_refresh_every
 
-        def solve_full(data, lin, lam, aux=(), carry=None):
+        def solve_full(data, lin, lam, aux=(), carry=None, pstate=None):
             # loop-invariant W·J precompute (hoisted out of the CG loop)
             hvp = p.hvp_operator(data, lin,
                                  onehot_max_segments=onehot_max,
@@ -551,8 +560,17 @@ class PCGSolver:
 
             b = p.split_tangent(lin.b)
             cmaps = aux.get("chunk") if isinstance(aux, dict) else None
-            minv = (aux["minv"] if frozen
-                    else build_precond(data, lin, lam, cmaps))
+            if frozen:
+                minv = aux["minv"]
+            elif every_k:
+                k, minv_old = pstate
+                minv = jax.lax.cond(
+                    k % refresh_k == 0,
+                    lambda: build_precond(data, lin, lam, cmaps),
+                    lambda: minv_old)
+                pstate = (k + 1, minv)
+            else:
+                minv = build_precond(data, lin, lam, cmaps)
             x0 = tmap(jnp.zeros_like, b)
             r0 = b
             z0 = apply_precond(data, minv, r0)
@@ -585,18 +603,28 @@ class PCGSolver:
             res2 = tdot(r_f, r_f)
             stats = {"cg_iterations": cg_iters, "residual2": res2,
                      "carry": carry_factor * res2}
-            return p.join_tangent(x), stats
+            return p.join_tangent(x), stats, pstate
+
+        abs_tol_on = self.absolute_tolerance
 
         def solve(data, lin, lam, aux=()):
             return solve_full(data, lin, lam, aux)[0]
 
-        def solve_state(data, lin, lam, aux, state):
-            dx, st = solve_full(data, lin, lam, aux, carry=state)
-            return dx, st["carry"], st
+        if every_k:
+            def solve_state(data, lin, lam, aux, state):
+                dx, st, (k, minv) = solve_full(
+                    data, lin, lam, aux,
+                    carry=state["carry"] if abs_tol_on else None,
+                    pstate=(state["k"], state["minv"]))
+                return dx, {"carry": st["carry"], "k": k, "minv": minv}, st
+        else:
+            def solve_state(data, lin, lam, aux, state):
+                dx, st, _ = solve_full(data, lin, lam, aux, carry=state)
+                return dx, st["carry"], st
 
         self._solve_fn = solve          # unjitted, for fusion into one step
         self._solve_jit = jax.jit(solve)
-        if self.absolute_tolerance:
+        if self.absolute_tolerance or every_k:
             self._solve_state_fn = solve_state
             self._solve_state_jit = jax.jit(solve_state)
             self.state0 = jnp.asarray(-1.0, dtype)
@@ -606,6 +634,17 @@ class PCGSolver:
             self.aux = {"chunk": self._chunk_maps(problem, chunk_cfg)}
         else:
             self.aux = {}
+        if every_k:
+            # state0 carries a structurally-valid preconditioner (the
+            # k%K==0 rebuild at the first solve replaces its values)
+            lin0 = p.linearize_jit(p.data, p.estimates)
+            cmaps0 = self.aux.get("chunk") \
+                if isinstance(self.aux, dict) else None
+            minv0 = jax.jit(build_precond)(
+                p.data, lin0, jnp.asarray(0.0, dtype), cmaps0)
+            self.state0 = {"carry": jnp.asarray(-1.0, dtype),
+                           "k": jnp.asarray(0, jnp.int32),
+                           "minv": minv0}
         if frozen:
             self._build_precond_jit = jax.jit(build_precond)
             self._problem_ref = problem
@@ -636,7 +675,7 @@ class PCGSolver:
         return self
 
     def solve(self, data, lin, lam=0.0):
-        if self.absolute_tolerance:
+        if self.absolute_tolerance or self.precond_mode == "every_k":
             if self._host_state is None:
                 self._host_state = self.state0
             dx, self._host_state, _ = self._solve_state_jit(

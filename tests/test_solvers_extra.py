@@ -171,3 +171,68 @@ def test_mixed_type_chunk2_beats_jacobi_at_scale():
         _, _, st = s._solve_state_jit(p.data, lin, 1e-6, s.aux, s.state0)
         counts[prec] = int(st["cg_iterations"])
     assert counts["chunk2"] < counts["jacobi"], counts
+
+
+def test_pcg_every_k_precond_matches_per_solve():
+    """every_k refresh (lax.cond-gated rebuild inside the fused loop) must
+    track the per-solve trajectory; K=1 means rebuild at every solve."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.lm_fused import optimize_fused
+    from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.sim.generators import create_manhattan
+
+    g = create_manhattan(n_poses=200, seed=4)
+    p = g.compile(dtype=jnp.float32)
+    est0 = {t: np.array(v) for t, v in p.estimates.items()}
+
+    def reset():
+        p.set_estimates({t: jnp.asarray(v, dtype=jnp.float32)
+                         for t, v in est0.items()})
+
+    rA = optimize_fused(p, PCGSolver(max_iter=32, tol=1e-2,
+                                     precond="chunk2", chunk_size=16), 15)
+    reset()
+    s1 = PCGSolver(max_iter=32, tol=1e-2, precond="chunk2", chunk_size=16,
+                   precond_mode="every_k", precond_refresh_every=1)
+    r1 = optimize_fused(p, s1, 15)
+    reset()
+    s8 = PCGSolver(max_iter=32, tol=1e-2, precond="chunk2", chunk_size=16,
+                   precond_mode="every_k", precond_refresh_every=8)
+    r8 = optimize_fused(p, s8, 15)
+    # K=1 rebuilds every solve == per-solve semantics
+    assert abs(r1["chi2_final"] - rA["chi2_final"]) <= 1e-3 * rA["chi2_final"]
+    # a K-stale preconditioner shifts CG counts only; chi2 stays close
+    assert abs(r8["chi2_final"] - rA["chi2_final"]) <= 0.05 * rA["chi2_final"]
+
+
+def test_fused_runner_cache_not_keyed_on_reused_id():
+    """Regression: the fused-runner cache was keyed on id(solver); CPython
+    reuses a collected solver's id, silently replaying the PREVIOUS
+    solver's compiled program (observed in probe_r5b: every8 vs every16
+    bit-identical).  Sequentially-created solvers with different configs
+    must produce different runners."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.lm_fused import optimize_fused
+    from g2o_tpu.core.solvers import PCGSolver
+    from g2o_tpu.sim.generators import create_manhattan
+
+    g = create_manhattan(n_poses=150, seed=9)
+    p = g.compile(dtype=jnp.float32)
+    est0 = {t: np.array(v) for t, v in p.estimates.items()}
+
+    def reset():
+        p.set_estimates({t: jnp.asarray(v, dtype=jnp.float32)
+                         for t, v in est0.items()})
+
+    chis = []
+    for max_iter in (2, 40):        # deliberately different solver configs
+        r = optimize_fused(p, PCGSolver(max_iter=max_iter, tol=1e-10,
+                                        precond="jacobi"), 8)
+        chis.append(r["chi2_final"])
+        reset()
+        # solver object dropped here — its id may be reused by the next
+    assert chis[0] != chis[1], "runner cache replayed a stale program"
