@@ -256,20 +256,32 @@ def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
     from g2o_tpu.io.bal import load_bal_problem, synthetic_bal_cached
 
-    t0 = time.perf_counter()
     # disk-cached dataset (data/bal_cache) — the reference's bal_example
     # loads BAL files from disk too, so build_s compares like for like
     text = synthetic_bal_cached(n_cameras=n_cams, n_points=n_pts,
                                 n_obs_per_point=n_obs_per_point,
                                 pixel_noise=1.0, seed=0)
+
     # loaded EXACTLY as the reference's bal_example loads it (no robust
     # kernel, unperturbed estimates, and NO fixed camera — bal_example
     # leaves the full gauge to lambda damping; fixing camera 0 constrains
     # the problem to a different optimum, measured +4 chi2 units at the
     # ladybug floor): chi2 and per-iteration time compare 1:1 with
     # baseline_measured.json
-    p = load_bal_problem(io.StringIO(text), huber=0.0, bucket_landmarks=True,
-                         fix_first_camera=False, dtype=jnp.float32)
+    def _build():
+        return load_bal_problem(io.StringIO(text), huber=0.0,
+                                bucket_landmarks=True,
+                                fix_first_camera=False, dtype=jnp.float32)
+
+    # pre-warm (VERDICT r4 task 9): the first build per process pays
+    # non-persisted sub-1s eager compiles + tunnel latency jitter (build_s
+    # swung 1.3-11 s across driver runs); build once untimed, report the
+    # warmed build alongside the cold one
+    t0 = time.perf_counter()
+    p = _build()
+    build_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    p = _build()
     build_s = time.perf_counter() - t0
     kw = dict(max_iter=100, tol=1e-2, precond="jacobi",
               matvec_precision=matvec)
@@ -293,6 +305,7 @@ def _bench_bal(dev, n_cams, n_pts, n_obs_per_point, n_iters, ref_key,
         tt = _time_to_chi2(res, sec_per_iter,
                            ref["chi2_after_10_iters"] * 1.01)
     out.update(dataset=label, build_s=round(build_s, 1),
+               build_cold_s=round(build_cold_s, 1),
                n_observations=p.num_edges,
                solver="implicit Schur CG tol=1e-2 (fused LM, bucketed)"
                       + (" + gauge deflation" if deflate else ""),
@@ -314,11 +327,20 @@ def bench_stress(dev):
     from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
     from g2o_tpu.io.bal import load_bal_problem, stress_bal_cached
 
-    t0 = time.perf_counter()
     text = stress_bal_cached()
-    # free gauge, like the reference run (see _bench_bal note)
-    p = load_bal_problem(io.StringIO(text), huber=1.0, bucket_landmarks=True,
-                         fix_first_camera=False, dtype=jnp.float32)
+
+    # free gauge, like the reference run (see _bench_bal note); built
+    # twice — warm build reported, cold kept (VERDICT r4 task 9)
+    def _build():
+        return load_bal_problem(io.StringIO(text), huber=1.0,
+                                bucket_landmarks=True,
+                                fix_first_camera=False, dtype=jnp.float32)
+
+    t0 = time.perf_counter()
+    p = _build()
+    build_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    p = _build()
     build_s = time.perf_counter() - t0
     # schur-jacobi preconditioner: ~10% fewer CG iterations than
     # Hpp-jacobi on this conditioning; exact-f32 matvecs: bf16 S·v noise
@@ -337,7 +359,9 @@ def bench_stress(dev):
         tt = _time_to_chi2(res, sec_per_iter,
                            ref["chi2_after_10_iters"] * 1.01)
     out.update(dataset="synthetic-stress120 (make_stress_bal seed=0)",
-               build_s=round(build_s, 1), n_observations=p.num_edges,
+               build_s=round(build_s, 1),
+               build_cold_s=round(build_cold_s, 1),
+               n_observations=p.num_edges,
                solver="implicit Schur CG tol=1e-2 schur_jacobi (fused LM, "
                       "bucketed) + Huber",
                vs_baseline=round(vs, 4), time_to_reference_chi2_s=tt,

@@ -1,5 +1,5 @@
-"""Supernodal block-sparse Cholesky — the TPU formulation of the
-reference's CHOLMOD supernodal mode (``g2o/solvers/cholmod``,
+"""Supernodal multifrontal block-sparse Cholesky — the TPU formulation of
+the reference's CHOLMOD supernodal mode (``g2o/solvers/cholmod``,
 ``linear_solver_cholmod.h:76``; SURVEY.md §7.3 "supernodal blocking is the
 Pallas-friendly formulation").
 
@@ -8,29 +8,42 @@ The plain level-scheduled solver (``sparse_chol.py``) factors one block
 deep with a median of 2 columns per level — almost fully serial and every
 step is a tiny (d, d) op.  Supernodal factorization amalgamates contiguous
 columns with (nearly) identical structure into *supernodes* and processes
-each as one dense panel:
+each as one dense panel.
 
-* **host symbolic phase** (numpy, once per graph pattern):
-  - fill-reducing ordering + elimination tree + exact column structure
-    (reused from ``sparse_chol.symbolic_factorization``, native C++ path);
-  - fundamental supernode detection (maximal chains with
-    ``struct(j) == struct(j-1) \\ {j}``);
-  - CHOLMOD-style *relaxed amalgamation*: adjacent child/parent supernodes
-    merge when the zero-padding this introduces stays below a fill
-    tolerance — trading a few explicit zeros for much larger dense blocks
-    (the MXU trade);
-  - quotient (supernodal) elimination-tree rowset propagation — making the
-    amalgamated pattern closed under the update rule;
-  - level schedule over the supernode etree, each level bucketed by padded
-    panel shape.
+**Round-5 redesign — multifrontal, frontal-form factor.**  The previous
+numeric phase kept the factor in a global block-slot array and scatter-added
+every supernode's outer-product update to its ancestors' slots directly:
+at sphere2500 that is ~231k serialized (d, d) scatter rows (TPU scatters
+serialize per row) plus ~134k set rows and ~120k gather rows — ~100 ms per
+factorization, all memory-system serialization, no arithmetic.  The
+multifrontal formulation eliminates essentially all of it:
 
-* **device numeric phase**: per level/bucket, gather the supernodes'
-  (s·d, s·d) diagonal grids and (m·d, s·d) sub-diagonal panels from the
-  global block-slot array, run *batched dense* ``cholesky`` /
-  ``solve_triangular`` / panel·panelᵀ matmuls (MXU-shaped), and
-  scatter-add the outer-product updates into the ancestors' slots.
-  Levels drop from ~etree-height to ~supernode-tree-height (4-10x fewer)
-  and every op is a large batched matmul instead of a (d, d) one.
+* **frontal matrices**: supernode S owns a dense frontal F_S over the index
+  set cols(S) ++ R(S).  The closure ``propagate_rowsets`` already
+  guarantees R(S) ⊆ cols(parent) ∪ R(parent) — the multifrontal invariant —
+  so S's update matrix extend-adds into the PARENT's frontal only, never
+  into arbitrary ancestors.
+* **one flat assembly array**: H blocks scatter ONCE per edge-type into a
+  single flat (T, d, d) frontal-slot array (host-precomputed flat ids);
+  per-group frontal panels are then STATIC slices + reshapes, not gathers.
+* **extend-add as MXU matmuls**: the child→parent index mapping is a
+  block-level one-hot E (built on device from a small int array), and the
+  update flows as E·U·Eᵀ — two batched HIGHEST matmuls; the only remaining
+  scatter places whole (fp·d, fp·d) slabs at one index per CHILD
+  (~#supernodes serialized steps instead of ~Σ mp² — 154 vs 231,350 at
+  sphere2500).
+* **frontal-form solve**: the triangular sweeps consume the per-group dense
+  (L_D, P) factors directly; only the (n, d) rhs is gathered/scattered by
+  block row (Σ sp + Σ mp ≈ 7.5k rows, vs ~80k block-panel gather rows
+  before).
+
+* **host symbolic phase** (numpy, once per graph pattern): fill-reducing
+  ordering + elimination tree + exact column structure (reused from
+  ``sparse_chol.symbolic_factorization``, native C++ path); fundamental
+  supernode detection; CHOLMOD-style relaxed amalgamation; quotient-etree
+  rowset closure; level schedule bucketed by padded panel shape; flat
+  frontal-slot layout + per-edge assembly ids + child→parent extend-add
+  maps.
 
 The LM damping contract (``g2o/core/solver.h:80-93``) is the same as the
 plain solver: the numeric phase re-runs with ``lam`` on the diagonal; the
@@ -136,7 +149,8 @@ def propagate_rowsets(starts: np.ndarray, rowsets: list):
     """Quotient-etree fill propagation: R(S) flows into the parent
     supernode P = supernode(min R(S)) as ``R(S) \\ cols(P)`` — after this
     the pattern is closed under the supernodal update rule (every pair of
-    rows of a panel maps to an existing ancestor slot)."""
+    rows of a panel maps into the parent's frontal index set — the
+    multifrontal extend-add invariant)."""
     sN = len(rowsets)
     if sN == 0:
         return rowsets, np.full(0, -1, dtype=np.int64)
@@ -158,25 +172,6 @@ def propagate_rowsets(starts: np.ndarray, rowsets: list):
     return rowsets, parent_sn
 
 
-def _pattern_from_supernodes(starts, rowsets):
-    """Global block pattern of L: column j in supernode S has struct
-    ``{members of S > j} ∪ R(S)``.  Returns (colptr, rows_flat)."""
-    n = int(starts[-1])
-    cols = []
-    for k in range(len(rowsets)):
-        c0, c1 = int(starts[k]), int(starts[k + 1])
-        R = rowsets[k]
-        for j in range(c0, c1):
-            internal = np.arange(j + 1, c1, dtype=np.int64)
-            cols.append(np.concatenate([internal, R]))
-    colptr = np.zeros(n + 1, dtype=np.int64)
-    for j in range(n):
-        colptr[j + 1] = colptr[j] + len(cols[j])
-    rows_flat = (np.concatenate(cols) if n else
-                 np.empty(0, dtype=np.int64)).astype(np.int64)
-    return colptr, rows_flat
-
-
 def _bucket(x: int, buckets):
     for b in buckets:
         if x <= b:
@@ -185,29 +180,31 @@ def _bucket(x: int, buckets):
 
 
 def build_supernodal_schedule(sym, *, d: int, smax: int = 24,
-                              zeta: float = 0.35,
-                              bucket_merge: str = "size"):
-    """Full symbolic pipeline: partition, closure, pattern, level schedule.
+                              zeta: float = 0.35):
+    """Full symbolic pipeline: partition, closure, level/bucket schedule,
+    flat frontal-slot layout, extend-add maps.
 
-    Returns ``(sched_aux, off_slot_v, meta)`` where ``sched_aux`` is the
-    pytree of device index arrays (travels through ``solver.aux``),
-    ``off_slot_v`` maps (row, col) block pairs to slots in the global
-    array, and ``meta`` carries host-side facts (n, nnz, level count)."""
+    Returns ``(aux_sched, static, meta)``:
+
+    * ``aux_sched`` — pytree of device index arrays (travels through
+      ``solver.aux``): ``levels`` (list per level of list per group of
+      ``{cols, rows}``) and ``pairs`` (list of ``{cidx, pidx, rel}``).
+    * ``static`` — host-side schedule skeleton (python ints only, safe as
+      closure constants): per-group shapes/offsets, level grouping, pair
+      group ids, flat-slot total, and the ``fpos`` lookup used to map H
+      blocks to frontal slots.
+    * ``meta`` — facts for introspection/tests (n, nnz, level count …).
+    """
     n = len(sym["rows"])
     starts, rowsets = supernode_partition(sym, smax=smax, zeta=zeta)
     rowsets, parent_sn = propagate_rowsets(starts, rowsets)
-    colptr, rows_flat = _pattern_from_supernodes(starts, rowsets)
-    nnz = int(colptr[-1])
     sN = len(rowsets)
+    sp = (starts[1:] - starts[:-1]).astype(np.int64)
+    mp = np.asarray([len(r) for r in rowsets], dtype=np.int64)
 
-    # slot layout identical to sparse_chol: [0, n) diagonal blocks,
-    # [n, n+nnz) off-diagonal blocks column-major
-    lens = colptr[1:] - colptr[:-1]
-    col_of_off = np.repeat(np.arange(n, dtype=np.int64), lens)
-    key_all = col_of_off * (n + 1) + rows_flat
-
-    def off_slot_v(i, j):
-        return n + np.searchsorted(key_all, np.asarray(j) * (n + 1) + i)
+    sn_of_col = np.empty(n, dtype=np.int64)
+    for k in range(sN):
+        sn_of_col[starts[k]:starts[k + 1]] = k
 
     # supernode depths over the quotient etree
     depth = np.zeros(sN, dtype=np.int64)
@@ -217,117 +214,137 @@ def build_supernodal_schedule(sym, *, d: int, smax: int = 24,
             depth[p] = max(depth[p], depth[k] + 1)
     L = int(depth.max()) + 1 if sN else 0
 
-    s_buckets = sorted({_bucket(int(starts[k + 1] - starts[k]),
-                                [1, 2, 4, 8, 16, smax])
-                        for k in range(sN)})
-    levels: list[dict] = []
+    # (level, sp-bucket, mp-bucket) groups
+    s_buckets = sorted({_bucket(int(x), [1, 2, 4, 8, 16, smax])
+                        for x in sp}) if sN else []
+    m_buckets = [0, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 4096, 1 << 20]
+    groups: list[dict] = []
+    levels_gi: list[list[int]] = []
+    group_of = np.empty((sN, 2), dtype=np.int64)      # (gi, pos)
     for li in range(L):
         sns = np.nonzero(depth == li)[0]
         buckets: dict = {}
-        if bucket_merge == "level":
-            # ONE padded bucket per level (invalid slots are -1, already
-            # masked by the gather/scatter/unit-diag machinery).  Measured
-            # at sphere2500: NO win over size buckets (108 vs 103 ms
-            # same-day) — the factor phase is dominated by the row-serial
-            # grid scatter-adds (sum of S*mp^2 block rows), not per-call
-            # overhead, and merging inflates the padded upd grids.  Kept
-            # as an option for narrower-spread schedules.
-            sp_max = max(int(starts[k + 1] - starts[k]) for k in sns)
-            mp_max = max((len(rowsets[k]) for k in sns), default=0)
-            buckets[(sp_max, mp_max)] = list(sns)
-        else:
-            for k in sns:
-                c0, c1 = int(starts[k]), int(starts[k + 1])
-                s = c1 - c0
-                m = len(rowsets[k])
-                key = (_bucket(s, s_buckets),
-                       _bucket(m, [0, 4, 8, 16, 32, 64, 128, 256, 512,
-                                   1024, 4096, 1 << 20]))
-                buckets.setdefault(key, []).append(k)
+        for k in sns:
+            key = (_bucket(int(sp[k]), s_buckets),
+                   _bucket(int(mp[k]), m_buckets))
+            buckets.setdefault(key, []).append(int(k))
+        gis = []
+        for (spb, mpb), ks in sorted(buckets.items()):
+            gi = len(groups)
+            for pos, k in enumerate(ks):
+                group_of[k] = (gi, pos)
+            groups.append(dict(level=li, spb=spb, mpb=mpb, S=len(ks),
+                               ks=ks))
+            gis.append(gi)
+        levels_gi.append(gis)
 
-        blevel = []
-        for (sp, mp), ks in sorted(buckets.items()):
-            S = len(ks)
-            cols_g = np.full((S, sp), -1, dtype=np.int64)
-            diag_g = np.full((S, sp, sp), -1, dtype=np.int64)
-            panel_g = np.full((S, mp, sp), -1, dtype=np.int64)
-            rows_g = np.full((S, mp), -1, dtype=np.int64)
-            upd_g = np.full((S, mp, mp), -1, dtype=np.int64)
-            for si, k in enumerate(ks):
-                c0, c1 = int(starts[k]), int(starts[k + 1])
-                s = c1 - c0
-                R = rowsets[k]
-                m = len(R)
-                cs = np.arange(c0, c1, dtype=np.int64)
-                cols_g[si, :s] = cs
-                # diagonal grid: block (a, b) for a >= b; a == b -> diag
-                # slot, a > b -> off slot (row cs[a], col cs[b])
-                a, b = np.tril_indices(s)
-                dslots = np.where(a == b, cs[a], 0)
-                offm = a > b
-                if offm.any():
-                    dslots = np.where(
-                        offm, off_slot_v(cs[a], cs[b]), dslots)
-                diag_g[si, a, b] = dslots
-                if m:
-                    rows_g[si, :m] = R
-                    rr = np.repeat(R, s).reshape(m, s)
-                    cc = np.tile(cs, m).reshape(m, s)
-                    panel_g[si, :m, :s] = off_slot_v(rr, cc)
-                    # update dst: pair (R[x] row, R[y] col) for x >= y
-                    x, y = np.tril_indices(m)
-                    ud = np.where(x == y, R[x], 0)
-                    offu = x > y
-                    if offu.any():
-                        ud = np.where(offu, off_slot_v(R[x], R[y]), ud)
-                    upd_g[si, x, y] = ud
-            # NOTE: only jnp arrays here — this pytree travels as a jit
-            # ARGUMENT (solver-aux protocol); static facts (sp, mp) are
-            # recovered from the array shapes inside the traced code.
-            blevel.append(dict(
-                cols=jnp.asarray(cols_g), diag=jnp.asarray(diag_g),
-                panel=jnp.asarray(panel_g), rows=jnp.asarray(rows_g),
-                upd=jnp.asarray(upd_g),
-            ))
-        levels.append(blevel)
+    # flat frontal-slot offsets (block units): group slab is
+    # (S, fp, fp) with fp = spb + mpb; slot (pos, fa, fb) lives at
+    # off + (pos*fp + fa)*fp + fb
+    acc_T = 0
+    for g in groups:
+        g["off"] = acc_T
+        fp = g["spb"] + g["mpb"]
+        acc_T += g["S"] * fp * fp
 
+    # frontal-position lookup: key k*n + r -> fpos (cols first, R at the
+    # PADDED offset spb so static region slicing works)
+    keys = []
+    fposs = []
+    for k in range(sN):
+        gi = int(group_of[k, 0])
+        spb = groups[gi]["spb"]
+        c0, c1 = int(starts[k]), int(starts[k + 1])
+        cs = np.arange(c0, c1, dtype=np.int64)
+        keys.append(k * n + cs)
+        fposs.append(cs - c0)
+        if mp[k]:
+            keys.append(k * n + rowsets[k])
+            fposs.append(spb + np.arange(mp[k], dtype=np.int64))
+    keys = np.concatenate(keys) if keys else np.empty(0, np.int64)
+    fposs = np.concatenate(fposs) if fposs else np.empty(0, np.int64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    fposs = fposs[order]
+
+    g_off = np.asarray([g["off"] for g in groups], dtype=np.int64)
+    g_fp = np.asarray([g["spb"] + g["mpb"] for g in groups], dtype=np.int64)
+    g_pos = group_of[:, 1]
+    g_gi = group_of[:, 0]
+
+    def flat_slot(i, j):
+        """Flat frontal-slot ids for lower H blocks (row i >= col j, both
+        permuted block indices; vectorized)."""
+        i = np.asarray(i, dtype=np.int64)
+        j = np.asarray(j, dtype=np.int64)
+        k = sn_of_col[j]
+        fa = fposs[np.searchsorted(keys, k * n + i)]
+        fb = j - starts[k]
+        gi = g_gi[k]
+        fp = g_fp[gi]
+        return g_off[gi] + (g_pos[k] * fp + fa) * fp + fb
+
+    # extend-add maps, grouped by (child group, parent group)
+    pair_map: dict = {}
+    for k in range(sN):
+        p = int(parent_sn[k])
+        if p < 0 or mp[k] == 0:
+            continue
+        cg, cpos = int(group_of[k, 0]), int(group_of[k, 1])
+        pg, ppos = int(group_of[p, 0]), int(group_of[p, 1])
+        R = rowsets[k]
+        spb_p = groups[pg]["spb"]
+        c1p = int(starts[p + 1])
+        rel = np.where(
+            R < c1p, R - int(starts[p]),
+            spb_p + np.searchsorted(rowsets[p], R))
+        mp_cb = groups[cg]["mpb"]
+        rel_pad = np.full(mp_cb, -1, dtype=np.int64)
+        rel_pad[:len(R)] = rel
+        pair_map.setdefault((cg, pg), []).append((cpos, ppos, rel_pad))
+
+    pairs_static = []
+    pairs_aux = []
+    for (cg, pg), entries in sorted(pair_map.items()):
+        cidx = np.asarray([e[0] for e in entries], dtype=np.int64)
+        pidx = np.asarray([e[1] for e in entries], dtype=np.int64)
+        rel = np.stack([e[2] for e in entries])
+        pairs_static.append(dict(cg=cg, pg=pg))
+        pairs_aux.append(dict(cidx=jnp.asarray(cidx),
+                              pidx=jnp.asarray(pidx),
+                              rel=jnp.asarray(rel)))
+
+    # per-group cols/rows arrays, nested per level (the structure the
+    # solve sweeps walk; also reused as factor-time masks)
+    levels_aux = []
+    for gis in levels_gi:
+        lv = []
+        for gi in gis:
+            g = groups[gi]
+            S, spb, mpb = g["S"], g["spb"], g["mpb"]
+            cols_g = np.full((S, spb), -1, dtype=np.int64)
+            rows_g = np.full((S, mpb), -1, dtype=np.int64)
+            for pos, k in enumerate(g["ks"]):
+                c0, c1 = int(starts[k]), int(starts[k + 1])
+                cols_g[pos, :c1 - c0] = np.arange(c0, c1)
+                if mp[k]:
+                    rows_g[pos, :mp[k]] = rowsets[k]
+            lv.append(dict(cols=jnp.asarray(cols_g),
+                           rows=jnp.asarray(rows_g)))
+        levels_aux.append(lv)
+
+    nnz = int(sum(int(sp[k]) * (int(sp[k]) - 1) // 2
+                  + int(sp[k]) * int(mp[k]) for k in range(sN)))
+    static = dict(groups=groups, levels=levels_gi, pairs=pairs_static,
+                  acc_T=acc_T, flat_slot=flat_slot, n=n)
     meta = dict(n=n, d=d, nnz=nnz, n_levels=L, n_supernodes=sN,
-                starts=starts, rowsets=rowsets,
-                colptr=colptr, rows_flat=rows_flat)
-    return levels, off_slot_v, meta
+                starts=starts, rowsets=rowsets)
+    return dict(levels=levels_aux, pairs=pairs_aux), static, meta
 
 
 # --------------------------------------------------------------------- #
 # device numeric phase
 # --------------------------------------------------------------------- #
-
-def _gather_grid(blocks, grid, d):
-    """(S, P, Q) slot grid -> (S, P*d, Q*d) dense panels (invalid slots
-    read slot 0 and are masked to zero)."""
-    S, P, Q = grid.shape
-    safe = jnp.maximum(grid, 0)
-    g = blocks[safe.reshape(-1)].reshape(S, P, Q, d, d)
-    g = g * (grid >= 0).astype(blocks.dtype)[..., None, None]
-    return jnp.transpose(g, (0, 1, 3, 2, 4)).reshape(S, P * d, Q * d)
-
-
-def _scatter_grid(blocks, grid, dense, d, *, add=False):
-    """Inverse of :func:`_gather_grid`: write (S, P*d, Q*d) back into the
-    slot array (invalid slots redirect to a dump row)."""
-    S, P, Q = grid.shape
-    vals = dense.reshape(S, P, d, Q, d).transpose(0, 1, 3, 2, 4)
-    vals = vals.reshape(-1, d, d)
-    mask = (grid >= 0).reshape(-1)
-    n_total = blocks.shape[0]
-    # invalid entries go to a phantom row past the end (dropped by XLA's
-    # out-of-bounds scatter clamp would corrupt; mask values instead and
-    # send them to slot 0 with zero contribution for add, or skip via
-    # where for set)
-    safe = jnp.where(mask, grid.reshape(-1), n_total)  # OOB -> dropped
-    if add:
-        return blocks.at[safe].add(vals, mode="drop")
-    return blocks.at[safe].set(vals, mode="drop")
-
 
 def _strict_lower_block_mask(sp: int, d: int, dtype):
     """(sp*d, sp*d) scalar mask of the strictly-lower BLOCK triangle."""
@@ -428,54 +445,107 @@ def _solve_upper_batched(L, B, d: int):
     return B
 
 
-def factorize_supernodal(blocks, levels, d: int):
-    """Numeric supernodal factorization over the level/bucket schedule.
-    ``blocks``: (n + nnz, d, d) slot array (same layout as
-    ``sparse_chol.factorize``).  Returns the factor in the same layout."""
-    dtype = blocks.dtype
-    for blevel in levels:
-        for bk in blevel:
-            grid_d, grid_p, grid_u = bk["diag"], bk["panel"], bk["upd"]
-            S, sp, _ = grid_d.shape
-            mp = grid_p.shape[1]
-            sd = sp * d
-            # gathered D holds the block-diagonal (full d x d blocks) plus
-            # the strictly-lower block triangle; mirror ONLY the latter
-            D = _gather_grid(blocks, grid_d, d)          # (S, sd, sd)
-            low = _strict_lower_block_mask(sp, d, dtype)
+def factorize_frontal(ACC, aux, static, d: int, lam, gfixed_p, gvalid_p):
+    """Multifrontal numeric factorization.
+
+    ``ACC``: flat (acc_T, d, d) frontal-slot array holding the assembled
+    LOWER H blocks (diagonal blocks full).  ``gfixed_p``/``gvalid_p``:
+    per-permuted-block fixed flags (n,) and valid-dim masks (n, d).
+    Returns ``factors`` — per level, per group ``(Ld, Pm)`` dense panels
+    matching ``aux['levels']``'s structure."""
+    dtype = ACC.dtype
+    groups = static["groups"]
+    pairs_by_child: dict = {}
+    for ps, pa in zip(static["pairs"], aux["pairs"]):
+        pairs_by_child.setdefault(ps["cg"], []).append((ps, pa))
+
+    pending: dict = {}
+    factors = []
+    for li, gis in enumerate(static["levels"]):
+        lv_f = []
+        for gj, gi in enumerate(gis):
+            g = groups[gi]
+            ga = aux["levels"][li][gj]
+            S, spb, mpb = g["S"], g["spb"], g["mpb"]
+            fp = spb + mpb
+            spd, fpd = spb * d, fp * d
+            # static slice of the flat assembly array -> dense frontals
+            slab = ACC[g["off"]:g["off"] + S * fp * fp]
+            slab = slab.reshape(S, fp, fp, d, d).transpose(0, 1, 3, 2, 4)
+            slab = slab.reshape(S, fpd, fpd)
+            pend = pending.pop(gi, None)
+
+            # diagonal region: mirror H's strict-lower block triangle
+            # (assembly wrote lower only), then add the FULL-symmetric
+            # pending child updates
+            D = slab[:, :spd, :spd]
+            low = _strict_lower_block_mask(spb, d, dtype)
             D = D + (D * low).swapaxes(-1, -2)
-            # padded columns get unit diagonal so cholesky stays SPD
-            colmask = (bk["cols"] >= 0)                  # (S, sp)
-            cm = jnp.repeat(colmask, d, axis=1).astype(dtype)  # (S, sd)
-            eye = jnp.eye(sd, dtype=dtype)
-            D = D * cm[:, :, None] * cm[:, None, :] \
-                + eye[None] * (1.0 - cm)[:, :, None]
-            Ld = _chol_batched(D, d)
-            blocks = _scatter_grid(blocks, grid_d,
-                                   jnp.tril(Ld) * cm[:, :, None]
-                                   * cm[:, None, :], d)
-            if mp == 0:
+            if pend is not None:
+                D = D + pend[:, :spd, :spd]
+            # λ on valid non-fixed tangent dims; unit diagonal on fixed
+            # rows, padding dims and padded columns (H is zero there —
+            # fixed slots are masked at linearize)
+            cols = ga["cols"]
+            safe = jnp.maximum(cols, 0)
+            colmask = (cols >= 0)
+            fx = gfixed_p[safe] & colmask                  # (S, spb)
+            vm = gvalid_p[safe] * colmask[..., None].astype(dtype)
+            dadd = jnp.where(fx[..., None], jnp.asarray(1.0, dtype),
+                             lam * vm + (1.0 - vm))
+            eye = jnp.eye(spd, dtype=dtype)
+            D = D + eye[None] * dadd.reshape(S, spd)[:, :, None]
+            Ld = jnp.tril(_chol_batched(D, d))
+
+            if mpb == 0:
+                lv_f.append((Ld, jnp.zeros((S, 0, spd), dtype=dtype)))
                 continue
-            Pm = _gather_grid(blocks, grid_p, d)         # (S, md, sd)
-            # P <- P Ld^{-T}
-            Pt = _solve_lower_batched(Ld, jnp.swapaxes(Pm, -1, -2), d)
-            Pm = jnp.swapaxes(Pt, -1, -2) * cm[:, None, :]
-            rowmask = jnp.repeat((bk["rows"] >= 0), d, axis=1).astype(dtype)
-            Pm = Pm * rowmask[:, :, None]
-            blocks = _scatter_grid(blocks, grid_p, Pm, d)
-            # trailing update: ancestors -= P P^T (lower triangle only)
-            # HIGHEST: TPU einsum defaults to bf16 MXU passes (~1e-3
-            # relative error), which accumulates over levels and breaks
-            # the SPD-ness of trailing diagonal blocks (NaN cholesky);
-            # XLA's cholesky/solve_triangular are full-f32 already
-            U = jnp.einsum("sik,sjk->sij", Pm, Pm,
-                           precision=jax.lax.Precision.HIGHEST)
-            blocks = _scatter_grid(blocks, grid_u, -U, d, add=True)
-    return blocks
+
+            P = slab[:, spd:, :spd]
+            if pend is not None:
+                P = P + pend[:, spd:, :spd]
+            Pt = _solve_lower_batched(Ld, jnp.swapaxes(P, -1, -2), d)
+            cm = jnp.repeat(colmask, d, axis=1).astype(dtype)   # (S, spd)
+            rowmask = jnp.repeat(ga["rows"] >= 0, d,
+                                 axis=1).astype(dtype)          # (S, mpd)
+            Pm = jnp.swapaxes(Pt, -1, -2) * cm[:, None, :] \
+                * rowmask[:, :, None]
+            lv_f.append((Ld, Pm))
+
+            # update matrix: panel outer product + inherited (R×R) part
+            # (H never lands there — those blocks belong to ancestors)
+            U = jnp.einsum("sik,sjk->sij", Pm, Pm, precision=_HI)
+            if pend is not None:
+                U = U - pend[:, spd:, spd:]
+
+            # extend-add into parents: E U Eᵀ as two batched HIGHEST
+            # matmuls + ONE whole-slab scatter index per child
+            for ps, pa in pairs_by_child.get(gi, ()):
+                pg = ps["pg"]
+                gp = groups[pg]
+                fpp = gp["spb"] + gp["mpb"]
+                fppd = fpp * d
+                Usub = U[pa["cidx"]]                  # (Sc, mpd, mpd)
+                Sc = Usub.shape[0]
+                E1 = (pa["rel"][..., None]
+                      == jnp.arange(fpp)[None, None, :]).astype(dtype)
+                Ub = Usub.reshape(Sc, mpb, d, mpb, d)
+                T1 = jnp.einsum("sxf,sxiyj->sfiyj", E1, Ub, precision=_HI)
+                T2 = jnp.einsum("syg,sfiyj->sfigj", E1, T1, precision=_HI)
+                contrib = T2.reshape(Sc, fppd, fppd)
+                acc = pending.get(pg)
+                if acc is None:
+                    acc = jnp.zeros((gp["S"], fppd, fppd), dtype=dtype)
+                pending[pg] = acc.at[pa["pidx"]].add(-contrib)
+        factors.append(lv_f)
+    return factors
 
 
-def solve_supernodal(blocks, b, levels, d: int):
-    """L L^T x = b with the supernodal schedule. ``b``: (n, d)."""
+def solve_supernodal(factors, b, levels, d: int):
+    """L L^T x = b with the frontal-form factor.  ``factors``: nested
+    per-level/per-group ``(Ld, Pm)`` (the output of
+    :func:`factorize_frontal`); ``levels``: matching nested
+    ``{cols, rows}`` index arrays; ``b``: (n, d) permuted block rhs."""
     dtype = b.dtype
     n = b.shape[0]
 
@@ -493,39 +563,27 @@ def solve_supernodal(blocks, b, levels, d: int):
         return (b.at[safe].add(vals, mode="drop") if add
                 else b.at[safe].set(vals, mode="drop"))
 
-    def padded_diag(bk):
-        Ld = _gather_grid(blocks, bk["diag"], d)
-        cm = jnp.repeat(bk["cols"] >= 0, d, axis=1).astype(dtype)
-        sd = Ld.shape[-1]
-        eye = jnp.eye(sd, dtype=dtype)
-        return Ld + eye[None] * (1.0 - cm)[:, :, None], cm
-
     # forward: per level ascending — y_S = L_SS^{-1} b_S; b_R -= P y_S
-    for blevel in levels:
-        for bk in blevel:
-            Ld, cm = padded_diag(bk)
-            rhs = gather_rhs(bk["cols"])
+    for lv_f, lv_a in zip(factors, levels):
+        for (Ld, Pm), ga in zip(lv_f, lv_a):
+            cm = jnp.repeat(ga["cols"] >= 0, d, axis=1).astype(dtype)
+            rhs = gather_rhs(ga["cols"])
             y = _solve_lower_batched(Ld, rhs[..., None], d)[..., 0] * cm
-            b = scatter_rhs(b, bk["cols"], y)
-            if bk["panel"].shape[1]:
-                Pm = _gather_grid(blocks, bk["panel"], d)
-                contrib = jnp.einsum("smk,sk->sm", Pm, y,
-                                     precision=jax.lax.Precision.HIGHEST)
-                b = scatter_rhs(b, bk["rows"], -contrib, add=True)
+            b = scatter_rhs(b, ga["cols"], y)
+            if Pm.shape[1]:
+                contrib = jnp.einsum("smk,sk->sm", Pm, y, precision=_HI)
+                b = scatter_rhs(b, ga["rows"], -contrib, add=True)
 
     # backward: per level descending — x_S = L_SS^{-T}(y_S - P^T x_R)
-    for blevel in reversed(levels):
-        for bk in blevel:
-            Ld, cm = padded_diag(bk)
-            rhs = gather_rhs(bk["cols"])
-            if bk["panel"].shape[1]:
-                Pm = _gather_grid(blocks, bk["panel"], d)
-                xr = gather_rhs(bk["rows"])
-                rhs = rhs - jnp.einsum(
-                    "smk,sm->sk", Pm, xr,
-                    precision=jax.lax.Precision.HIGHEST)
+    for lv_f, lv_a in zip(reversed(factors), reversed(levels)):
+        for (Ld, Pm), ga in zip(lv_f, lv_a):
+            cm = jnp.repeat(ga["cols"] >= 0, d, axis=1).astype(dtype)
+            rhs = gather_rhs(ga["cols"])
+            if Pm.shape[1]:
+                xr = gather_rhs(ga["rows"])
+                rhs = rhs - jnp.einsum("smk,sm->sk", Pm, xr, precision=_HI)
             x = _solve_upper_batched(Ld, rhs[..., None], d)[..., 0] * cm
-            b = scatter_rhs(b, bk["cols"], x)
+            b = scatter_rhs(b, ga["cols"], x)
     return b
 
 
@@ -534,22 +592,20 @@ def solve_supernodal(blocks, b, levels, d: int):
 # --------------------------------------------------------------------- #
 
 class SupernodalCholeskySolver:
-    """Direct supernodal block-Cholesky solver — the CHOLMOD-class direct
-    solver.  Symbolic analysis + amalgamation run once at setup; each
-    ``solve`` re-runs the batched dense numeric phase with the current
-    lambda.  Mixed vertex types ride global block ids with top-left
-    padding to the max tangent dim (CHOLMOD covers this with variable
-    block sizes, ``linear_solver_cholmod.h:76``); n-ary edges contribute
-    one H block per slot pair (``block_solver.hpp:142-214``)."""
+    """Direct supernodal multifrontal block-Cholesky solver — the
+    CHOLMOD-class direct solver.  Symbolic analysis + amalgamation run
+    once at setup; each ``solve`` re-runs the batched dense numeric phase
+    with the current lambda.  Mixed vertex types ride global block ids
+    with top-left padding to the max tangent dim (CHOLMOD covers this with
+    variable block sizes, ``linear_solver_cholmod.h:76``); n-ary edges
+    contribute one H block per slot pair (``block_solver.hpp:142-214``)."""
 
     name = "supernodal"
 
     def __init__(self, *, smax: int = 24, zeta: float = 0.35,
-                 min_separator_size: int = 32, refine: int = 1,
-                 bucket_merge: str = "size"):
+                 min_separator_size: int = 32, refine: int = 1):
         self.smax = int(smax)
         self.zeta = float(zeta)
-        self.bucket_merge = bucket_merge
         self.min_size = int(min_separator_size)
         # mixed-precision iterative-refinement sweeps: in f32 (the TPU
         # default) the factorization of an ill-conditioned pose-graph
@@ -595,15 +651,27 @@ class SupernodalCholeskySolver:
         pairs = np.asarray(sorted(pair_set), dtype=np.int64).reshape(-1, 2)
 
         sym = symbolic_factorization(n, pairs, min_size=self.min_size)
-        levels, off_slot_v, meta = build_supernodal_schedule(
-            sym, d=d, smax=self.smax, zeta=self.zeta,
-            bucket_merge=self.bucket_merge)
+        aux_sched, static, meta = build_supernodal_schedule(
+            sym, d=d, smax=self.smax, zeta=self.zeta)
         self.meta = meta
+        self._static = static
         inv = sym["inv"].astype(np.int64)
+        acc_T = static["acc_T"]
+        flat_slot = static["flat_slot"]
 
-        edge_maps = {}
+        # per-(edge type, slot) diagonal assembly ids and per-(edge type,
+        # slot pair) off-diagonal assembly ids into the flat frontal-slot
+        # array (ONE scatter per edge array — the reference assembles into
+        # CHOLMOD's column-major slots the same once-per-block way,
+        # ``block_solver.hpp:142-214``)
+        asm_diag = {}
+        asm_off = {}
         for name, et in p.edge_types.items():
             vidx = np.asarray(p.data.edges[name].vidx)
+            for s in range(et.num_slots):
+                gi = base[et.vertex_types[s].name] + vidx[:, s]
+                i = inv[gi]
+                asm_diag[(name, s)] = jnp.asarray(flat_slot(i, i))
             for a, b in slot_pairs[name]:
                 ga = base[et.vertex_types[a].name] + vidx[:, a]
                 gb = base[et.vertex_types[b].name] + vidx[:, b]
@@ -612,27 +680,26 @@ class SupernodalCholeskySolver:
                 valid = ga != gb
                 lo = np.where(valid, np.minimum(i, j), 0)
                 hi = np.where(valid, np.maximum(i, j), 1)
-                slots = np.where(valid, off_slot_v(hi, lo), 0)
+                slots = np.where(valid, flat_slot(hi, lo), acc_T)  # OOB→drop
                 transpose = i < j
-                edge_maps[(name, a, b)] = (jnp.asarray(slots),
-                                           jnp.asarray(transpose),
-                                           jnp.asarray(valid))
+                asm_off[(name, a, b)] = (jnp.asarray(slots),
+                                         jnp.asarray(transpose))
 
-        # global fixed mask + per-slot validity (padding slots off)
+        # global fixed mask + per-slot validity, PERMUTED block order
         fixed_np = np.zeros(n, dtype=bool)
         valid_np = np.zeros((n, d), dtype=np.float64)
         for t in tnames:
             fixed_np[base[t]:base[t] + p.counts[t]] = \
                 np.asarray(p.data.fixed[t])
             valid_np[base[t]:base[t] + p.counts[t], :dims[t]] = 1.0
-
-        perm = jnp.asarray(sym["perm"])
+        perm = np.asarray(sym["perm"])
         dtype = p.dtype
-        n_total = n + meta["nnz"]
-        self.aux = dict(levels=levels, perm=perm, edge_maps=edge_maps,
-                        gfixed=jnp.asarray(fixed_np),
-                        gvalid=jnp.asarray(valid_np, dtype=dtype))
-        eye = jnp.eye(d, dtype=dtype)
+        self.aux = dict(levels=aux_sched["levels"],
+                        pairs=aux_sched["pairs"],
+                        perm=jnp.asarray(perm),
+                        asm_diag=asm_diag, asm_off=asm_off,
+                        gfixed=jnp.asarray(fixed_np[perm]),
+                        gvalid=jnp.asarray(valid_np[perm], dtype=dtype))
 
         def _pad_block(M):
             a, b = M.shape[-2], M.shape[-1]
@@ -644,52 +711,36 @@ class SupernodalCholeskySolver:
             # every H einsum at HIGHEST: on TPU the default is bf16 MXU
             # passes (~1e-3 relative) — enough to make trailing blocks of
             # an ill-conditioned pose-graph Hessian indefinite after the
-            # supernodal updates (NaN factors).  The diagonal is rebuilt
-            # here rather than taken from lin.diag (which is assembled at
-            # the iterative solvers' default precision).
-            blocks = jnp.zeros((n_total, d, d), dtype=dtype)
-            diag = jnp.zeros((n, d, d), dtype=dtype)
+            # frontal updates (NaN factors)
+            ACC = jnp.zeros((acc_T, d, d), dtype=dtype)
             for name, et in p.edge_types.items():
                 Js = p.edge_jacs(lin, name)
                 W = p.edge_weights(lin, name)
-                vidx = data.edges[name].vidx
                 for s in range(et.num_slots):
-                    t = et.vertex_types[s].name
                     Hss = jnp.einsum("erd,ers,esf->edf", Js[s], W, Js[s],
                                      precision=_HI)
-                    diag = diag.at[base[t] + vidx[:, s]].add(
+                    ACC = ACC.at[aux["asm_diag"][(name, s)]].add(
                         _pad_block(Hss))
-            vmask = aux["gvalid"]                      # (n, d)
-            diag = diag + jnp.einsum("nd,de->nde", vmask, eye) * lam \
-                + jnp.einsum("nd,de->nde", 1.0 - vmask, eye)
-            fx = aux["gfixed"].astype(dtype)[:, None, None]
-            diag = diag * (1.0 - fx) + eye * fx
-            blocks = blocks.at[:n].set(diag[aux["perm"]])
-            for name, et in p.edge_types.items():
-                if not slot_pairs[name]:
-                    continue
-                Js = p.edge_jacs(lin, name)
-                W = p.edge_weights(lin, name)
                 for a, b in slot_pairs[name]:
                     Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[a],
                                                 W, Js[b], precision=_HI))
-                    slots, transpose, valid = aux["edge_maps"][(name, a, b)]
+                    slots, transpose = aux["asm_off"][(name, a, b)]
                     Hab = jnp.where(transpose[:, None, None],
                                     jnp.swapaxes(Hab, -1, -2), Hab)
-                    Hab = Hab * valid[:, None, None].astype(dtype)
-                    blocks = blocks.at[slots].add(Hab)
-            return factorize_supernodal(blocks, aux["levels"], d)
+                    ACC = ACC.at[slots].add(Hab, mode="drop")
+            return factorize_frontal(ACC, aux, static, d, lam,
+                                     aux["gfixed"], aux["gvalid"])
 
         n_refine = self.refine
 
         def solve(data, lin, lam, aux):
-            blocks = assemble_and_factor(data, lin, lam, aux)
+            factors = assemble_and_factor(data, lin, lam, aux)
             bb = p.split_tangent(lin.b)
             bfull = jnp.zeros((n, d), dtype=dtype)
             for t in tnames:
                 bfull = bfull.at[base[t]:base[t] + p.counts[t],
                                  :dims[t]].set(bb[t])
-            xperm = solve_supernodal(blocks, bfull[aux["perm"]],
+            xperm = solve_supernodal(factors, bfull[aux["perm"]],
                                      aux["levels"], d)
             x = jnp.zeros_like(xperm).at[aux["perm"]].set(xperm)
             if n_refine:
@@ -709,7 +760,7 @@ class SupernodalCholeskySolver:
                         Ax = hv[t] + lam * xb[t] * (1.0 - fxt) + xb[t] * fxt
                         rfull = rfull.at[base[t]:base[t] + p.counts[t],
                                          :dims[t]].set(bb[t] - Ax)
-                    dperm = solve_supernodal(blocks, rfull[aux["perm"]],
+                    dperm = solve_supernodal(factors, rfull[aux["perm"]],
                                              aux["levels"], d)
                     x = x + jnp.zeros_like(x).at[aux["perm"]].set(dperm)
             return p.join_tangent(

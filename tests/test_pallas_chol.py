@@ -31,10 +31,9 @@ def test_chol_and_solves_match_lapack(S, n, m):
         <= 5e-6 * max(np.abs(Xref).max(), 1.0)
 
 
-def test_supernodal_level_merge_matches_size_buckets():
-    """bucket_merge='level' must produce the same factorization results."""
-    import jax
-
+def test_supernodal_amalgamation_invariant():
+    """Different amalgamation widths reshape the frontal schedule but must
+    produce the same solve (multifrontal extend-add exactness)."""
     from g2o_tpu.core.solvers.supernodal import SupernodalCholeskySolver
     from g2o_tpu.sim.generators import create_manhattan
     import g2o_tpu.types  # noqa: F401
@@ -44,9 +43,8 @@ def test_supernodal_level_merge_matches_size_buckets():
     lin = p.linearize_jit(p.data, p.estimates)
     lam = jnp.asarray(1e-3, p.dtype)
     xs = []
-    for mode in ("size", "level"):
-        s = SupernodalCholeskySolver()
-        s.bucket_merge = mode
+    for smax in (24, 6):
+        s = SupernodalCholeskySolver(smax=smax)
         s.setup(p)
         xs.append(np.asarray(s.solve(p.data, lin, lam)))
     np.testing.assert_allclose(xs[0], xs[1], rtol=1e-6, atol=1e-8)
