@@ -117,13 +117,37 @@ def _assign_satellites(graph: Graph, star_of: dict, pose_type: str):
                 continue
             for s in pose_stars:
                 votes.setdefault(v, {})[s] = votes.get(v, {}).get(s, 0) + 1
-    for vid, rec in graph.vertices().items():
-        if vid in star_of or rec.vtype.name == pose_type:
-            continue
+    pending = [vid for vid, rec in graph.vertices().items()
+               if vid not in star_of and rec.vtype.name != pose_type]
+    for vid in pending:
         vv = votes.get(vid)
         if vv:
             star_of[vid] = max(sorted(vv), key=lambda s: vv[s])
-        else:
+    # satellites with NO observing pose (landmark-landmark chains): follow
+    # any already-assigned neighbour's star, propagating until settled;
+    # fully isolated leftovers default to star 0
+    remaining = [v for v in pending if v not in star_of]
+    if remaining:
+        nbrs: dict[int, set] = {}
+        for e in graph.edges():
+            for a in e.vids:
+                for b in e.vids:
+                    if a != b:
+                        nbrs.setdefault(a, set()).add(b)
+        changed = True
+        while changed and remaining:
+            changed = False
+            still = []
+            for vid in remaining:
+                hit = next((star_of[w] for w in sorted(nbrs.get(vid, ()))
+                            if w in star_of), None)
+                if hit is not None:
+                    star_of[vid] = hit
+                    changed = True
+                else:
+                    still.append(vid)
+            remaining = still
+        for vid in remaining:
             star_of[vid] = 0
     return star_of
 

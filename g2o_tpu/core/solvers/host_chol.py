@@ -155,6 +155,7 @@ class HostCholSolver:
 
         # per edge type / slot pair: (E, da, db) H_ab blocks
         off_maps = {}
+        self_maps = {}
         for name, et in p.edge_types.items():
             vidx = np.asarray(p.data.edges[name].vidx)
             for a, b in edge_pairs[name]:
@@ -174,6 +175,16 @@ class HostCholSolver:
                 posm = pos_of(r, c)
                 posm[~valid] = 0          # masked below
                 off_maps[(name, a, b)] = (posm, valid)
+                # both slots bind the SAME vertex: H_ab + H_abᵀ belongs to
+                # that vertex's DIAGONAL block (dense_hessian_fn and the
+                # reference accumulate it there; dropping it silently
+                # factors a different matrix)
+                if (~valid).any():
+                    sel = np.nonzero(~valid)[0]
+                    iu, ju = np.triu_indices(da)
+                    rs = soff[pa[sel]][:, None] + iu[None, :]
+                    cs = soff[pa[sel]][:, None] + ju[None, :]
+                    self_maps[(name, a, b)] = (pos_of(rs, cs), sel, iu, ju)
 
         # diagonal scalar positions (for λ damping / fixed identity)
         alld = np.arange(N, dtype=np.int64)
@@ -195,6 +206,7 @@ class HostCholSolver:
         self._scal_from_flat = scal_from_flat
         self._diag_maps = diag_maps
         self._off_maps = off_maps
+        self._self_maps = self_maps
         self._edge_pairs = edge_pairs
         self._dims = dims
 
@@ -232,12 +244,9 @@ class HostCholSolver:
         self._step1_jit = jax.jit(step1)
         return self
 
-    def _base_ax(self, data, lin):
-        """Assemble the λ=0 value array (cached per linearization; the
-        cache holds a strong ref to ``lin`` so identity can't be reused)."""
-        if self._base_cache[0] is lin:
-            return self._base_cache[1]
-        diag, off, b = jax.device_get(self._assemble_jit(data, lin))
+    def _scatter_ax(self, diag, off):
+        """Scatter fetched block values into the upper-CSC value array
+        (shared by the cached-base and per-call paths)."""
         idx_l, val_l = [], []
         for t, (posm, iu, ju) in self._diag_maps.items():
             idx_l.append(posm.ravel())
@@ -248,12 +257,40 @@ class HostCholSolver:
             E, da, db = H.shape
             idx_l.append(posm[valid].ravel())
             val_l.append(H.reshape(E, da * db)[valid].ravel())
+        for key, (posm, sel, iu, ju) in self._self_maps.items():
+            # same-vertex slot pairs: H_ab + H_abᵀ into the diagonal block
+            H = np.asarray(off[key], dtype=np.float64)[sel]
+            Hs = H + np.swapaxes(H, 1, 2)
+            idx_l.append(posm.ravel())
+            val_l.append(Hs[:, iu, ju].ravel())
         Ax = np.bincount(np.concatenate(idx_l),
                          weights=np.concatenate(val_l),
                          minlength=self._nnz)
         # fixed vertices: unit diagonal (their H contributions are
         # already zero — Jacobian slots masked at linearize)
         Ax[self._fix_pos] += 1.0
+        return Ax
+
+    def _factor_solve(self, Ax, bh, lam):
+        """λ-damp, factor, solve, un-permute.  NaN dx on non-PD (the
+        reference csparse failure branch, linear_solver_csparse.h:128)."""
+        if lam:
+            Ax[self._lam_pos] += float(lam)
+        rc = self._hc.factor(Ax)
+        if rc != 0:
+            return np.full(self._N, np.nan), Ax
+        x = self._hc.solve(bh)
+        dx = np.zeros(self._N, dtype=np.float64)
+        dx[self._scal_from_flat] = x
+        return dx, Ax
+
+    def _base_ax(self, data, lin):
+        """Assemble the λ=0 value array (cached per linearization; the
+        cache holds a strong ref to ``lin`` so identity can't be reused)."""
+        if self._base_cache[0] is lin:
+            return self._base_cache[1]
+        diag, off, b = jax.device_get(self._assemble_jit(data, lin))
+        Ax = self._scatter_ax(diag, off)
         bh = np.asarray(b, dtype=np.float64)[self._scal_from_flat]
         self._base_cache = (lin, (Ax, bh))
         return Ax, bh
@@ -261,45 +298,16 @@ class HostCholSolver:
     def _fill_and_solve(self, diag, off, b, lam):
         """Host-side: scatter fetched block values into Ax, factor, solve.
         Returns the flat-tangent dx as float64 numpy (NaN on non-PD)."""
-        idx_l, val_l = [], []
-        for t, (posm, iu, ju) in self._diag_maps.items():
-            idx_l.append(posm.ravel())
-            val_l.append(np.asarray(diag[t], dtype=np.float64)
-                         [:, iu, ju].ravel())
-        for key, (posm, valid) in self._off_maps.items():
-            H = np.asarray(off[key], dtype=np.float64)
-            E, da, db = H.shape
-            idx_l.append(posm[valid].ravel())
-            val_l.append(H.reshape(E, da * db)[valid].ravel())
-        Ax = np.bincount(np.concatenate(idx_l),
-                         weights=np.concatenate(val_l),
-                         minlength=self._nnz)
-        Ax[self._fix_pos] += 1.0
-        if lam:
-            Ax[self._lam_pos] += float(lam)
-        rc = self._hc.factor(Ax)
-        if rc != 0:
-            return np.full(self._N, np.nan), Ax
+        Ax = self._scatter_ax(diag, off)
         bh = np.asarray(b, dtype=np.float64)[self._scal_from_flat]
-        x = self._hc.solve(bh)
-        dx = np.zeros(self._N, dtype=np.float64)
-        dx[self._scal_from_flat] = x
-        return dx, Ax
+        return self._factor_solve(Ax, bh, lam)
 
     def solve(self, data, lin, lam=0.0):
         Ax0, bh = self._base_ax(data, lin)
-        Ax = Ax0.copy()
-        if lam:
-            Ax[self._lam_pos] += float(lam)
-        rc = self._hc.factor(Ax)
         p = self._p
-        if rc != 0:
-            # non-PD: NaN step -> driver rejects / escalates λ (reference
-            # csparse failure branch, linear_solver_csparse.h:128)
+        dx, _ = self._factor_solve(Ax0.copy(), bh, lam)
+        if not np.all(np.isfinite(dx)):
             return jnp.full((self._N,), jnp.nan, dtype=p.dtype)
-        x = self._hc.solve(bh)
-        dx = np.zeros(self._N, dtype=np.float64)
-        dx[self._scal_from_flat] = x
         return jnp.asarray(dx, dtype=p.dtype)
 
 

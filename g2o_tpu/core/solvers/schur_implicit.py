@@ -589,7 +589,8 @@ class ImplicitSchurSolver:
 
             def S_vec(vb):
                 # Hpp v: diagonal blocks (pure einsum) + pose-pose couplings
-                out = {t: jnp.einsum("nij,nj->ni", diag_blocks[t], vb[t])
+                out = {t: jnp.einsum("nij,nj->ni", diag_blocks[t], vb[t],
+                                     precision=MV)
                        for t in pose_types}
                 for name in pose_edge_types:
                     et = p.edge_types[name]
@@ -606,7 +607,7 @@ class ImplicitSchurSolver:
                             tj = et.vertex_types[j].name
                             h = jnp.einsum(
                                 "erd,ers,esf,ef->ed", Js[i], W, Js[j],
-                                vb[tj][vidx[:, j]])
+                                vb[tj][vidx[:, j]], precision=MV)
                             acc = h if acc is None else acc + h
                         if acc is not None:
                             out[ti] = out[ti].at[vidx[:, i]].add(acc)
@@ -661,8 +662,10 @@ class ImplicitSchurSolver:
                             vidx = data.edges[name].vidx
                             u = vb[pt][vidx[:, ps]]
                             tl[lt] = tl[lt].at[vidx[:, ls]].add(
-                                jnp.einsum("edl,ed->el", B[name], u))
-                    s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t])
+                                jnp.einsum("edl,ed->el", B[name], u,
+                                           precision=MV))
+                    s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t],
+                                        precision=MV)
                           for t in lm_types}
                     for name, ps, ls in rem:
                         et = p.edge_types[name]
@@ -677,7 +680,8 @@ class ImplicitSchurSolver:
                             vidx = data.edges[name].vidx
                             out[pt] = out[pt].at[vidx[:, ps]].add(
                                 -jnp.einsum("edl,el->ed", B[name],
-                                            s_[lt][vidx[:, ls]]))
+                                            s_[lt][vidx[:, ls]],
+                                            precision=MV))
                 return out
 
             def precond(rb):
@@ -825,6 +829,13 @@ class ImplicitSchurSolver:
         use_schur_precond = self.precond == "schur_jacobi"
         cg_types = pose_types + [t for t in lm_types if partial[t]]
         full_lm = [t for t in lm_types if not partial[t]]
+        if self.deflate_basis:
+            # the analytic gauge bases are built for the standard BAL
+            # camera/landmark split; silently dropping the user's request
+            # here would leave late free-gauge solves grinding the cap
+            raise NotImplementedError(
+                "deflate_basis is not supported on the general "
+                "(n-ary/partial) marginalization path")
 
         # static masks -> aux (solver-owned arrays travel as jit arguments)
         aux = {"marg": {}, "elim": {}}
@@ -841,6 +852,10 @@ class ImplicitSchurSolver:
                                             dtype=dtype)
         self.aux = aux
         hi = _HI
+        # CG-body matvec precision, same contract as the standard path:
+        # "auto"/"default" = single bf16 MXU passes, "highest" = exact f32
+        # (bf16 matvecs stall CG at the cap once LM converges — CLAUDE.md)
+        mv = _HI if self.matvec_precision == "highest" else None
 
         def damped_diag(data, lin, lam, types):
             out = {}
@@ -882,7 +897,7 @@ class ImplicitSchurSolver:
 
             ball = p.split_tangent(lin.b)
             bl = {t: ball[t] for t in lm_types}
-            y = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t])
+            y = {t: jnp.einsum("nij,nj->ni", Dinv[t], bl[t], precision=hi)
                  for t in lm_types}
 
             # reduced rhs over the retained system
@@ -901,7 +916,8 @@ class ImplicitSchurSolver:
                 for s in pslots:
                     ts = et.vertex_types[s].name
                     bschur[ts] = bschur[ts].at[vidx[:, s]].add(
-                        -el * jnp.einsum("edl,el->ed", B[name][s], yl))
+                        -el * jnp.einsum("edl,el->ed", B[name][s], yl,
+                                         precision=hi))
 
             # preconditioner
             diag_blocks = damped_diag(data, lin, lam, cg_types)
@@ -926,7 +942,8 @@ class ImplicitSchurSolver:
             minv = {t: inv_small(sdiag[t]) for t in cg_types}
 
             def S_vec(vb):
-                out = {t: jnp.einsum("nij,nj->ni", diag_blocks[t], vb[t])
+                out = {t: jnp.einsum("nij,nj->ni", diag_blocks[t], vb[t],
+                                     precision=mv)
                        for t in cg_types}
                 # pose-only edges: all slot-pair couplings
                 for name in pose_edge_types:
@@ -944,7 +961,7 @@ class ImplicitSchurSolver:
                             tj = et.vertex_types[j].name
                             h = jnp.einsum(
                                 "erd,ers,esf,ef->ed", Js[i], W, Js[j],
-                                vb[tj][vidx[:, j]])
+                                vb[tj][vidx[:, j]], precision=mv)
                             acc = h if acc is None else acc + h
                         if acc is not None:
                             out[ti] = out[ti].at[vidx[:, i]].add(acc)
@@ -968,7 +985,7 @@ class ImplicitSchurSolver:
                             tj = et.vertex_types[j].name
                             h = jnp.einsum(
                                 "erd,ers,esf,ef->ed", Js[i], W, Js[j],
-                                vb[tj][vidx[:, j]])
+                                vb[tj][vidx[:, j]], precision=mv)
                             acc = h if acc is None else acc + h
                         if acc is not None:
                             out[ti] = out[ti].at[vidx[:, i]].add(acc)
@@ -980,9 +997,11 @@ class ImplicitSchurSolver:
                             ts = et.vertex_types[s].name
                             out[ts] = out[ts].at[vidx[:, s]].add(
                                 (1.0 - el) * jnp.einsum(
-                                    "edl,el->ed", B[name][s], vl))
+                                    "edl,el->ed", B[name][s], vl,
+                                    precision=mv))
                             hl = jnp.einsum("edl,ed->el", B[name][s],
-                                            vb[ts][vidx[:, s]])
+                                            vb[ts][vidx[:, s]],
+                                            precision=mv)
                             accl = hl if accl is None else accl + hl
                         if accl is not None:
                             out[lt] = out[lt].at[vidx[:, ls]].add(
@@ -999,11 +1018,12 @@ class ImplicitSchurSolver:
                     for s in pslots:
                         ts = et.vertex_types[s].name
                         h = jnp.einsum("edl,ed->el", B[name][s],
-                                       vb[ts][vidx[:, s]])
+                                       vb[ts][vidx[:, s]], precision=mv)
                         acc = h if acc is None else acc + h
                     if acc is not None:       # unary landmark priors: none
                         tl[lt] = tl[lt].at[vidx[:, ls]].add(el * acc)
-                s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t])
+                s_ = {t: jnp.einsum("nij,nj->ni", Dinv[t], tl[t],
+                                    precision=mv)
                       for t in lm_types}
                 for name, pslots, ls in obs_specs:
                     et = p.edge_types[name]
@@ -1014,7 +1034,8 @@ class ImplicitSchurSolver:
                     for s in pslots:
                         ts = et.vertex_types[s].name
                         out[ts] = out[ts].at[vidx[:, s]].add(
-                            -el * jnp.einsum("edl,el->ed", B[name][s], sl))
+                            -el * jnp.einsum("edl,el->ed", B[name][s], sl,
+                                             precision=mv))
                 return out
 
             def precond(rb):
@@ -1059,20 +1080,22 @@ class ImplicitSchurSolver:
                 for s in pslots:
                     ts = et.vertex_types[s].name
                     h = jnp.einsum("edl,ed->el", B[name][s],
-                                   dxp[ts][vidx[:, s]])
+                                   dxp[ts][vidx[:, s]], precision=hi)
                     acc = h if acc is None else acc + h
                 if acc is not None:
                     wl[lt] = wl[lt].at[vidx[:, ls]].add(el * acc)
             dxl = {}
             for t in full_lm:
-                dxl[t] = jnp.einsum("nij,nj->ni", Dinv[t], bl[t] - wl[t])
+                dxl[t] = jnp.einsum("nij,nj->ni", Dinv[t], bl[t] - wl[t],
+                                    precision=hi)
             out = dict(dxl)
             for t in cg_types:
                 if t in lm_types:      # partial: merge retained + eliminated
                     mu = aux["marg"][t][:, None]
                     out[t] = (dxp[t] * (1.0 - mu)
                               + mu * jnp.einsum("nij,nj->ni", Dinv[t],
-                                                bl[t] - wl[t]))
+                                                bl[t] - wl[t],
+                                                precision=hi))
                 else:
                     out[t] = dxp[t]
 

@@ -608,6 +608,7 @@ class SparseCholeskySolver:
         # (vectorized: block (hi, lo) with hi > lo holds H[a,b] when
         # inv[a] > inv[b], H[b,a] — the transpose — otherwise)
         edge_maps = {}
+        self_maps = {}
         for name, et in p.edge_types.items():
             vidx = np.asarray(p.data.edges[name].vidx)
             for a, b in slot_pairs[name]:
@@ -623,6 +624,13 @@ class SparseCholeskySolver:
                 edge_maps[(name, a, b)] = (jnp.asarray(slots),
                                            jnp.asarray(transpose),
                                            jnp.asarray(valid))
+                # both slots bind the SAME vertex: H_ab + H_abᵀ belongs to
+                # its DIAGONAL block (dense_hessian_fn accumulates it
+                # there; dropping it would factor a different matrix) —
+                # rare, so the extra scatter exists only when present
+                if (~valid).any():
+                    self_maps[(name, a, b)] = jnp.asarray(
+                        np.where(valid, n, ga))       # n = OOB -> dropped
 
         # global (n,) fixed mask + per-slot validity (padding slots off)
         fixed_np = np.zeros(n, dtype=bool)
@@ -645,7 +653,7 @@ class SparseCholeskySolver:
             perm=perm,
             gfixed=jnp.asarray(fixed_np),
             gvalid=jnp.asarray(valid_np, dtype=dtype),
-            edge_maps=edge_maps,
+            edge_maps=edge_maps, self_maps=self_maps,
         )
         eye = jnp.eye(d, dtype=dtype)
 
@@ -676,6 +684,14 @@ class SparseCholeskySolver:
                     Hss = jnp.einsum("erd,ers,esf->edf", Js[s], W, Js[s],
                                      precision=hi)
                     diag = diag.at[base[t] + vidx[:, s]].add(_pad_block(Hss))
+            # same-vertex slot pairs: H_ab + H_abᵀ into the diagonal block
+            for (name, a, b), sids in aux["self_maps"].items():
+                Js = p.edge_jacs(lin, name)
+                W = p.edge_weights(lin, name)
+                Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[a], W,
+                                            Js[b], precision=hi))
+                diag = diag.at[sids].add(Hab + jnp.swapaxes(Hab, -1, -2),
+                                         mode="drop")
             # damping on valid slots, unit diagonal on padding slots,
             # identity on fixed vertices
             vmask = aux["gvalid"]                       # (n, d)

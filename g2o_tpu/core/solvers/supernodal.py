@@ -666,6 +666,7 @@ class SupernodalCholeskySolver:
         # ``block_solver.hpp:142-214``)
         asm_diag = {}
         asm_off = {}
+        asm_self = {}
         for name, et in p.edge_types.items():
             vidx = np.asarray(p.data.edges[name].vidx)
             for s in range(et.num_slots):
@@ -684,6 +685,12 @@ class SupernodalCholeskySolver:
                 transpose = i < j
                 asm_off[(name, a, b)] = (jnp.asarray(slots),
                                          jnp.asarray(transpose))
+                # both slots bind the SAME vertex: H_ab + H_abᵀ belongs to
+                # its DIAGONAL frontal slot (rare; extra scatter only when
+                # present — dense_hessian_fn accumulates it there too)
+                if (~valid).any():
+                    asm_self[(name, a, b)] = jnp.asarray(
+                        np.where(valid, acc_T, flat_slot(i, i)))
 
         # global fixed mask + per-slot validity, PERMUTED block order
         fixed_np = np.zeros(n, dtype=bool)
@@ -698,6 +705,7 @@ class SupernodalCholeskySolver:
                         pairs=aux_sched["pairs"],
                         perm=jnp.asarray(perm),
                         asm_diag=asm_diag, asm_off=asm_off,
+                        asm_self=asm_self,
                         gfixed=jnp.asarray(fixed_np[perm]),
                         gvalid=jnp.asarray(valid_np[perm], dtype=dtype))
 
@@ -725,9 +733,14 @@ class SupernodalCholeskySolver:
                     Hab = _pad_block(jnp.einsum("erd,ers,esf->edf", Js[a],
                                                 W, Js[b], precision=_HI))
                     slots, transpose = aux["asm_off"][(name, a, b)]
-                    Hab = jnp.where(transpose[:, None, None],
-                                    jnp.swapaxes(Hab, -1, -2), Hab)
-                    ACC = ACC.at[slots].add(Hab, mode="drop")
+                    HabT = jnp.swapaxes(Hab, -1, -2)
+                    ACC = ACC.at[slots].add(
+                        jnp.where(transpose[:, None, None], HabT, Hab),
+                        mode="drop")
+                    sids = aux["asm_self"].get((name, a, b))
+                    if sids is not None:
+                        # same-vertex slot pair -> diagonal frontal slot
+                        ACC = ACC.at[sids].add(Hab + HabT, mode="drop")
             return factorize_frontal(ACC, aux, static, d, lam,
                                      aux["gfixed"], aux["gvalid"])
 

@@ -106,26 +106,35 @@ def bal_gauge_directions(cams, pts=None):
 
     cams = np.asarray(cams, dtype=np.float64)
     N = cams.shape[0]
+    # fully host-side + vectorized: the previous per-camera loop dispatched
+    # an eager jnp rodrigues call per camera — N device round-trips over
+    # the tunnel at setup (CLAUDE.md: tiny eager device ops ~1 s each on a
+    # fresh process)
+    w = cams[:, :3]
+    t = cams[:, 3:6]
+    th2 = np.einsum("ni,ni->n", w, w)
+    th = np.sqrt(np.maximum(th2, 1e-300))
+    W = np.zeros((N, 3, 3))
+    W[:, 0, 1], W[:, 0, 2] = -w[:, 2], w[:, 1]
+    W[:, 1, 0], W[:, 1, 2] = w[:, 2], -w[:, 0]
+    W[:, 2, 0], W[:, 2, 1] = -w[:, 1], w[:, 0]
+    WW = np.einsum("nij,njk->nik", W, W)
+    eye = np.eye(3)[None]
+    small = th2 < 1e-12
+    # R = I + sinθ/θ W + (1-cosθ)/θ² W²  (Rodrigues)
+    A = np.where(small, 1.0, np.sin(th) / th)[:, None, None]
+    B = np.where(small, 0.5, (1.0 - np.cos(th)) / np.maximum(th2, 1e-300))
+    R = eye + A * W + B[:, None, None] * WW
+    # J_r(w)^{-1} = I + W/2 + c(θ) W², c → 1/12 as θ → 0
+    c = np.where(small, 1.0 / 12.0,
+                 1.0 / np.maximum(th2, 1e-300)
+                 - (1.0 + np.cos(th))
+                 / np.maximum(2.0 * th * np.sin(th), 1e-300))
+    Jr_inv = eye + 0.5 * W + c[:, None, None] * WW
     Gcam = np.zeros((N, 9, 7))
-    for i in range(N):
-        w = cams[i, :3]
-        t = cams[i, 3:6]
-        th2 = float(w @ w)
-        W = _skew(w)
-        if th2 < 1e-12:
-            Jr_inv = np.eye(3) + 0.5 * W + (1.0 / 12.0) * (W @ W)
-        else:
-            th = np.sqrt(th2)
-            Jr_inv = (np.eye(3) + 0.5 * W
-                      + (1.0 / th2 - (1.0 + np.cos(th))
-                         / (2.0 * th * np.sin(th))) * (W @ W))
-        # R(w) columns via Rodrigues
-        R = np.asarray(rodrigues_rotate(
-            jnp.asarray(w)[None, :].repeat(3, 0), jnp.asarray(np.eye(3))))
-        R = R.T                       # rows were rotated basis vectors
-        Gcam[i, :3, 0:3] = -Jr_inv    # rotation gauge
-        Gcam[i, 3:6, 3:6] = -R        # translation gauge
-        Gcam[i, 3:6, 6] = t           # scale gauge
+    Gcam[:, :3, 0:3] = -Jr_inv        # rotation gauge
+    Gcam[:, 3:6, 3:6] = -R            # translation gauge
+    Gcam[:, 3:6, 6] = t               # scale gauge
     if pts is None:
         return Gcam, None
     pts = np.asarray(pts, dtype=np.float64)

@@ -116,3 +116,20 @@ def test_partial_lm_full_run():
         p2, ImplicitSchurSolver(max_iter=500, tol=1e-10), 10)
     assert abs(r2["chi2_final"] - r1["chi2_final"]) <= \
         1e-6 * max(r1["chi2_final"], 1.0)
+
+
+def test_deflation_rejected_on_general_path():
+    """deflate_basis must fail loudly (not silently no-op) when the
+    problem routes to the general n-ary/partial marginalization path."""
+    import pytest
+
+    from g2o_tpu.core.solvers.schur_implicit import ImplicitSchurSolver
+
+    g = make_inverse_depth_scene(seed=3)
+    p = g.compile()
+    cam_t = next(t for t in p.vertex_types
+                 if not np.asarray(p.marginalized[t]).any())
+    d = p.vertex_types[cam_t].tangent_dim
+    basis = {cam_t: np.zeros((p.counts[cam_t], d, 1))}
+    with pytest.raises(NotImplementedError):
+        ImplicitSchurSolver(deflate_basis=basis).setup(p)

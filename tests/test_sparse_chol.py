@@ -178,3 +178,43 @@ def test_ternary_calib_matches_dense():
         SparseCholeskySolver().setup(p).solve(p.data, lin, lam))
     rel = np.linalg.norm(dx_s - dx_d) / np.linalg.norm(dx_d)
     assert rel < 1e-9
+
+
+def test_repeated_vertex_hyperedge_matches_dense():
+    """An edge binding the SAME vertex in two slots contributes
+    H_ab + H_abT to that vertex's DIAGONAL block (dense_hessian_fn
+    semantics); the direct solvers must not drop it."""
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.core.solvers import DenseSolver, SparseCholeskySolver
+    from g2o_tpu.core.solvers.host_chol import HostCholSolver
+    from g2o_tpu.core.solvers.supernodal import SupernodalCholeskySolver
+    from g2o_tpu.ops import lie
+    from g2o_tpu.types.sclam2d import EdgeSE2SensorCalib
+    from g2o_tpu.types.slam2d import EdgeSE2, VertexSE2
+
+    rng = np.random.default_rng(11)
+    g = Graph()
+    poses = [np.array([float(i), 0.1 * i, 0.05 * i]) for i in range(8)]
+    for i, x in enumerate(poses):
+        g.add_vertex(i, VertexSE2, x + rng.normal(scale=0.05, size=3),
+                     fixed=(i == 0))
+    g.add_vertex(100, VertexSE2, [0.05, -0.02, 0.1])
+    info = np.eye(3) * 10
+    for i in range(7):
+        meas = np.asarray(lie.se2_compose(
+            lie.se2_inverse(jnp.asarray(poses[i])), jnp.asarray(poses[i + 1])))
+        g.add_edge(EdgeSE2, [i, i + 1], meas, info)
+        g.add_edge(EdgeSE2SensorCalib, [i, i + 1, 100], meas, info)
+    # the repeated-vertex hyper-edge: slots 0 and 1 bind vertex 3
+    g.add_edge(EdgeSE2SensorCalib, [3, 3, 100], [0.0, 0.0, 0.0], info)
+    p = g.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    lam = 1e-2
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, lam))
+    for solver in (SparseCholeskySolver(), SupernodalCholeskySolver(refine=2),
+                   HostCholSolver()):
+        dx = np.asarray(solver.setup(p).solve(p.data, lin, lam))
+        rel = np.linalg.norm(dx - dx_d) / np.linalg.norm(dx_d)
+        assert rel < 1e-7, (type(solver).__name__, rel)
