@@ -119,6 +119,8 @@ class IncrementalOptimizer:
         self._set_data(edges={**p.data.edges, name: new_batch},
                        plans=new_plans)
         self._live_edges[name] = i + 1
+        if p.n_active_edges is not None:
+            p.n_active_edges += 1     # keep the host-side count current
         self._edges_dirty = True
 
     def _init_fresh_through_edge(self, rec):

@@ -41,6 +41,15 @@ def _solver_token(solver):
         solver.__dict__["_runner_token"] = tok
     return tok
 
+
+def _cap_cache(cache, limit: int = 8):
+    """Evict oldest entries so per-problem runner caches stay bounded —
+    each cached runner closes over a solver's whole setup environment
+    (preconditioner builders, chunk maps), so a config sweep would
+    otherwise grow memory linearly with solvers created."""
+    while len(cache) >= limit:
+        cache.pop(next(iter(cache)))
+
 from g2o_tpu.core.optimizer import (
     BatchStatistics,
     OptimizationAlgorithm,
@@ -202,6 +211,7 @@ def optimize_fused(problem, solver, max_iterations: int, *,
         run = make_lm_run(problem, solver, max_trials=max_trials,
                           max_iters=history_cap,
                           gain_threshold=gain_threshold)
+        _cap_cache(cache)
         cache[key] = run
     sstate = getattr(solver, "state0", None)
     if sstate is None or not hasattr(solver, "_solve_state_fn"):
@@ -294,6 +304,7 @@ def optimize_fused_gn(problem, solver, max_iterations: int, *,
     run = cache.get(key)
     if run is None:
         run = make_gn_run(problem, solver, max_iters=history_cap)
+        _cap_cache(cache)
         cache[key] = run
     sstate = getattr(solver, "state0", None)
     if sstate is None or not hasattr(solver, "_solve_state_fn"):
@@ -331,11 +342,24 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
     def init(self, optimizer):
         self._lambda = None
         self._ni = 2.0
-        one_iteration = make_lm_iteration(
-            optimizer.problem, optimizer.solver._solve_fn, self.max_trials,
-            solve_state_fn=getattr(optimizer.solver, "_solve_state_fn",
-                                   None))
-        self._iter_jit = jax.jit(one_iteration)
+        # cache the jitted iteration per (problem, solver, trials): init()
+        # runs at the top of EVERY optimize() call, and a fresh jax.jit
+        # wrapper re-traces each time (~1 s per block for block-wise
+        # drivers like incremental mode)
+        key = (_solver_token(optimizer.solver), self.max_trials)
+        cache = optimizer.problem.__dict__.setdefault(
+            "_lm_step_cache", {})
+        iter_jit = cache.get(key)
+        if iter_jit is None:
+            one_iteration = make_lm_iteration(
+                optimizer.problem, optimizer.solver._solve_fn,
+                self.max_trials,
+                solve_state_fn=getattr(optimizer.solver, "_solve_state_fn",
+                                       None))
+            iter_jit = jax.jit(one_iteration)
+            _cap_cache(cache)
+            cache[key] = iter_jit
+        self._iter_jit = iter_jit
         self._solver = optimizer.solver
         self._lin = None       # carried linearization (device pytree)
         self._sstate = getattr(optimizer.solver, "state0", None)
@@ -354,7 +378,6 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
                 self._lambda = float(
                     self.tau * _max_abs_diag(p, self._lin))
 
-        t0 = time.perf_counter()
         (est, chi0, chi_f, lam, ni, good, trials, self._sstate,
          cg_total, self._lin) = self._iter_jit(
                 p.data, p.estimates,
@@ -365,7 +388,9 @@ class FusedLevenbergMarquardt(OptimizationAlgorithm):
                 self._lin,
             )
         jax.block_until_ready(est)
-        stats.time_linearize = time.perf_counter() - t0
+        # the fused step is ONE device program — per-phase walls don't
+        # exist; the driver's stats.time_iteration carries the whole wall
+        # (booking it into time_linearize skewed MFU/hotspot attribution)
         stats.chi2 = float(chi0)
         self._lambda = float(lam)
         self._ni = float(ni)

@@ -159,7 +159,7 @@ class LevenbergMarquardt(OptimizationAlgorithm):
             t_solve += time.perf_counter() - t0
 
             # gain ratio (``…levenberg.cpp:124-127``)
-            scale = float(jnp.dot(dx, self._lambda * dx + lin.b)) + 1e-3
+            scale = float(jnp.sum(dx * (self._lambda * dx + lin.b))) + 1e-3
             rho = (current_chi2 - chi2_new) / scale
             if np.isfinite(chi2_new) and rho > 0 and chi2_new < current_chi2:
                 good = True
@@ -210,7 +210,7 @@ class Dogleg(OptimizationAlgorithm):
 
         b = lin.b
         Hb = p.hvp_jit(p.data, lin, b)
-        alpha = float(jnp.dot(b, b)) / max(float(jnp.dot(b, Hb)), 1e-300)
+        alpha = float(jnp.sum(b * b)) / max(float(jnp.sum(b * Hb)), 1e-300)
         h_sd = alpha * b
         h_gn = optimizer.solver.solve(p.data, lin, 0.0)
         norm_gn = float(jnp.linalg.norm(h_gn))
@@ -227,9 +227,9 @@ class Dogleg(OptimizationAlgorithm):
             else:
                 # blend along the dogleg path: h_sd + beta (h_gn - h_sd)
                 diff = h_gn - h_sd
-                a = float(jnp.dot(diff, diff))
-                bcoef = float(jnp.dot(h_sd, diff))
-                c = float(jnp.dot(h_sd, h_sd)) - self.delta ** 2
+                a = float(jnp.sum(diff * diff))
+                bcoef = float(jnp.sum(h_sd * diff))
+                c = float(jnp.sum(h_sd * h_sd)) - self.delta ** 2
                 beta = (-bcoef + np.sqrt(max(bcoef * bcoef - a * c, 0.0))) / max(a, 1e-300)
                 h_dl = h_sd + beta * diff
                 self._last_step = "DL"
@@ -238,7 +238,7 @@ class Dogleg(OptimizationAlgorithm):
             chi2_new = float(p.chi2_jit(p.data, new_est)[0])
             # predicted reduction of the quadratic model
             Hh = p.hvp_jit(p.data, lin, h_dl)
-            pred = float(jnp.dot(h_dl, b) - 0.5 * jnp.dot(h_dl, Hh))
+            pred = float(jnp.sum(h_dl * b) - 0.5 * jnp.sum(h_dl * Hh))
             rho = (current_chi2 - chi2_new) / max(pred, 1e-300)
             norm_dl = float(jnp.linalg.norm(h_dl))
             if np.isfinite(chi2_new) and rho > 0:
@@ -293,7 +293,8 @@ class SparseOptimizer:
         it = 0
         for it in range(max_iterations):
             if self.force_stop:
-                break
+                # it iterations (0..it-1) completed before the stop
+                return it
             stats = BatchStatistics(
                 iteration=it,
                 num_vertices=sum(self.problem.counts.values()),

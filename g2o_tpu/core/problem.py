@@ -114,7 +114,8 @@ class Problem:
                  type_bases: dict, total_dim: int, dtype,
                  bucket_specs=None, assembly_onehot_max: int = 8192,
                  uniform_kernel=None, state_dtype=None,
-                 assembly_precision: str = "highest"):
+                 assembly_precision: str = "highest",
+                 n_active_edges=None):
         # precision of the row-major H/b assembly einsums.  "highest"
         # (default) = exact f32 — REQUIRED whenever the blocks feed a
         # Cholesky factorization (direct solvers, chunk preconditioners
@@ -135,6 +136,10 @@ class Problem:
         # evaluates one.
         self.uniform_kernel: dict = uniform_kernel or {}
         self.assembly_onehot_max = int(assembly_onehot_max)
+        # true (active, unpadded) edge count, computed host-side at build
+        # — vidx.shape[0] includes padding/bucket/capacity rows and would
+        # misreport the verbose 'edges=' line and BatchStatistics
+        self.n_active_edges = n_active_edges
         self.vertex_types: dict[str, VertexType] = vertex_types
         self.counts: dict[str, int] = counts
         self.edge_types: dict[str, EdgeType] = edge_types
@@ -177,6 +182,8 @@ class Problem:
 
     @property
     def num_edges(self):
+        if self.n_active_edges is not None:
+            return self.n_active_edges
         return sum(int(b.vidx.shape[0]) for b in self.data.edges.values())
 
     def get_estimate(self, vid):
@@ -837,9 +844,14 @@ class Problem:
             ]
             k = len(Js)
             for i in range(k):
-                WJi = jnp.einsum("ers,erd->esd", W, Js[i])
+                # HIGHEST: this H feeds direct factorizations (DenseSolver
+                # cho_factor, marginals) — TPU's bf16 einsum default makes
+                # near-indefinite blocks NaN there (CLAUDE.md invariant)
+                WJi = jnp.einsum("ers,erd->esd", W, Js[i],
+                                 precision=jax.lax.Precision.HIGHEST)
                 for j in range(i, k):
-                    Hij = jnp.einsum("esd,esf->edf", WJi, Js[j])
+                    Hij = jnp.einsum("esd,esf->edf", WJi, Js[j],
+                                     precision=jax.lax.Precision.HIGHEST)
                     rows = idxs[i][:, :, None]
                     cols = idxs[j][:, None, :]
                     H = H.at[rows, cols].add(Hij)
@@ -923,14 +935,6 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
         offsets_np[t] = base + np.arange(n, dtype=np.int32) * vt.tangent_dim
         base += n * vt.tangent_dim
     total_dim = base
-
-    fixed_flat = np.zeros((total_dim,), dtype=np.float64)
-    for t in vertex_types:
-        d = vertex_types[t].tangent_dim
-        fx = np.asarray(fixed[t])
-        offs = offsets_np[t][fx]
-        for o in offs:
-            fixed_flat[o:o + d] = 1.0
 
     offsets = dict(offsets_np)
 
@@ -1028,6 +1032,18 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     for t, svids in sorted_vids.items():
         vid_index.update(
             zip(svids.tolist(), ((t, i) for i in range(counts[t]))))
+
+    # fixed_flat MUST be built AFTER the bucket reorder pass: the pass
+    # permutes fixed[t] within the type, and a stale flat mask would put
+    # unit diagonals on the wrong tangent slots (singular H on the truly
+    # fixed slot, spurious damping on a free one)
+    fixed_flat = np.zeros((total_dim,), dtype=np.float64)
+    for t in vertex_types:
+        d = vertex_types[t].tangent_dim
+        fx = np.asarray(fixed[t])
+        offs = offsets_np[t][fx]
+        for o in offs:
+            fixed_flat[o:o + d] = 1.0
 
     # ---- pass 3: bucket edge rows, pad, freeze to device arrays -------- #
     for name, et in edge_types.items():
@@ -1203,11 +1219,14 @@ def build_problem(vertex_blocks, edge_blocks, *, dtype=None,
     for name, extra in plan_extra.items():
         new_plans[name] = {**(new_plans.get(name) or {}), **extra}
     data = data._replace(edges=new_edges, plans=new_plans)
+    n_active_edges = sum(int(np.asarray(r["active"]).sum())
+                         for r in raw.values())
     return Problem(vertex_types, counts, edge_types, data, estimates,
                    marginalized, vid_index, type_bases, total_dim, dtype,
                    bucket_specs=bucket_specs, uniform_kernel=uniform_kernel,
                    state_dtype=state_dtype,
-                   assembly_precision=assembly_precision)
+                   assembly_precision=assembly_precision,
+                   n_active_edges=n_active_edges)
 
 
 def compile_graph(graph, *, level: int = 0, dtype=None,

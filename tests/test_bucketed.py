@@ -244,3 +244,68 @@ def test_static_kernel_dispatch_matches_dynamic():
         for k, z in zip(np.asarray(batch.kernel), e2))
     np.testing.assert_allclose(float(lin_m.chi2_robust), expected,
                                rtol=1e-10)
+
+
+def test_fixed_landmark_with_bucket_reorder():
+    """fixed_flat must be built AFTER the bucket reorder pass: a fixed
+    landmark of a reordered type previously lost its unit diagonal
+    (singular H) while an unrelated free landmark got spurious damping.
+    Point degrees are deliberately INTERLEAVED so the degree-bucketing
+    produces a non-identity permutation (equal-degree scenes keep the
+    original order and mask the bug)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.core.solvers import DenseSolver
+    from g2o_tpu.sim.generators import create_ba_scene
+    from g2o_tpu.types.sba import (CAM_PARAM_ID, EdgeProjectXYZ2UV,
+                                   VertexPointXYZ, VertexSE3Expmap)
+
+    base, _ = create_ba_scene(n_cameras=5, n_points=1, seed=6)
+    g = Graph()
+    g.add_parameter(CAM_PARAM_ID, np.array([1000.0, 320.0, 240.0, 0.0]))
+    rng = np.random.default_rng(3)
+    for vid, rec in base.vertices().items():
+        if rec.vtype is VertexSE3Expmap:
+            g.add_vertex(vid, rec.vtype, rec.estimate, fixed=rec.fixed)
+    pt_vids = []
+    for k in range(24):
+        vid = 1000 + k
+        pw = np.array([rng.uniform(-2, 2), rng.uniform(-0.5, 0.5),
+                       rng.uniform(4, 7)])
+        g.add_vertex(vid, VertexPointXYZ, pw + rng.normal(scale=0.05,
+                                                          size=3),
+                     fixed=(k in (0, 7)), marginalized=True)
+        pt_vids.append(vid)
+        deg = 2 + (k % 3)                       # interleaved degrees 2/3/4
+        for c in range(deg):
+            uv = np.array([320.0, 240.0]) + rng.normal(scale=40.0, size=2)
+            g.add_edge(EdgeProjectXYZ2UV, [vid, c], uv, np.eye(2),
+                       param_id=CAM_PARAM_ID)
+    p_plain = g.compile(bucket_landmarks=False)
+    p_buck = g.compile(bucket_landmarks=True)
+    t_pt = VertexPointXYZ.name
+    perm_nontrivial = any(
+        p_plain.vid_index[v][1] != p_buck.vid_index[v][1] for v in pt_vids)
+    assert perm_nontrivial, "test needs a non-identity bucket permutation"
+    lin_p = p_plain.linearize_jit(p_plain.data, p_plain.estimates)
+    lin_b = p_buck.linearize_jit(p_buck.data, p_buck.estimates)
+    lam = 1e-2
+    dxp = DenseSolver().setup(p_plain).solve(p_plain.data, lin_p, lam)
+    dxb = DenseSolver().setup(p_buck).solve(p_buck.data, lin_b, lam)
+    assert np.isfinite(np.asarray(dxp)).all()
+    assert np.isfinite(np.asarray(dxb)).all()
+    # compare per-vid updates through the external-id mapping
+    ep = p_plain.split_tangent(dxp)
+    eb = p_buck.split_tangent(dxb)
+    for vid in pt_vids:
+        tp, ip = p_plain.vid_index[vid]
+        tb, ib = p_buck.vid_index[vid]
+        a = np.asarray(ep[tp][ip])
+        b = np.asarray(eb[tb][ib])
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9)
+    # fixed landmarks must not move
+    for vid in (pt_vids[0], pt_vids[7]):
+        tb, ib = p_buck.vid_index[vid]
+        assert np.abs(np.asarray(eb[tb][ib])).max() < 1e-12
