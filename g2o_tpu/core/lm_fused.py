@@ -151,6 +151,16 @@ def make_lm_run(problem, solver, *, max_trials: int = 10,
         trial_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
         cg_hist = jnp.zeros((max_iters,), dtype=jnp.int32)
         lin0 = problem.linearize_fn(data, estimates)
+        # λ < 0 sentinel carries -τ: init λ = τ·max|H_jj| from lin0 INSIDE
+        # the program (``optimization_algorithm_levenberg.cpp:152-176``) —
+        # the host-side default previously ran a SEPARATE full linearize
+        # per optimize_fused call just to read the diagonal
+        m = jnp.asarray(-jnp.inf, dtype)
+        for t in problem.vertex_types:
+            de = jnp.abs(jnp.diagonal(lin0.diag[t], axis1=-2, axis2=-1))
+            mask = 1.0 - data.fixed[t].astype(dtype)
+            m = jnp.maximum(m, jnp.max(de * mask[:, None]))
+        lam = jnp.where(lam < 0, -lam * m, lam)
 
         def cond(carry):
             it, stop = carry[0], carry[1]
@@ -197,11 +207,9 @@ def optimize_fused(problem, solver, max_iterations: int, *,
     reuse one compiled executable.  ``max_iterations`` is clamped to
     ``history_cap`` (the static history length)."""
     solver.setup(problem)
-    if initial_lambda > 0:
-        lam0 = initial_lambda
-    else:
-        lin = problem.linearize_jit(problem.data, problem.estimates)
-        lam0 = float(tau * _max_abs_diag(problem, lin))
+    # λ<0 sentinel = -τ: the runner derives λ0 = τ·max|H_jj| from its own
+    # lin0 (no separate host-side linearize per call)
+    lam0 = initial_lambda if initial_lambda > 0 else -tau
     max_iterations = min(int(max_iterations), history_cap)
     cache = problem.__dict__.setdefault("_lm_runner_cache", {})
     key = (_solver_token(solver), max_trials, float(gain_threshold),
