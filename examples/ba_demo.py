@@ -24,7 +24,7 @@ def main():
 
     for tag, solver in (("schur", SchurSolver()),
                         ("cgls (square-root)", CGLSSolver(max_iter=100,
-                                                          eta=1e-3))):
+                                                          eta=1e-6))):
         g, truth = create_ba_scene(n_cameras=15, n_points=400,
                                    pixel_noise=pixel_noise,
                                    point_noise=0.4, seed=0)

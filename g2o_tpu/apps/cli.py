@@ -35,7 +35,7 @@ def _build_solver_table():
         return PCGSolver(max_iter=100, tol=1e-8)
 
     def cgls():
-        return CGLSSolver(max_iter=200, eta=1e-3)
+        return CGLSSolver(max_iter=200, eta=1e-6)
 
     def schur():
         return SchurSolver()

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from g2o_tpu.core.graph import Graph
 from g2o_tpu.core.optimizer import SparseOptimizer
 from g2o_tpu.core.solvers import PCGSolver
-from g2o_tpu.ops import robust as robust_mod
 
 
 class IncrementalOptimizer:
@@ -83,6 +82,12 @@ class IncrementalOptimizer:
         rec = self.graph.edges()[-1]
         name = rec.etype.name
         p = self._problem
+        if rec.level != 0:
+            # compile() excludes level != 0 edges (problem.py level
+            # filter); writing one into the level-0 batch would make chi2
+            # jump across the next recompile.  The graph keeps it; the
+            # compiled problem ignores it — consistent with a recompile.
+            return
         if name not in p.data.edges or \
                 self._live_edges[name] >= p.data.edges[name].vidx.shape[0]:
             self._invalidate()
@@ -100,7 +105,7 @@ class IncrementalOptimizer:
             info=b.info.at[i].set(jnp.asarray(rec.information, dtype=p.dtype)),
             kernel=b.kernel.at[i].set(rec.kernel),
             delta=b.delta.at[i].set(jnp.asarray(rec.delta, dtype=p.dtype)),
-            active=b.active.at[i].set(True),
+            active=b.active.at[i].set(bool(rec.active)),
             param=(b.param.at[i].set(jnp.asarray(par_row, dtype=p.dtype))
                    if rec.etype.param_dim else b.param),
         )
@@ -119,7 +124,7 @@ class IncrementalOptimizer:
         self._set_data(edges={**p.data.edges, name: new_batch},
                        plans=new_plans)
         self._live_edges[name] = i + 1
-        if p.n_active_edges is not None:
+        if p.n_active_edges is not None and rec.active:
             p.n_active_edges += 1     # keep the host-side count current
         self._edges_dirty = True
 
@@ -238,8 +243,11 @@ class IncrementalOptimizer:
         for vid, (t, i) in p.vid_index.items():
             if vid in self.graph.vertices():
                 self._live_counts[t] += 1
+        # level != 0 edges are excluded from the compiled batch, so they
+        # must not advance the in-place write cursor either
         self._live_edges = {name: sum(1 for e in self.graph.edges()
-                                      if e.etype.name == name)
+                                      if e.etype.name == name
+                                      and e.level == 0)
                             for name in p.edge_types}
         self._recompiles += 1
         solver = self._solver_factory()

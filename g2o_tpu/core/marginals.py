@@ -246,7 +246,18 @@ def compute_marginals(problem, vertex_ids, *, lam: float = 0.0,
 
     if method == "auto":
         if any(np.asarray(m).any() for m in p.marginalized.values()):
-            method = "schur"
+            # the explicit Schur path handles the standard full-type
+            # marginalization pattern; general patterns (partial
+            # marginalization, n-ary observation edges) fall back to the
+            # dense path rather than crashing on SchurSolver's guard
+            partial = any(np.asarray(m).any() and not np.asarray(m).all()
+                          for m in p.marginalized.values())
+            nary_obs = any(
+                et.num_slots > 2 and any(
+                    np.asarray(p.marginalized[vt.name]).any()
+                    for vt in et.vertex_types)
+                for et in p.edge_types.values())
+            method = "dense" if (partial or nary_obs) else "schur"
         elif (_sparse_applicable(p)
               and p.total_dim * p.total_dim > 32_000_000):
             method = "sparse"
@@ -312,9 +323,13 @@ def compute_cross_marginals(problem, vid_a, vid_b, *, lam: float = 0.0,
     db = p.vertex_types[tb].tangent_dim
 
     if method == "sparse":
-        if not _sparse_applicable(p):
+        # this path additionally unpacks the single vertex type below —
+        # _sparse_applicable allows mixed types (the direct solvers pad),
+        # but the column-rhs construction here does not
+        if not _sparse_applicable(p) or not _uniform_type(p):
             raise NotImplementedError("sparse cross-marginals need a "
-                                      "uniform-block problem")
+                                      "uniform-block problem with binary "
+                                      "edges")
         from g2o_tpu.core.solvers.supernodal import (
             SupernodalCholeskySolver, solve_supernodal)
 

@@ -34,10 +34,20 @@ from g2o_tpu.ops.smallblocks import chol_small, inv_small
 class CGLSSolver:
     name = "cgls"
 
-    def __init__(self, max_iter: int = 200, eta: float = 1e-2,
-                 onehot_max_segments: int = 8192):
+    def __init__(self, max_iter: int = 200, eta: float = 1e-4,
+                 onehot_max_segments: int = 8192,
+                 matvec_precision: str = "default"):
         self.max_iter = int(max_iter)
+        # fork bound |s|^2 <= eta*|s_0|^2 (linear_solver_pcg_eigen.h:184);
+        # the previous implementation applied eta^2 — default moved from
+        # 1e-2 to 1e-4 so existing solve depth is preserved while eta now
+        # means what the fork's eta means
         self.eta = float(eta)
+        if matvec_precision not in ("default", "highest"):
+            raise ValueError(f"unknown matvec_precision {matvec_precision!r}")
+        # "highest" = exact-f32 J/J^T/whitening einsums — bf16 matvec
+        # noise stalls CG at the cap once LM converges (CLAUDE.md)
+        self.matvec_precision = matvec_precision
         self.onehot_max_segments = int(onehot_max_segments)
         self._solve_fn = None
         self._solve_jit = None
@@ -59,19 +69,24 @@ class CGLSSolver:
                     for a in arrays)
                 off += n * d
 
+        prec = (jax.lax.Precision.HIGHEST
+                if self.matvec_precision == "highest" else None)
+
         def whiten(lin):
             """Per-edge-type lower-Cholesky of W (sqrt of the robustified
-            information); W may be rank-deficient for inactive edges -> add
-            tiny jitter where the diagonal is zero."""
+            information); W may be rank-deficient for inactive edges OR
+            for individual disabled residual components (info rows of
+            zeros are legal .g2o) -> jitter each zero DIAGONAL ENTRY, not
+            only fully-zero rows, so chol_small never hits sqrt(<0)."""
             Ls = {}
             for name in p.edge_types:
                 W = p.edge_weights(lin, name)
                 r = W.shape[-1]
                 eye = jnp.eye(r, dtype=p.dtype)
-                diag_zero = jnp.all(
-                    jnp.abs(jnp.diagonal(W, axis1=-2, axis2=-1)) < 1e-30,
-                    axis=-1)
-                Wsafe = W + eye * jnp.where(diag_zero, 1e-30, 0.0)[:, None, None]
+                dg = jnp.abs(jnp.diagonal(W, axis1=-2, axis2=-1))  # (E, r)
+                jitter = jnp.where(dg < 1e-30,
+                                   jnp.asarray(1e-30, p.dtype), 0.0)
+                Wsafe = W + eye * jitter[:, :, None]
                 Ls[name] = chol_small(Wsafe)
             return Ls
 
@@ -99,8 +114,8 @@ class CGLSSolver:
                         chunks, k = [], 0
                         for n, d, (Jb,) in slab_iter(spec, Js[s]):
                             chunks.append(jnp.einsum(
-                                "dnri,ni->dnr", Jb,
-                                v_used[k:k + n]).reshape(n * d, -1))
+                                "dnri,ni->dnr", Jb, v_used[k:k + n],
+                                precision=prec).reshape(n * d, -1))
                             k += n
                         ys = jnp.concatenate(chunks, axis=0)
                         E = Js[s].shape[0]
@@ -113,12 +128,15 @@ class CGLSSolver:
                         from g2o_tpu.ops.onehot import onehot_gather
 
                         rows = onehot_gather(batch.vidx[:, s], vb[t])
-                        ys = jnp.einsum("erd,ed->er", Js[s], rows)
+                        ys = jnp.einsum("erd,ed->er", Js[s], rows,
+                                        precision=prec)
                     else:
                         rows = vb[t][batch.vidx[:, s]]      # row gather
-                        ys = jnp.einsum("erd,ed->er", Js[s], rows)
+                        ys = jnp.einsum("erd,ed->er", Js[s], rows,
+                                        precision=prec)
                     y = ys if y is None else y + ys
-                out[name] = jnp.einsum("esr,es->er", Ls[name], y)  # L^T y
+                out[name] = jnp.einsum("esr,es->er", Ls[name], y,
+                                       precision=prec)       # L^T y
             return out
 
         def Jt(data, lin, Ls, u):
@@ -130,7 +148,12 @@ class CGLSSolver:
                 batch = data.edges[name]
                 Js = p.edge_jacs(lin, name)
                 spec = p.bucket_specs.get(name)
-                z = jnp.einsum("ers,er->es", Ls[name], u[name])  # L u
+                # adjoint of Jmat's u = L^T(Jv): z = L u (the previous
+                # "ers,er->es" applied L^T again — wrong step for any
+                # NON-DIAGONAL information matrix; <Jmat v, u> == <v, Jt u>
+                # restored, regression-tested with correlated info)
+                z = jnp.einsum("esr,er->es", Ls[name], u[name],
+                               precision=prec)
                 for s, vt in enumerate(et.vertex_types):
                     t = vt.name
                     if spec is not None and s == spec.lm_slot:
@@ -138,7 +161,8 @@ class CGLSSolver:
                         chunks = []
                         for n, d, (Jb, zb) in slab_iter(spec, Js[s][:nb],
                                                         z[:nb]):
-                            chunks.append(jnp.einsum("dnri,dnr->ni", Jb, zb))
+                            chunks.append(jnp.einsum("dnri,dnr->ni", Jb,
+                                                     zb, precision=prec))
                         part = jnp.concatenate(chunks, axis=0)
                         if spec.seg_identity:
                             out[t] = out[t].at[:part.shape[0]].add(part)
@@ -152,11 +176,13 @@ class CGLSSolver:
 
                         out[t] = out[t] + onehot_scatter_add(
                             batch.vidx[:, s],
-                            jnp.einsum("erd,er->ed", Js[s], z),
+                            jnp.einsum("erd,er->ed", Js[s], z,
+                                       precision=prec),
                             p.counts[t])
                     else:
                         out[t] = out[t].at[batch.vidx[:, s]].add(
-                            jnp.einsum("erd,er->ed", Js[s], z))
+                            jnp.einsum("erd,er->ed", Js[s], z,
+                                       precision=prec))
             return out
 
         def build_precond(data, lin, lam):
@@ -195,12 +221,13 @@ class CGLSSolver:
             pvec = z
             # r in data space (per edge type); damping-row residual = -sqrt(l)x
             r = {name: jnp.einsum("esr,es->er", Ls[name],
-                                  p.edge_errors(lin, name))
+                                  p.edge_errors(lin, name),
+                                  precision=prec)
                  for name in p.edge_types}
             # sign: b = -J^T W e, so whiten -e
             r = {k: -v for k, v in r.items()}
 
-            thresh = eta * eta * gamma0
+            thresh = eta * gamma0
 
             def cond(carry):
                 it, gamma = carry[0], carry[1]

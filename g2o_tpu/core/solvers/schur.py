@@ -31,6 +31,8 @@ import numpy as np
 
 from g2o_tpu.ops.smallblocks import inv_small
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 class SchurSolver:
     name = "schur"
@@ -253,7 +255,8 @@ class SchurSolver:
                 Js = p.edge_jacs(lin, name)
                 W = p.edge_weights(lin, name)
                 Bs.append(jnp.einsum("erd,ers,esf->edf",
-                                     Js[pose_slot], W, Js[lm_slot]))
+                                     Js[pose_slot], W, Js[lm_slot],
+                                     precision=_HI))
             return jnp.concatenate(Bs, axis=0) if Bs else \
                 jnp.zeros((0, dp, dl), dtype=dtype)
 
@@ -285,9 +288,11 @@ class SchurSolver:
                     idxs.append(idx)
                 k = len(Js)
                 for i in range(k):
-                    WJi = jnp.einsum("ers,erd->esd", W, Js[i])
+                    WJi = jnp.einsum("ers,erd->esd", W, Js[i],
+                                     precision=_HI)
                     for j in range(i + 1, k):
-                        Hij = jnp.einsum("esd,esf->edf", WJi, Js[j])
+                        Hij = jnp.einsum("esd,esf->edf", WJi, Js[j],
+                                         precision=_HI)
                         rows = idxs[i][:, :, None]
                         cols = idxs[j][:, None, :]
                         H = H.at[rows, cols].add(Hij)
@@ -310,10 +315,12 @@ class SchurSolver:
             bp = lin.b[aux["pose_to_global"]]             # (Tp,)
             lm_idx2 = aux["lm_goff"][:, None] + jnp.arange(dl)[None, :]
             bl = lin.b[lm_idx2]                           # (NL, dl)
-            y = jnp.einsum("nij,nj->ni", Dinv, bl)        # Dinv * bl
+            y = jnp.einsum("nij,nj->ni", Dinv, bl,
+                           precision=_HI)                 # Dinv * bl
 
             # bschur = bp - B * y  (scatter over observations)
-            contrib = jnp.einsum("edl,el->ed", B, y[aux["obs_lm"]])
+            contrib = jnp.einsum("edl,el->ed", B, y[aux["obs_lm"]],
+                                 precision=_HI)
             cam_idx2 = aux["obs_cam"][:, None] + jnp.arange(dp)[None, :]
             bschur = bp.at[cam_idx2].add(-contrib)
 
@@ -321,9 +328,10 @@ class SchurSolver:
             # unique camera-block pair first (segment-sum), then one small
             # block scatter into the dense reduced matrix
             Hpp = build_Hpp(data, lin, lam, aux)
-            BD = jnp.einsum("edl,elm->edm", B, Dinv[aux["obs_lm"]])
+            BD = jnp.einsum("edl,elm->edm", B, Dinv[aux["obs_lm"]],
+                            precision=_HI)
             M = jnp.einsum("pdm,pfm->pdf", BD[aux["pairs_a"]],
-                           B[aux["pairs_b"]])
+                           B[aux["pairs_b"]], precision=_HI)
             M = M * aux["pair_valid"][:, None, None].astype(M.dtype)
             if self.use_pallas:
                 from g2o_tpu.ops.pallas_kernels import segment_sum_mxu
@@ -354,9 +362,11 @@ class SchurSolver:
                 dxp = jnp.linalg.solve(Hschur, bschur)
 
             # back-substitute landmarks: dxl = Dinv (bl - B^T dxp)
-            w = jnp.einsum("edl,ed->el", B, dxp[cam_idx2])
+            w = jnp.einsum("edl,ed->el", B, dxp[cam_idx2],
+                           precision=_HI)
             wl = jnp.zeros_like(bl).at[aux["obs_lm"]].add(w)
-            dxl = jnp.einsum("nij,nj->ni", Dinv, bl - wl)
+            dxl = jnp.einsum("nij,nj->ni", Dinv, bl - wl,
+                             precision=_HI)
 
             # assemble full update
             dx = jnp.zeros_like(lin.b)

@@ -90,6 +90,14 @@ def load(path_or_file, graph: Graph | None = None, registry=None,
 
     for vid in fix_ids:
         g.set_fixed(vid, True)
+    if not fix_ids and default_fixed:
+        # gauge fallback for datasets without FIX lines (sphere2500-style
+        # files): pin the requested vids — matching the reference apps'
+        # "fix the first vertex if nothing is fixed" convention
+        # (``apps/g2o_cli/g2o.cpp`` gauge handling)
+        for vid in default_fixed:
+            if g.has_vertex(int(vid)):
+                g.set_fixed(int(vid), True)
     return g
 
 

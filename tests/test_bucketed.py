@@ -130,8 +130,8 @@ def test_compile_time_bucketing_cgls():
     lin0 = p0.linearize_jit(p0.data, p0.estimates)
     linb = pb.linearize_jit(pb.data, pb.estimates)
     lam = 1e-3
-    s0 = CGLSSolver(max_iter=2000, eta=1e-10).setup(p0)
-    sb = CGLSSolver(max_iter=2000, eta=1e-10).setup(pb)
+    s0 = CGLSSolver(max_iter=2000, eta=1e-20).setup(p0)
+    sb = CGLSSolver(max_iter=2000, eta=1e-20).setup(pb)
     dx0 = np.asarray(s0._solve_jit(p0.data, lin0, lam, s0.aux))
     dxb = np.asarray(sb._solve_jit(pb.data, linb, lam, sb.aux))
     _assert_flat_match(pb, dxb, p0, dx0)

@@ -22,7 +22,7 @@ def test_cgls_matches_dense_step(sphere_problem):
     lam = 1e-3
     dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, lam))
     dx_c = np.asarray(
-        CGLSSolver(max_iter=2000, eta=1e-9).setup(p).solve(p.data, lin, lam))
+        CGLSSolver(max_iter=2000, eta=1e-18).setup(p).solve(p.data, lin, lam))
     rel = np.linalg.norm(dx_c - dx_d) / np.linalg.norm(dx_d)
     assert rel < 1e-6
 
@@ -34,7 +34,7 @@ def test_cgls_ba_step():
     lin = p.linearize_jit(p.data, p.estimates)
     dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, 1e-2))
     dx_c = np.asarray(
-        CGLSSolver(max_iter=1000, eta=1e-8).setup(p).solve(p.data, lin, 1e-2))
+        CGLSSolver(max_iter=1000, eta=1e-16).setup(p).solve(p.data, lin, 1e-2))
     rel = np.linalg.norm(dx_c - dx_d) / np.linalg.norm(dx_d)
     assert rel < 1e-4
 
@@ -42,7 +42,7 @@ def test_cgls_ba_step():
 def test_cgls_full_lm(sphere_problem):
     p = sphere_problem.compile()
     opt = SparseOptimizer(p, algorithm=LevenbergMarquardt(),
-                          solver=CGLSSolver(max_iter=200, eta=1e-4))
+                          solver=CGLSSolver(max_iter=200, eta=1e-8))
     chi0 = opt.chi2()
     opt.optimize(10)
     assert opt.chi2() < 0.1 * chi0
@@ -236,3 +236,41 @@ def test_fused_runner_cache_not_keyed_on_reused_id():
         reset()
         # solver object dropped here — its id may be reused by the next
     assert chis[0] != chis[1], "runner cache replayed a stale program"
+
+
+def test_cgls_non_diagonal_information():
+    """Regression: Jt applied L^T instead of L, so CGLS converged to the
+    wrong step whenever the information matrix had off-diagonal entries
+    (<Jmat v, u> != <v, Jt u>); diagonal-info tests couldn't see it."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.core.solvers import DenseSolver
+    from g2o_tpu.core.solvers.cgls import CGLSSolver
+    from g2o_tpu.ops import lie
+    from g2o_tpu.types.slam2d import EdgeSE2, VertexSE2
+
+    rng = np.random.default_rng(21)
+    g = Graph()
+    poses = [np.array([0.3 * i, 0.05 * i, 0.1 * i]) for i in range(12)]
+    for i, x in enumerate(poses):
+        g.add_vertex(i, VertexSE2, x + rng.normal(scale=0.05, size=3),
+                     fixed=(i == 0))
+    for i in range(11):
+        meas = np.asarray(lie.se2_compose(
+            lie.se2_inverse(jnp.asarray(poses[i])),
+            jnp.asarray(poses[i + 1])))
+        # CORRELATED information: random SPD with strong off-diagonals
+        A = rng.normal(size=(3, 3))
+        info = A @ A.T + 3.0 * np.eye(3)
+        g.add_edge(EdgeSE2, [i, i + 1], meas, info)
+    p = g.compile()
+    lin = p.linearize_jit(p.data, p.estimates)
+    lam = 1e-3
+    dx_d = np.asarray(DenseSolver().setup(p).solve(p.data, lin, lam))
+    dx_c = np.asarray(
+        CGLSSolver(max_iter=4000, eta=1e-14).setup(p).solve(
+            p.data, lin, lam))
+    rel = np.linalg.norm(dx_c - dx_d) / np.linalg.norm(dx_d)
+    assert rel < 1e-5, rel
