@@ -18,8 +18,12 @@ import numpy as np
 from g2o_tpu.core.graph import Graph
 
 
-def load_bal(path_or_file, *, fix_first_camera: bool = True,
+def load_bal(path_or_file, *, fix_first_camera: bool = False,
              huber: float = 0.0) -> Graph:
+    """``fix_first_camera`` defaults to False — the reference
+    ``bal_example`` fixes NO camera (λ damping absorbs the 7-dof gauge);
+    fixing camera 0 optimizes a DIFFERENT problem (+4 chi2 at the
+    ladybug floor, harder late CG)."""
     from g2o_tpu.types.bal import EdgeObservationBAL, VertexCameraBAL
     from g2o_tpu.types.slam3d import VertexPointXYZ
 
@@ -61,7 +65,7 @@ def load_bal(path_or_file, *, fix_first_camera: bool = True,
     return g
 
 
-def load_bal_problem(path_or_file, *, fix_first_camera: bool = True,
+def load_bal_problem(path_or_file, *, fix_first_camera: bool = False,
                      huber: float = 0.0, dtype=None,
                      pad_edges_to_multiple: int = 1,
                      bucket_landmarks: bool = False):

@@ -411,18 +411,25 @@ def sim3_act(a, p):
     return sim3_s(a)[..., None] * quat_rotate(sim3_q(a), p) + sim3_t(a)
 
 
-def sim3_exp(xi):
-    """Sim3 exponential, xi = [omega(3), upsilon(3), sigma] -> state vector.
+def _sim3_W(omega, sigma, s, dtype):
+    """W = integral_0^1 e^{u sigma} R(u theta) du  (the Sim3 translation
+    mixing matrix, reference ``g2o/types/sim3/sim3.h:75-160``), as
+    A*I + B*hat + C*hat^2 with hat = hat(omega) UNNORMALIZED.  Exact:
 
-    Matches the reference constructor ``Sim3(const Vector7&)`` ordering
-    (``g2o/types/sim3/sim3.h:75-160``: rotation, translation, log-scale)."""
-    omega, upsilon, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
-    s = jnp.exp(sigma)
-    q = so3_exp(omega)
+        A = (e^s - 1)/s
+        B = (e^s(s sin t - t cos t) + t) / (t (s^2 + t^2))
+        C = (A - (e^s(s cos t + t sin t) - s)/(s^2 + t^2)) / t^2
 
+    with limits B -> (e^s(s-1)+1)/s^2, C -> (e^s(s^2/2-s+1)-1)/s^3 as
+    theta -> 0 and B -> 1/2, C -> 1/6 as both -> 0.  (An earlier version
+    scaled the theta->0 limits by 0.5 and 2/3 and zeroed the both-small
+    limits — verified wrong against numerical integration AND the
+    reference closed form; the bug halved/zeroed the rotation-translation
+    Jacobian coupling of sim3 edges near convergence.)  All small-value
+    guards are double-where (VJP-safe)."""
     theta2 = jnp.sum(omega * omega, axis=-1)
     O = so3_hat(omega)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), O.shape)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), O.shape)
 
     eps = 1e-7
     sigma_small = jnp.abs(sigma) < eps
@@ -431,21 +438,30 @@ def sim3_exp(xi):
     # reverse-mode-safe sqrt (see _so3_left_jacobian)
     safe_theta = jnp.sqrt(jnp.where(theta_small, 1.0, theta2))
 
-    # coefficients of W = A*I + B*hat + C*hat^2 (standard Sim3 closed form)
-    # case 1: sigma ~ 0, theta ~ 0
-    A1 = jnp.ones_like(sigma)
-    B1 = jnp.zeros_like(sigma)
-    C1 = jnp.zeros_like(sigma)
-    # case 2: sigma ~ 0, theta != 0  (reduces to SE3 V-matrix)
-    A2 = jnp.ones_like(sigma)
-    B2 = (1.0 - jnp.cos(safe_theta)) / (safe_theta * safe_theta)
-    C2 = (safe_theta - jnp.sin(safe_theta)) / (safe_theta ** 3)
+    # case 1: sigma ~ 0, theta ~ 0 — Taylor limits of the integral.  The
+    # sigma-LINEAR terms are kept so the in-branch derivative d/dsigma is
+    # exact to first order (A = 1 + s/2, B = 1/2 + s/3, C = 1/6 + s/8):
+    # a constant-only branch zeroes dt/dsigma — the scale-translation
+    # Jacobian coupling — precisely near convergence.  (theta-quadratic
+    # terms are omitted: their omega-derivatives carry a factor omega and
+    # vanish in-branch.)
+    A1 = 1.0 + 0.5 * sigma
+    B1 = 0.5 + sigma / 3.0
+    C1 = 1.0 / 6.0 + sigma / 8.0
+    # case 2: sigma ~ 0, theta != 0  (reduces to the SE3 V-matrix at
+    # sigma = 0; sigma-linear terms for the same derivative reason)
+    st_, ct_ = jnp.sin(safe_theta), jnp.cos(safe_theta)
+    A2 = 1.0 + 0.5 * sigma
+    B2 = (1.0 - ct_) / (safe_theta * safe_theta) \
+        + sigma * (st_ - safe_theta * ct_) / (safe_theta ** 3)
+    C2 = (safe_theta - st_) / (safe_theta ** 3) \
+        + sigma * (0.5 - (safe_theta * st_ + ct_ - 1.0)
+                   / (safe_theta * safe_theta)) / (safe_theta * safe_theta)
     # case 3: sigma != 0, theta ~ 0
     A3 = (s - 1.0) / safe_sigma
-    B3 = (s * (safe_sigma - 1.0) + 1.0) / (safe_sigma * safe_sigma) * 0.5
-    C3 = (
-        s * (0.5 * safe_sigma * safe_sigma - safe_sigma + 1.0) - 1.0
-    ) / (safe_sigma ** 3) / 3.0 * 2.0
+    B3 = (s * (safe_sigma - 1.0) + 1.0) / (safe_sigma * safe_sigma)
+    C3 = (s * (0.5 * safe_sigma * safe_sigma - safe_sigma + 1.0)
+          - 1.0) / (safe_sigma ** 3)
     # case 4: general
     a_ = s * jnp.sin(safe_theta)
     b_ = s * jnp.cos(safe_theta)
@@ -466,58 +482,47 @@ def sim3_exp(xi):
     A = pick(A1, A2, A3, A4)
     B = pick(B1, B2, B3, B4)
     C = pick(C1, C2, C3, C4)
-    W = A[..., None, None] * eye + B[..., None, None] * O + C[..., None, None] * (O @ O)
+    return (A[..., None, None] * eye + B[..., None, None] * O
+            + C[..., None, None] * (O @ O))
+
+
+def _inv3(M):
+    """Closed-form general 3x3 inverse (adjugate/determinant) — no LU:
+    runs inside vmapped+autodiffed edge residuals where XLA's batched
+    LuDecomposition is a TPU compile hazard (and absent at f64)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A_ = e * i - f * h
+    B_ = -(d * i - f * g)
+    C_ = d * h - e * g
+    det = a * A_ + b * B_ + c * C_
+    adj = jnp.stack([
+        jnp.stack([A_, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B_, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C_, -(a * h - b * g), a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def sim3_exp(xi):
+    """Sim3 exponential, xi = [omega(3), upsilon(3), sigma] -> state vector.
+
+    Matches the reference constructor ``Sim3(const Vector7&)`` ordering
+    (``g2o/types/sim3/sim3.h:75-160``: rotation, translation, log-scale)."""
+    omega, upsilon, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    s = jnp.exp(sigma)
+    q = so3_exp(omega)
+    W = _sim3_W(omega, sigma, s, xi.dtype)
     t = jnp.einsum("...ij,...j->...i", W, upsilon)
     return sim3_make(t, q, s)
 
 
 def sim3_log(x):
-    """Inverse of :func:`sim3_exp` (numerical, via the same coefficients)."""
+    """Inverse of :func:`sim3_exp` (same W, closed-form 3x3 inverse)."""
     omega = so3_log(sim3_q(x))
     sigma = jnp.log(sim3_s(x))
     s = sim3_s(x)
-
-    theta2 = jnp.sum(omega * omega, axis=-1)
-    O = so3_hat(omega)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), O.shape)
-
-    eps = 1e-7
-    sigma_small = jnp.abs(sigma) < eps
-    theta_small = theta2 < eps * eps
-    safe_sigma = jnp.where(sigma_small, 1.0, sigma)
-    # reverse-mode-safe sqrt (see _so3_left_jacobian)
-    safe_theta = jnp.sqrt(jnp.where(theta_small, 1.0, theta2))
-
-    A1 = jnp.ones_like(sigma)
-    B1 = jnp.zeros_like(sigma)
-    C1 = jnp.zeros_like(sigma)
-    A2 = jnp.ones_like(sigma)
-    B2 = (1.0 - jnp.cos(safe_theta)) / (safe_theta * safe_theta)
-    C2 = (safe_theta - jnp.sin(safe_theta)) / (safe_theta ** 3)
-    A3 = (s - 1.0) / safe_sigma
-    B3 = (s * (safe_sigma - 1.0) + 1.0) / (safe_sigma * safe_sigma) * 0.5
-    C3 = (
-        s * (0.5 * safe_sigma * safe_sigma - safe_sigma + 1.0) - 1.0
-    ) / (safe_sigma ** 3) / 3.0 * 2.0
-    a_ = s * jnp.sin(safe_theta)
-    b_ = s * jnp.cos(safe_theta)
-    c_ = safe_theta * safe_theta + safe_sigma * safe_sigma
-    A4 = (s - 1.0) / safe_sigma
-    B4 = (a_ * safe_sigma + (1.0 - b_) * safe_theta) / (safe_theta * c_)
-    C4 = (A4 - ((b_ - 1.0) * safe_sigma + a_ * safe_theta) / c_) / (
-        safe_theta * safe_theta
-    )
-
-    def pick(x1, x2, x3, x4):
-        return jnp.where(
-            sigma_small,
-            jnp.where(theta_small, x1, x2),
-            jnp.where(theta_small, x3, x4),
-        )
-
-    A = pick(A1, A2, A3, A4)
-    B = pick(B1, B2, B3, B4)
-    C = pick(C1, C2, C3, C4)
-    W = A[..., None, None] * eye + B[..., None, None] * O + C[..., None, None] * (O @ O)
-    upsilon = jnp.linalg.solve(W, sim3_t(x)[..., None])[..., 0]
+    W = _sim3_W(omega, sigma, s, x.dtype)
+    upsilon = jnp.einsum("...ij,...j->...i", _inv3(W), sim3_t(x))
     return jnp.concatenate([omega, upsilon, sigma[..., None]], axis=-1)

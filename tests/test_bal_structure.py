@@ -16,7 +16,9 @@ from g2o_tpu.sim.generators import create_ba_scene
 def bal_graph():
     text = make_synthetic_bal(n_cameras=10, n_points=120,
                               n_obs_per_point=5, pixel_noise=0.5, seed=3)
-    return load_bal(io.StringIO(text), huber=0.0)
+    # explicit gauge fix for the structural assertions below (the loader
+    # default is False, matching the reference bal_example's free gauge)
+    return load_bal(io.StringIO(text), huber=0.0, fix_first_camera=True)
 
 
 def test_bal_load(bal_graph):

@@ -172,3 +172,58 @@ class TestSim3:
         np.testing.assert_allclose(
             lie.sim3_act(a, p), 2.5 * lie.quat_rotate(q, p) + t, atol=1e-12
         )
+
+
+def test_sim3_W_matches_numerical_integral():
+    """Regression: the sim3 W = ∫ e^{uσ}R(uθ)du small-branch coefficients
+    were wrong (case 1 zeroed B/C — true 1/2, 1/6; case 3 scaled them by
+    0.5 and 2/3), halving/zeroing the rotation-translation and
+    scale-translation Jacobian couplings near convergence."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from g2o_tpu.ops import lie
+
+    def W_num(omega, sigma, n=50000):
+        th = np.linalg.norm(omega)
+        O = np.asarray(lie.so3_hat(jnp.asarray(omega)))
+        us = (np.arange(n) + 0.5) / n
+        if th < 1e-14:
+            R = lambda u: np.eye(3) + u * O
+        else:
+            def R(u):
+                a = u * th
+                return (np.eye(3) + np.sin(a) / th * O
+                        + (1 - np.cos(a)) / th ** 2 * (O @ O))
+        return sum(np.exp(u * sigma) * R(u) for u in us) / n
+
+    cases = [
+        (np.array([1e-9, 2e-9, -1e-9]), 1e-9),      # both small
+        (np.array([0.3, -0.2, 0.5]), 1e-9),         # theta only
+        (np.array([1e-9, 2e-9, -1e-9]), 0.4),       # sigma only
+        (np.array([0.3, -0.2, 0.5]), 0.4),          # general
+    ]
+    ups = np.array([0.7, -0.3, 0.2])
+    for om, sg in cases:
+        xi = jnp.asarray(np.concatenate([om, ups, [sg]]))
+        st = lie.sim3_exp(xi)
+        W = np.stack([np.asarray(lie.sim3_t(lie.sim3_exp(jnp.asarray(
+            np.concatenate([om, e, [sg]]))))) for e in np.eye(3)], axis=1)
+        assert np.abs(W - W_num(om, sg)).max() < 1e-6
+        # exp/log roundtrip
+        assert np.abs(np.asarray(lie.sim3_log(st))
+                      - np.asarray(xi)).max() < 1e-8
+        # reverse-mode Jacobian vs central differences (h large enough to
+        # keep the numerical reference out of its own cancellation noise)
+        xi_np = np.asarray(xi)
+        J = np.asarray(jax.jacrev(
+            lambda v: lie.sim3_t(lie.sim3_exp(v)))(xi))
+        for k in range(7):
+            h = 1e-4
+            xp = xi_np.copy(); xp[k] += h
+            xm = xi_np.copy(); xm[k] -= h
+            num = (np.asarray(lie.sim3_t(lie.sim3_exp(jnp.asarray(xp))))
+                   - np.asarray(lie.sim3_t(lie.sim3_exp(
+                       jnp.asarray(xm))))) / (2 * h)
+            assert np.abs(J[:, k] - num).max() < 1e-5
