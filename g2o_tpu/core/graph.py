@@ -112,6 +112,9 @@ class Graph:
             return False
         self._edges = [e for e in self._edges if vid not in e.vids]
         del self._vertices[vid]
+        # drop attached data payloads too — a later add_vertex reusing the
+        # id must not inherit the removed vertex's sensor data
+        self._vertex_data.pop(vid, None)
         return True
 
     @property

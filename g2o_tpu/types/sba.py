@@ -114,11 +114,19 @@ VertexCam = register_vertex(VertexType(
     tags=("VERTEX_CAM",),
 ))
 
+def _intrinsics_oplus(x, d):
+    # reference BaseVertex<4, Vector5> (``types_sba.h``): only fx/fy/cx/cy
+    # are optimized dofs; the baseline stays a constant payload.  A 5th
+    # tangent slot would carry an all-zero Jacobian column (no edge reads
+    # intr[4]) -> singular H row for any direct solve.
+    return jnp.concatenate([x[..., :4] + d, x[..., 4:5]], axis=-1)
+
+
 VertexIntrinsics = register_vertex(VertexType(
     name="VERTEX_INTRINSICS",
     rep_dim=5,
-    tangent_dim=5,
-    oplus=lambda x, d: x + d,
+    tangent_dim=4,
+    oplus=_intrinsics_oplus,
     tags=("VERTEX_INTRINSICS",),
 ))
 
@@ -182,8 +190,12 @@ def _edge_sba_cam_residual(states, meas, param):
     x1, x2 = c1[..., :7], c2[..., :7]
     delta = lie.se3_compose(lie.se3_inverse(x1), x2)
     err = lie.se3_compose(lie.se3_inverse(meas), delta)
-    # reference takes raw quaternion vec (no w>0 normalisation here)
-    return jnp.concatenate([err[..., :3], err[..., 3:6]], axis=-1)
+    # the reference's SE3Quat::operator* normalizeRotation() flips the
+    # composed quaternion to w >= 0 before the vec part is read — without
+    # the flip the rotation error changes sign past 180 deg and chi2
+    # stops being bit-comparable under full information matrices
+    wsign = jnp.where(err[..., 6:7] < 0, -1.0, 1.0)
+    return jnp.concatenate([err[..., :3], wsign * err[..., 3:6]], axis=-1)
 
 
 EdgeSBACam = register_edge(EdgeType(
@@ -200,7 +212,12 @@ def _edge_sba_scale_residual(states, meas, param):
     """Distance constraint between camera centres (``types_sba.h:345-351``)."""
     c1, c2 = states
     dt = c2[..., :3] - c1[..., :3]
-    return meas - jnp.linalg.norm(dt, axis=-1, keepdims=True)
+    # double-where norm guard (CLAUDE.md): reverse mode is the default
+    # here (residual_dim 1 < 12 tangent dims) and d|dt|/d dt at 0 is NaN
+    d2 = jnp.sum(dt * dt, axis=-1, keepdims=True)
+    sel = d2 > 0
+    dist = jnp.where(sel, jnp.sqrt(jnp.where(sel, d2, 1.0)), 0.0)
+    return meas - dist
 
 
 EdgeSBAScale = register_edge(EdgeType(

@@ -79,7 +79,13 @@ def _edge_se2_xy_bearing_residual(states, meas, param):
     (``g2o/types/slam2d/edge_se2_pointxy_bearing.h``)."""
     xi, l = states
     p = lie.se2_act(lie.se2_inverse(xi), l)
-    bearing = jnp.arctan2(p[..., 1], p[..., 0])
+    # double-where guard (CLAUDE.md): d atan2 at (0,0) is 0/0 NaN in
+    # reverse mode — reachable when a landmark estimate coincides with
+    # the pose origin (e.g. zeroed states before an initial guess)
+    px, py = p[..., 0], p[..., 1]
+    sel = px * px + py * py > 0
+    bearing = jnp.arctan2(jnp.where(sel, py, 0.0),
+                          jnp.where(sel, px, 1.0))
     return lie.normalize_angle(bearing - meas)
 
 

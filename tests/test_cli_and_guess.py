@@ -187,3 +187,68 @@ def test_hyper_dijkstra_costs():
         g, [0], cost=lambda e, f, t: 1.0
         if abs(f - t) == 1 else float("inf"), max_distance=2.0)
     assert set(dist4) == {0, 1, 2}
+
+
+def test_guess_dijkstra_relaxation():
+    """A vertex discovered first through an expensive loop-closure must be
+    re-parented (and initialised) through the cheaper odometry chain —
+    the reference EstimatePropagator relaxes; the old implementation
+    pinned the first discovery."""
+    import numpy as np
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.core.initial_guess import compute_initial_guess
+    from g2o_tpu.types.slam2d import EdgeSE2, VertexSE2
+
+    g = Graph()
+    # chain 0-1-2-3 with identity-ish odometry + a WRONG direct edge 0-3
+    gt = [np.array([float(i), 0.0, 0.0]) for i in range(4)]
+    for i, x in enumerate(gt):
+        g.add_vertex(i, VertexSE2, np.zeros(3), fixed=(i == 0))
+    g.set_estimate(0, gt[0])
+    for i in range(3):
+        g.add_edge(EdgeSE2, [i, i + 1], [1.0, 0.0, 0.0], np.eye(3))
+    g.add_edge(EdgeSE2, [0, 3], [99.0, 0.0, 0.0], np.eye(3))  # loop closure
+
+    def cost(e, frm, to):
+        # loop closures expensive, odometry cheap
+        return 10.0 if abs(e.vids[0] - e.vids[1]) > 1 else 1.0
+
+    n = compute_initial_guess(g, cost=cost)
+    assert n == 3
+    # vertex 3 must come through the odometry chain (x = 3), NOT the
+    # 99-meter loop closure
+    assert abs(g.vertex(3).estimate[0] - 3.0) < 1e-9
+
+
+def test_guess_unary_prior_and_pose_root_fallback():
+    import numpy as np
+
+    from g2o_tpu.core.graph import Graph
+    from g2o_tpu.core.initial_guess import compute_initial_guess
+    from g2o_tpu.types.slam2d import (EdgeSE2, EdgeSE2Prior, EdgeSE2PointXY,
+                                      VertexPointXY, VertexSE2)
+
+    # (a) unary prior pins its vertex and seeds propagation (no fixed)
+    g = Graph()
+    g.add_vertex(0, VertexSE2, np.zeros(3))
+    g.add_vertex(1, VertexSE2, np.zeros(3))
+    g.add_edge(EdgeSE2Prior, [0], [5.0, 1.0, 0.2], np.eye(3))
+    g.add_edge(EdgeSE2, [0, 1], [1.0, 0.0, 0.0], np.eye(3))
+    n = compute_initial_guess(g)
+    assert n == 2
+    assert abs(g.vertex(0).estimate[0] - 5.0) < 1e-9
+    assert g.vertex(1).estimate[0] > 5.5
+
+    # (b) landmark occupies the lowest id, nothing fixed: the fallback
+    # root must be the pose (largest tangent dim), not the landmark
+    g2 = Graph()
+    g2.add_vertex(0, VertexPointXY, [0.0, 0.0])
+    g2.add_vertex(1, VertexSE2, [2.0, 0.0, 0.0])
+    g2.add_vertex(2, VertexSE2, np.zeros(3))
+    g2.add_edge(EdgeSE2PointXY, [1, 0], [1.0, 1.0], np.eye(2))
+    g2.add_edge(EdgeSE2, [1, 2], [1.0, 0.0, 0.0], np.eye(3))
+    n2 = compute_initial_guess(g2)
+    assert n2 == 2            # landmark + second pose, from the pose root
+    assert abs(g2.vertex(0).estimate[0] - 3.0) < 1e-9  # se2_act from pose 1
+    assert abs(g2.vertex(2).estimate[0] - 3.0) < 1e-9
