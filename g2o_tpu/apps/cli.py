@@ -217,7 +217,11 @@ def main(argv=None):
     # gauge handling (reference gaugeFreedom/findGauge,
     # ``sparse_optimizer.cpp:118,139``)
     if not any(r.fixed for r in g.vertices().values()):
-        first = min(g.vertices())
+        # findGauge-style pick: lowest id of the LARGEST-tangent-dim type
+        # (fixing a 3-dof landmark leaves rotational gauge freedom)
+        dmax = max(r.vtype.tangent_dim for r in g.vertices().values())
+        first = min(vid for vid, r in g.vertices().items()
+                    if r.vtype.tangent_dim == dmax)
         g.set_fixed(first, True)
         print(f"# graph is fixed by node {first}", file=sys.stderr)
 
@@ -245,10 +249,13 @@ def main(argv=None):
               file=sys.stderr)
         return 1
 
-    def apply_properties(*objs):
+    def apply_properties(*objs, warn=True):
         """Route '-solverProperties k=v,...' onto solver/algorithm knobs —
         the analogue of the reference PropertyMap::updateMapFromString
-        (``stuff/property.h:41-159``, CLI wiring ``g2o.cpp:225-237``)."""
+        (``stuff/property.h:41-159``, CLI wiring ``g2o.cpp:225-237``).
+        ``warn=False`` silences the unknown-key warning when the same
+        property string is applied to solver and algorithm in separate
+        calls (incremental mode's factories)."""
         if args.printSolverProperties:
             for o in objs:
                 for k, v in sorted(vars(o).items()):
@@ -270,7 +277,7 @@ def main(argv=None):
                         (lambda s: s.lower() in ("1", "true", "yes"))
                     setattr(o, k, cast(v))
                     hit = True
-            if not hit:
+            if not hit and warn:
                 print(f"# warning: unknown solver property {k!r}",
                       file=sys.stderr)
 
@@ -289,6 +296,10 @@ def main(argv=None):
     if args.fused and "host_chol" in args.solver:
         print("# host_chol factorizes on the host CPU and cannot run in a "
               "fused device loop: using the host-loop path", file=sys.stderr)
+        args.fused = False
+    if args.fused and getattr(args, "writeDebug", None):
+        print("# -writeDebug needs per-iteration host inspection: using "
+              "the host-loop path", file=sys.stderr)
         args.fused = False
 
     if args.fused and algo_name == "lm":
@@ -410,8 +421,12 @@ def _report_ate(args, g, est_by_vid, rename):
             by_shape.setdefault(sh, ([], []))
             by_shape[sh][0].append(est_by_vid[vid])
             by_shape[sh][1].append(gt_recs[vid].estimate)
-    # the trajectory = the largest same-shape group (poses, not landmarks)
-    est, gt = max(by_shape.values(), key=lambda p: len(p[0])) \
+    # the trajectory = poses, not landmarks: prefer the LARGEST state
+    # dimension (SE3 (7,) beats TRACKXYZ (3,) even when landmarks
+    # outnumber cameras — metrics._positions would misread xyz points as
+    # (x, y, theta) and drop z), then group size
+    est, gt = max(by_shape.items(),
+                  key=lambda kv: (kv[0][-1], len(kv[1][0])))[1] \
         if by_shape else ([], [])
     if len(est) < 2:
         print("# -gt: no overlapping vertex ids", file=sys.stderr)
@@ -425,10 +440,21 @@ def _run_incremental(args, g, algo_name, solver_factory, apply_properties):
     every ``-update`` vertices (reference ``g2o.cpp:373-460``)."""
     from g2o_tpu.core.incremental import IncrementalOptimizer
 
-    solver_proto = solver_factory()
-    apply_properties(solver_proto)
-    inc = IncrementalOptimizer(solver_factory=solver_factory,
+    def solver_with_props():
+        s = solver_factory()
+        apply_properties(s)
+        return s
+
+    def algorithm_factory():
+        a = _make_algorithm(algo_name, False)
+        apply_properties(a, warn=False)   # solver-side call already warns
+        return a
+
+    inc = IncrementalOptimizer(solver_factory=solver_with_props,
+                               algorithm_factory=algorithm_factory,
                                verbose=args.verbose)
+    for pid, val in g._parameters.items():
+        inc.graph.add_parameter(pid, val)     # param-bearing edges re-add
     vrecs = g.vertices()
     edges = sorted(g.edges(), key=lambda e: max(e.vids))
     added = set()
@@ -442,7 +468,8 @@ def _run_incremental(args, g, algo_name, solver_factory, apply_properties):
                 added.add(vid)
                 n_since += 1
         inc.add_edge(e.etype, e.vids, e.measurement, e.information,
-                     kernel=e.kernel, delta=e.delta, param_id=e.param_id)
+                     kernel=e.kernel, delta=e.delta, param_id=e.param_id,
+                     level=e.level, active=e.active)
         if n_since >= args.update:
             inc.optimize(args.incIterations)
             n_since = 0

@@ -67,8 +67,12 @@ class InteractiveSlam:
 
     def add_vertex_xyt(self, vid, init=None):
         est = np.asarray(init if init is not None else [0.0, 0, 0])
-        self.inc.add_vertex(vid, self._v2, est,
-                            fixed=not self._has_fixed and vid == 0)
+        # gauge: auto-fix the FIRST vertex added (the reference backend
+        # fixes the first vertex, not a hardcoded id 0 — sessions whose
+        # ids start elsewhere otherwise run gauge-free/singular)
+        autofix = not self._has_fixed and not self._dim
+        self.inc.add_vertex(vid, self._v2, est, fixed=autofix)
+        self._has_fixed = self._has_fixed or autofix
         self._dim[vid] = 2
 
     def add_vertex_xyzrpy(self, vid, init=None):
@@ -77,8 +81,9 @@ class InteractiveSlam:
             est = np.concatenate([t, _rpy_to_quat(rpy)])
         else:
             est = np.array([0, 0, 0, 0, 0, 0, 1.0])
-        self.inc.add_vertex(vid, self._v3, est,
-                            fixed=not self._has_fixed and vid == 0)
+        autofix = not self._has_fixed and not self._dim
+        self.inc.add_vertex(vid, self._v3, est, fixed=autofix)
+        self._has_fixed = self._has_fixed or autofix
         self._dim[vid] = 3
 
     def add_edge_xyt(self, eid, id1, id2, meas, info_ut):
@@ -95,7 +100,13 @@ class InteractiveSlam:
                 self.add_vertex_xyzrpy(vid)
         t, rpy = np.asarray(meas[:3]), np.asarray(meas[3:6])
         m = np.concatenate([t, _rpy_to_quat(rpy)])
-        info = upper_triangular_to_full(info_ut, 6)
+        # the wire info matrix is over the xyz+rpy parameterization; the
+        # EdgeSE3 residual lives in the quaternion tangent — apply the
+        # same J^T I J basis change the EDGE3 loader uses
+        from g2o_tpu.types.slam3d_addons import _edge3_info_from_io
+
+        info = _edge3_info_from_io(
+            upper_triangular_to_full(info_ut, 6), m)
         self.inc.add_edge(self._e3, [id1, id2], m, info)
         self._auto_solve()
 

@@ -104,7 +104,24 @@ def load_problem(path, *, registry=None, dtype=None, kernel=None,
             info = np.zeros((len(vals), r, r))
             info[:, iu[0], iu[1]] = tri
             info[:, iu[1], iu[0]] = tri
-            edge_blocks[et] = (vids, meas, info, pids)
+            if et.info_from_io is not None:
+                # serialized-basis -> residual-basis conversion (e.g. the
+                # Euler EDGE3 J^T I J transform) — the object loader
+                # applies it per line (g2o_format), the fast path must too
+                info = np.stack([np.asarray(et.info_from_io(I, mm))
+                                 for I, mm in zip(info, meas)])
+            prev_e = edge_blocks.get(et)
+            if prev_e is None:
+                edge_blocks[et] = (vids, meas, info, pids)
+            else:
+                # two on-disk tags resolving to one EdgeType (modern +
+                # deprecated aliases): CONCATENATE, as the vertex path does
+                pv, pm, pi, pp = prev_e
+                pids2 = (np.concatenate([pp, pids]) if pp is not None
+                         else None)
+                edge_blocks[et] = (np.concatenate([pv, vids]),
+                                   np.concatenate([pm, meas]),
+                                   np.concatenate([pi, info]), pids2)
             continue
         raise ValueError(f"unknown tag {tag!r} in {path}")
 
@@ -137,7 +154,13 @@ def load_problem(path, *, registry=None, dtype=None, kernel=None,
     first_vid = None
     all_ids = [ids for ids, _ in vertex_blocks.values()]
     if all_ids and fix_first_if_free and not any_fixed:
-        first_vid = int(min(int(a.min()) for a in all_ids if len(a)))
+        # gauge pick: lowest id of the LARGEST-tangent-dim type — fixing a
+        # 3-dof landmark would leave rotational gauge freedom (the
+        # reference findGauge selects a pose-dimension vertex)
+        dmax_g = max(vt.tangent_dim for vt in vertex_blocks)
+        first_vid = int(min(
+            int(ids.min()) for vt, (ids, _) in vertex_blocks.items()
+            if vt.tangent_dim == dmax_g and len(ids)))
     max_dim = max((vt.tangent_dim for vt in vertex_blocks), default=0)
     for vt, (ids, est) in vertex_blocks.items():
         fx = np.array([int(i) in fixed_set for i in ids], dtype=bool)

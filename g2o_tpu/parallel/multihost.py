@@ -37,10 +37,12 @@ def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
                            process_id: int | None = None,
                            local_device_ids=None) -> None:
-    """Bring up the JAX distributed runtime (no-op when already up or when
-    running single-process)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Bring up the JAX distributed runtime (no-op when already up).
+
+    NOTE: do NOT probe ``jax.process_count()`` first — it initializes the
+    LOCAL backend, after which ``jax.distributed.initialize`` raises; and
+    the no-arg Cloud-TPU auto-detect path must still CALL initialize (an
+    empty-kw early-out left every process single-host)."""
     kw = {}
     if coordinator_address is not None:
         kw["coordinator_address"] = coordinator_address
@@ -50,8 +52,12 @@ def initialize_distributed(coordinator_address: str | None = None,
         kw["process_id"] = int(process_id)
     if local_device_ids is not None:
         kw["local_device_ids"] = local_device_ids
-    if kw:
+    try:
         jax.distributed.initialize(**kw)
+    except (RuntimeError, ValueError):
+        # already initialized (repeated call), or a single-process run
+        # where no coordinator can be auto-detected — both are fine
+        pass
 
 
 def make_global_mesh(*, hosts_axis: bool = False) -> Mesh:

@@ -52,11 +52,25 @@ def ate(estimated, ground_truth, *, align: bool = True,
 
 
 def rpe(estimated, ground_truth, *, delta: int = 1) -> float:
-    """Relative pose error: RMSE of the translational drift over ``delta``
-    steps."""
-    p_est = _positions(estimated)
-    p_gt = _positions(ground_truth)
-    de = p_est[delta:] - p_est[:-delta]
-    dg = p_gt[delta:] - p_gt[:-delta]
-    d = np.linalg.norm(de, axis=1) - np.linalg.norm(dg, axis=1)
+    """Relative pose error: RMSE of the per-pair relative-translation
+    ERROR VECTOR over ``delta`` steps — ``||trans(P_i^-1 P_{i+d}) −
+    trans(Q_i^-1 Q_{i+d})||`` (evo-style; a difference-of-norms would
+    report zero for pure direction/rotation drift)."""
+    est = np.asarray(estimated, dtype=np.float64)
+    gt = np.asarray(ground_truth, dtype=np.float64)
+
+    def rel_trans(traj):
+        if traj.ndim == 2 and traj.shape[1] == 3:      # SE2 (x, y, theta)
+            th = traj[:-delta, 2]
+            d = traj[delta:, :2] - traj[:-delta, :2]
+            c, s = np.cos(th), np.sin(th)
+            return np.stack([c * d[:, 0] + s * d[:, 1],
+                             -s * d[:, 0] + c * d[:, 1]], axis=1)
+        if traj.ndim == 2 and traj.shape[1] >= 7:      # SE3 [t, q(xyzw)]
+            d = traj[delta:, :3] - traj[:-delta, :3]
+            u = -traj[:-delta, 3:6]                    # conjugate vec part
+            w = traj[:-delta, 6:7]
+            return d + 2.0 * np.cross(u, np.cross(u, d) + w * d)
+        return traj[delta:] - traj[:-delta]            # raw points
+    d = np.linalg.norm(rel_trans(est) - rel_trans(gt), axis=1)
     return float(np.sqrt((d ** 2).mean()))
